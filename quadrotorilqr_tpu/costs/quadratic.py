@@ -1,0 +1,99 @@
+"""Quadratic Lie-residual tracking cost with Gauss-Newton differentials.
+
+Re-derivation of the reference cost (/root/reference/src/cost.hh:36-61):
+
+    J(x, u, i) = dx' Q dx + du' R du          (NO 1/2 factor, cost.hh:47-48)
+    dx = x (-) x_d[i]  (12-dim Lie residual),  du = u - u_d[i]
+
+Differentials (cost.hh:50-58) use ONLY the Jacobian of the residual w.r.t.
+the lhs state (Gauss-Newton: the curvature of the group (-) is ignored):
+
+    C.x  = 2 dx' Q J_dx        C.xx = 2 J_dx' Q J_dx
+    C.u  = 2 du' R             C.uu = 2 R
+    C.xu = 0
+
+where J_dx = d(x (-) x_d)/dx = I12 with the SE(3) block Jr^-1(dx_pose).
+
+The desired trajectory is stored stacked (structure-of-arrays, leading axis =
+horizon), so a stage cost is a gather + two tiny quadratic forms — ideal for
+vmap over both stages and scenarios.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..models import quadrotor as qm
+from ..models.quadrotor import State
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class QuadraticTrackingCost:
+    """Cost parameters: Q (12,12), R (4,4), desired stacked trajectory.
+
+    All leaves may carry leading batch dims for per-scenario weights
+    (BASELINE.json config 3).
+    """
+
+    Q: jax.Array  # (..., 12, 12)
+    R: jax.Array  # (..., 4, 4)
+    desired_states: State  # leaves with leading (..., N)
+    desired_controls: jax.Array  # (..., N, 4)
+
+
+def stage_cost(cost: QuadraticTrackingCost, x: State, u, i):
+    """Scalar stage cost (cost.hh:47-48 semantics, no 1/2)."""
+    x_d = jax.tree.map(lambda leaf: leaf[..., i, :], cost.desired_states)
+    u_d = cost.desired_controls[..., i, :]
+    dx = qm.minus(x, x_d)
+    du = u - u_d
+    return _quadform(dx, cost.Q) + _quadform(du, cost.R)
+
+
+def _quadform(v, m):
+    return jnp.einsum("...i,...ij,...j->...", v, m, v)
+
+
+def stage_cost_with_diffs(cost: QuadraticTrackingCost, x: State, u, x_d: State, u_d):
+    """(J, C_x, C_u, C_xx, C_uu) for one stage given the gathered targets.
+
+    C_xu is identically zero (cost.hh:57) and never materialized — the solver
+    exploits this (Q.xu = J_x' v_xx J_u exactly).
+    """
+    dx, j_dx, _ = qm.minus_jacobians(x, x_d)
+    du = u - u_d
+    q_dx = jnp.einsum("...ij,...j->...i", cost.Q, dx)
+    r_du = jnp.einsum("...ij,...j->...i", cost.R, du)
+    j = jnp.einsum("...i,...i->...", dx, q_dx) + jnp.einsum("...i,...i->...", du, r_du)
+    # NOTE: reference uses 2*dx'Q J (not dx'(Q+Q') J) — asymmetric Q/R would
+    # reproduce the reference's behavior, not the true gradient (cost.hh:51).
+    c_x = 2.0 * jnp.einsum("...i,...ij->...j", q_dx, j_dx)
+    c_xx = 2.0 * jnp.einsum("...ji,...jk,...kl->...il", j_dx, cost.Q, j_dx)
+    c_u = 2.0 * r_du
+    c_uu = 2.0 * cost.R
+    return j, c_x, c_u, c_xx, c_uu
+
+
+def gather_stage(cost: QuadraticTrackingCost, i):
+    """(x_d, u_d) at stage i (supports traced i via dynamic indexing)."""
+    x_d = jax.tree.map(
+        lambda leaf: jnp.take(leaf, i, axis=leaf.ndim - 2), cost.desired_states
+    )
+    u_d = jnp.take(cost.desired_controls, i, axis=cost.desired_controls.ndim - 2)
+    return x_d, u_d
+
+
+def trajectory_cost(cost: QuadraticTrackingCost, states: State, controls):
+    """Total cost of a stacked trajectory (ilqr.hh:89-95), vectorized over the
+    horizon instead of the reference's sequential loop."""
+    dx = qm.minus(states, cost.desired_states)
+    du = controls - cost.desired_controls
+    return jnp.sum(
+        jnp.einsum("...ni,...ij,...nj->...n", dx, cost.Q, dx)
+        + jnp.einsum("...ni,...ij,...nj->...n", du, cost.R, du),
+        axis=-1,
+    )

@@ -116,17 +116,23 @@ def moment_arms(params: QuadrotorParams):
     )
 
 
-def _inertia_solve(params: QuadrotorParams, rhs):
-    """I^-1 @ rhs for rhs (...,3) or (...,3,k).
+def _inertia_solve_vec(params: QuadrotorParams, rhs):
+    """I^-1 @ rhs for a vector rhs (...,3).
 
     The reference caches an LLT (cc:20); at 3x3 a direct solve per call is
     cheaper than maintaining a factorization on TPU, and XLA CSEs repeats.
     """
-    vec = rhs.ndim == params.inertia.ndim - 1
-    if vec:
-        rhs = rhs[..., None]
-    out = jnp.linalg.solve(params.inertia, rhs)
-    return out[..., 0] if vec else out
+    return jnp.linalg.solve(params.inertia, rhs[..., None])[..., 0]
+
+
+def _inertia_solve_mat(params: QuadrotorParams, rhs):
+    """I^-1 @ rhs for a matrix rhs (...,3,k)."""
+    inertia = params.inertia
+    if rhs.ndim > inertia.ndim:
+        inertia = jnp.broadcast_to(inertia, rhs.shape[:-2] + (3, 3))
+    elif inertia.ndim > rhs.ndim:
+        rhs = jnp.broadcast_to(rhs, inertia.shape[:-2] + rhs.shape[-2:])
+    return jnp.linalg.solve(inertia, rhs)
 
 
 def continuous_dynamics(params: QuadrotorParams, x: State, u):
@@ -142,7 +148,7 @@ def continuous_dynamics(params: QuadrotorParams, x: State, u):
     omega = x.vel[..., 3:6]
     torque = jnp.einsum("...ij,...j->...i", moment_arms(params), u)
     i_omega = jnp.einsum("...ij,...j->...i", params.inertia, omega)
-    acc_ang = _inertia_solve(params, torque - jnp.cross(omega, i_omega))
+    acc_ang = _inertia_solve_vec(params, torque - jnp.cross(omega, i_omega))
     return jnp.concatenate([x.vel, acc_lin, acc_ang], axis=-1)
 
 
@@ -170,7 +176,7 @@ def continuous_dynamics_jacobians(params: QuadrotorParams, x: State, u):
     omega = x.vel[..., 3:6]
     i_omega = jnp.einsum("...ij,...j->...i", params.inertia, omega)
     j_x = j_x.at[..., VEL_ANG, VEL_ANG].set(
-        -_inertia_solve(params, so3.hat(omega) @ params.inertia - so3.hat(i_omega))
+        -_inertia_solve_mat(params, so3.hat(omega) @ params.inertia - so3.hat(i_omega))
     )
 
     j_u = jnp.zeros(batch + (STATE_DIM, CONTROL_DIM), dtype=dtype)
@@ -179,7 +185,11 @@ def continuous_dynamics_jacobians(params: QuadrotorParams, x: State, u):
         jnp.broadcast_to((1.0 / params.mass_kg)[..., None], batch + (CONTROL_DIM,))
     )
     # d(acc_ang)/du = I^-1 moment_arms   (cc:118-119)
-    j_u = j_u.at[..., VEL_ANG, :].set(_inertia_solve(params, moment_arms(params)))
+    j_u = j_u.at[..., VEL_ANG, :].set(
+        jnp.broadcast_to(
+            _inertia_solve_mat(params, moment_arms(params)), batch + (3, CONTROL_DIM)
+        )
+    )
     return xdot, j_x, j_u
 
 

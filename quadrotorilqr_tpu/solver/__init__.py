@@ -1,0 +1,31 @@
+"""iLQR solver core."""
+
+from . import ilqr as ilqr_module
+from .ilqr import (
+    STATUS_CONVERGED,
+    STATUS_LINE_SEARCH_FAILED,
+    STATUS_MAX_ITERS,
+    SolveResult,
+    Trajectory,
+    backward_pass,
+    forward_sim,
+    line_search,
+    solve,
+)
+from .options import ConvergenceCriteria, ILQROptions, LineSearchParams
+
+__all__ = [
+    "ilqr_module",
+    "solve",
+    "backward_pass",
+    "forward_sim",
+    "line_search",
+    "Trajectory",
+    "SolveResult",
+    "ILQROptions",
+    "LineSearchParams",
+    "ConvergenceCriteria",
+    "STATUS_CONVERGED",
+    "STATUS_MAX_ITERS",
+    "STATUS_LINE_SEARCH_FAILED",
+]

@@ -1,0 +1,357 @@
+"""iLQR solver — the reference loop (/root/reference/src/ilqr.hh:53-205)
+re-derived as compiled JAX control flow, TPU-first.
+
+Architecture (NOT a translation of the C++):
+
+  * Trajectories are stacked structure-of-arrays (leading axis = horizon N),
+    not vectors of structs — one HBM layout for the whole solve.
+  * The backward pass splits into (a) a horizon-PARALLEL quadratization
+    (dynamics Jacobians + cost differentials for all N stages at once — all
+    the Lie-group trig lives here and vectorizes over stages x scenarios) and
+    (b) the inherently sequential Riccati recursion as a reverse `lax.scan`
+    whose body is only small matmuls + one 4x4 solve (ilqr.hh:109-141).
+  * The forward rollout is a `lax.scan` (ilqr.hh:149-172).
+  * The backtracking line search is a bounded `lax.while_loop`
+    (ilqr.hh:174-194); exhaustion sets a per-scenario status flag instead of
+    throwing, so batched solves keep running (SURVEY.md §5.3).
+  * The outer iteration loop is a `lax.while_loop` carrying
+    (trajectory, cost, iter, status) reproducing the exact reference
+    semantics: iteration 0 always takes a full forward step (the initial
+    trajectory may be dynamically infeasible), and both the pre-check on the
+    expected cost and the post-check on the achieved cost gate convergence
+    only for i > 0 (ilqr.hh:58-84).
+
+Everything is batchable with vmap (while_loops batch to masked fixed-point
+iteration) and shardable with shard_map over a scenario mesh axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs import quadratic as qc
+from ..models import quadrotor as qm
+from ..models.quadrotor import QuadrotorParams, State
+from .options import ILQROptions
+
+# Per-scenario status codes (replaces the reference's exceptions).
+STATUS_MAX_ITERS = 0  # ran to convergence_criteria.max_iters
+STATUS_CONVERGED = 1
+STATUS_LINE_SEARCH_FAILED = 2  # reference throws (ilqr.hh:191-193)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Trajectory:
+    """Stacked trajectory: times (...,N), states (leaves (...,N,d)), controls (...,N,4)."""
+
+    times: jax.Array
+    states: State
+    controls: jax.Array
+
+    @property
+    def horizon(self):
+        return self.controls.shape[-2]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IterDebug:
+    """Per-iteration debug record (ilqr_debug.hh:9-22) as fixed-size stacked
+    buffers indexed by iteration; `valid[i]` marks populated slots."""
+
+    trajectories: Trajectory  # leaves (..., max_iters, N, d)
+    costs: jax.Array  # (..., max_iters)
+    valid: jax.Array  # (..., max_iters) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SolveResult:
+    trajectory: Trajectory
+    cost: jax.Array  # (...)
+    iterations: jax.Array  # (...) int32: loop trips executed
+    status: jax.Array  # (...) int32: STATUS_*
+    debug: IterDebug | None
+
+
+def quadratize(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Trajectory, dt_s):
+    """Stage-parallel quadratization for ALL N stages at once.
+
+    Returns (j_x (N,12,12), j_u (N,12,4), c_x (N,12), c_u (N,4),
+    c_xx (N,12,12), c_uu (N,4,4)). This is the hot math (Lie Jacobians,
+    trig, 3x3 solves) — hoisted out of the sequential recursion so it runs
+    across the whole horizon in parallel (the C++ does it stage-by-stage
+    inside the reverse loop, ilqr.hh:110-116).
+    """
+    _, j_x, j_u = qm.discrete_dynamics_jacobians(params, traj.states, traj.controls, dt_s)
+    _, c_x, c_u, c_xx, c_uu = qc.stage_cost_with_diffs(
+        cost, traj.states, traj.controls, cost.desired_states, cost.desired_controls
+    )
+    # c_uu = 2R is stage-independent — broadcast it onto the horizon axis.
+    c_uu = jnp.broadcast_to(c_uu, c_u.shape[:-1] + c_uu.shape[-2:])
+    return j_x, j_u, c_x, c_u, c_xx, c_uu
+
+
+def backward_pass(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Trajectory, dt_s):
+    """Riccati recursion (ilqr.hh:97-147).
+
+    Returns (ks (N,4), Ks (N,4,12), QuTk, kTQuuk). The Quu solve is plain
+    (NO regularization), matching ilqr.hh:126-128.
+    """
+    j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s)
+
+    def stage(carry, inputs):
+        v_x, v_xx, qutk, ktquuk = carry
+        jx, ju, cx, cu, cxx, cuu = inputs
+        jxt = jnp.swapaxes(jx, -1, -2)
+        jut = jnp.swapaxes(ju, -1, -2)
+        vxx_jx = v_xx @ jx
+        vxx_ju = v_xx @ ju
+        q_x = cx + jnp.einsum("...ij,...j->...i", jxt, v_x)
+        q_u = cu + jnp.einsum("...ij,...j->...i", jut, v_x)
+        q_xx = cxx + jxt @ vxx_jx
+        q_uu = cuu + jut @ vxx_ju
+        q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
+
+        # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128).
+        rhs = jnp.concatenate([q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1)
+        sol = -jnp.linalg.solve(q_uu, rhs)
+        k = sol[..., 0]
+        big_k = sol[..., 1:]
+
+        quu_k = jnp.einsum("...ij,...j->...i", q_uu, k)
+        big_kt = jnp.swapaxes(big_k, -1, -2)
+        v_x_new = q_x - jnp.einsum("...ij,...j->...i", big_kt, quu_k)
+        v_xx_new = q_xx - big_kt @ q_uu @ big_k
+        qutk = qutk + jnp.einsum("...i,...i->...", q_u, k)
+        ktquuk = ktquuk + jnp.einsum("...i,...i->...", k, quu_k)
+        return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)
+
+    batch = traj.controls.shape[:-2]
+    dtype = traj.controls.dtype
+    init = (
+        jnp.zeros(batch + (12,), dtype),
+        jnp.zeros(batch + (12, 12), dtype),
+        jnp.zeros(batch, dtype),
+        jnp.zeros(batch, dtype),
+    )
+    # reverse scan over the horizon axis (axis -3 for matrices, but scan works
+    # on axis 0 — move horizon to front for the scan inputs).
+    n_axis = traj.controls.ndim - 2
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, n_axis, 0), (j_x, j_u, c_x, c_u, c_xx, c_uu))
+    (_, _, qutk, ktquuk), (ks, big_ks) = jax.lax.scan(stage, init, xs, reverse=True)
+    ks = jnp.moveaxis(ks, 0, n_axis)
+    big_ks = jnp.moveaxis(big_ks, 0, n_axis)
+    return ks, big_ks, qutk, ktquuk
+
+
+def expected_cost_reduction(qutk, ktquuk, step=1.0):
+    """dJ(step) = step*Qu'k + step^2 * k'Quu k / 2 (ilqr.hh:18-22)."""
+    return step * qutk + step * step * ktquuk / 2.0
+
+
+def forward_sim(
+    params: QuadrotorParams,
+    traj: Trajectory,
+    ks,
+    big_ks,
+    alpha,
+    dt_s,
+):
+    """Closed-loop rollout (ilqr.hh:149-172):
+    u_i = u_old_i + alpha*k_i + K_i (x (-) x_old_i); x_{i+1} = f(x_i, u_i)."""
+    x0 = jax.tree.map(lambda leaf: leaf[..., 0, :], traj.states)
+    n_axis = traj.controls.ndim - 2
+
+    def to_front(a):
+        return jnp.moveaxis(a, n_axis, 0)
+
+    xs = (
+        jax.tree.map(to_front, traj.states),
+        to_front(traj.controls),
+        to_front(ks),
+        to_front(big_ks),
+    )
+
+    def stage(state, inputs):
+        x_old, u_old, k, big_k = inputs
+        dx = qm.minus(state, x_old)
+        u = u_old + alpha[..., None] * k + jnp.einsum("...ij,...j->...i", big_k, dx)
+        next_state = qm.discrete_dynamics(params, state, u, dt_s)
+        return next_state, (state, u)
+
+    _, (states, controls) = jax.lax.scan(stage, x0, xs)
+    states = jax.tree.map(lambda leaf: jnp.moveaxis(leaf, 0, n_axis), states)
+    controls = jnp.moveaxis(controls, 0, n_axis)
+    return Trajectory(times=traj.times, states=states, controls=controls)
+
+
+def line_search(
+    params: QuadrotorParams,
+    cost: qc.QuadraticTrackingCost,
+    traj: Trajectory,
+    current_cost,
+    ks,
+    big_ks,
+    qutk,
+    ktquuk,
+    dt_s,
+    options: ILQROptions,
+):
+    """Backtracking line search (ilqr.hh:174-194).
+
+    Returns (new_traj, new_cost, ok). `ok=False` corresponds to the
+    reference's std::runtime_error on exhaustion; the carried trajectory is
+    then the last (smallest-step) candidate.
+    """
+    ls = options.line_search_params
+    dtype = traj.controls.dtype
+    one = jnp.asarray(1.0, dtype)
+
+    def try_step(step):
+        new_traj = forward_sim(params, traj, ks, big_ks, step, dt_s)
+        new_cost = qc.trajectory_cost(cost, new_traj.states, new_traj.controls)
+        desired = ls.desired_reduction_frac * expected_cost_reduction(qutk, ktquuk, step)
+        accept = (new_cost - current_cost) < desired
+        return new_traj, new_cost, accept
+
+    def cond(carry):
+        i, _, _, _, accepted = carry
+        return jnp.logical_and(i < ls.max_iters, jnp.logical_not(accepted))
+
+    def body(carry):
+        i, step, _, _, _ = carry
+        new_traj, new_cost, accept = try_step(step)
+        return (i + 1, step * ls.step_update, new_traj, new_cost, accept)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        jnp.broadcast_to(one, current_cost.shape),
+        traj,
+        current_cost,
+        jnp.zeros(current_cost.shape, bool),
+    )
+    _, _, new_traj, new_cost, accepted = jax.lax.while_loop(cond, body, init)
+    return new_traj, new_cost, accepted
+
+
+def is_converged(cost, new_cost, options: ILQROptions):
+    """ilqr.hh:196-205: rel OR abs criterion."""
+    cc = options.convergence_criteria
+    diff = jnp.abs(cost - new_cost)
+    return jnp.logical_or(diff / jnp.abs(cost) < cc.rtol, diff < cc.atol)
+
+
+def _empty_debug(traj: Trajectory, max_iters):
+    trajs = jax.tree.map(lambda leaf: jnp.zeros((max_iters,) + leaf.shape, leaf.dtype), traj)
+    return IterDebug(
+        trajectories=trajs,
+        costs=jnp.zeros((max_iters,), traj.controls.dtype),
+        valid=jnp.zeros((max_iters,), bool),
+    )
+
+
+def _write_debug(debug: IterDebug, i, traj: Trajectory, cost):
+    trajs = jax.tree.map(
+        lambda buf, leaf: jax.lax.dynamic_update_index_in_dim(buf, leaf, i, 0),
+        debug.trajectories,
+        traj,
+    )
+    return IterDebug(
+        trajectories=trajs,
+        costs=debug.costs.at[i].set(cost),
+        valid=debug.valid.at[i].set(True),
+    )
+
+
+@partial(jax.jit, static_argnames=("options", "dt_s"))
+def solve(
+    params: QuadrotorParams,
+    cost: qc.QuadraticTrackingCost,
+    initial_traj: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+) -> SolveResult:
+    """Full iLQR solve (ilqr.hh:53-87) for ONE scenario (vmap for batches).
+
+    Exact reference semantics:
+      i == 0: unconditionally forward-simulate the initial control sequence
+              at alpha=1 (makes an infeasible initial trajectory feasible).
+      i > 0 : pre-check on expected cost -> return untouched trajectory;
+              line search; post-check on achieved cost.
+    """
+    max_iters = int(options.convergence_criteria.max_iters)
+    new_cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
+    debug0 = _empty_debug(initial_traj, max_iters) if options.populate_debug else None
+
+    def cond(carry):
+        i, _, _, done, _, _ = carry
+        return jnp.logical_and(i < max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        i, traj, new_cost, done, status, debug = carry
+        ks, big_ks, qutk, ktquuk = backward_pass(params, cost, traj, dt_s)
+        current = new_cost
+
+        expected = current + expected_cost_reduction(qutk, ktquuk)
+        pre_conv = jnp.logical_and(i > 0, is_converged(current, expected, options))
+
+        def do_update(_):
+            def first_iter(_):
+                t = forward_sim(
+                    params, traj, ks, big_ks, jnp.asarray(1.0, current.dtype), dt_s
+                )
+                c = qc.trajectory_cost(cost, t.states, t.controls)
+                return t, c, jnp.ones((), bool)
+
+            def later_iter(_):
+                return line_search(
+                    params, cost, traj, current, ks, big_ks, qutk, ktquuk, dt_s, options
+                )
+
+            t, c, ls_ok = jax.lax.cond(i == 0, first_iter, later_iter, None)
+            post_conv = jnp.logical_and(i > 0, is_converged(current, c, options))
+            new_status = jnp.where(
+                jnp.logical_not(ls_ok),
+                STATUS_LINE_SEARCH_FAILED,
+                jnp.where(post_conv, STATUS_CONVERGED, STATUS_MAX_ITERS),
+            )
+            new_done = jnp.logical_or(post_conv, jnp.logical_not(ls_ok))
+            return t, c, new_done, new_status.astype(jnp.int32)
+
+        def pre_converged(_):
+            return traj, new_cost, jnp.ones((), bool), jnp.asarray(STATUS_CONVERGED, jnp.int32)
+
+        traj2, cost2, done2, status2 = jax.lax.cond(pre_conv, pre_converged, do_update, None)
+
+        if options.populate_debug:
+            # debug is appended only when an update actually ran (ilqr.hh:78-80)
+            debug = jax.lax.cond(
+                pre_conv, lambda d: d, lambda d: _write_debug(d, i, traj2, cost2), debug
+            )
+        # A pre-converged trip executes no update: don't count it (the
+        # reference returns with i updates applied, ilqr.hh:66-68).
+        i_next = jnp.where(pre_conv, i, i + 1)
+        return (i_next, traj2, cost2, done2, status2, debug)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        initial_traj,
+        new_cost0,
+        jnp.zeros((), bool),
+        jnp.asarray(STATUS_MAX_ITERS, jnp.int32),
+        debug0,
+    )
+    i, traj, final_cost, done, status, debug = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        trajectory=traj,
+        cost=final_cost,
+        iterations=i,
+        status=status,
+        debug=debug,
+    )

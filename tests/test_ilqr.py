@@ -1,0 +1,279 @@
+"""iLQR solver tests.
+
+Ports the reference's solver tests (/root/reference/src/ilqr_test.cc): the
+g=0/identity-inertia fixture (:68-100), hand-computed forward_sim (:102-126),
+zero update at the optimum (:143-153), negative expected reduction (:155-164),
+Armijo acceptance (:166-177), and the x100-perturbation convergence test
+(:179-190) — plus full-solve parity against the float64 NumPy oracle on the
+reference demo workload (the 1e-5 gate from BASELINE.json).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.app import workloads
+from quadrotorilqr_tpu.costs import QuadraticTrackingCost, trajectory_cost
+from quadrotorilqr_tpu.lie import se3, so3
+from quadrotorilqr_tpu.models import quadrotor as qm
+from quadrotorilqr_tpu.oracle import scalar as oracle
+from quadrotorilqr_tpu.solver import (
+    STATUS_CONVERGED,
+    ILQROptions,
+    Trajectory,
+    ilqr_module,
+)
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, LineSearchParams
+
+F64 = jnp.float64
+DT = 0.1
+
+
+# ---------------------------------------------------------------------------
+# conversions: JAX pytree <-> oracle
+# ---------------------------------------------------------------------------
+
+
+def traj_to_oracle(traj: Trajectory):
+    out = []
+    n = traj.horizon
+    quat = np.asarray(traj.states.pose.quat)
+    trans = np.asarray(traj.states.pose.trans)
+    vel = np.asarray(traj.states.vel)
+    controls = np.asarray(traj.controls)
+    times = np.asarray(traj.times)
+    for i in range(n):
+        r = _quat_to_mat_np(quat[i])
+        out.append(
+            (times[i], oracle.OracleState(oracle.SE3(r, trans[i]), vel[i]), controls[i])
+        )
+    return out
+
+
+def _quat_to_mat_np(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixture (ilqr_test.cc:68-100): 3 pts at identity, m=1, I=eye, g=0, Q=R=I
+# ---------------------------------------------------------------------------
+
+
+def fixture(n=3):
+    params = qm.QuadrotorParams.create(1.0, jnp.eye(3, dtype=F64), 1.0, 0.0, g_mpss=0.0)
+    states = qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64))
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=states,
+        controls=jnp.zeros((n, 4), F64),
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.eye(12, dtype=F64),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    return params, cost, desired
+
+
+def zero_updates(n):
+    return jnp.zeros((n, 4), F64), jnp.zeros((n, 4, 12), F64)
+
+
+class TestForwardSim:
+    def test_constant_thrust_rollout(self):
+        """Hand-computable: g=0, thrust sum=4 along body z from rest.
+        Euler chain: v_{k+1} = v_k + dt*a; pose advances by dt*v_k
+        (ilqr_test.cc:102-126 does the same 3-step hand check)."""
+        params, cost, desired = fixture()
+        traj = Trajectory(
+            times=desired.times,
+            states=desired.states,
+            controls=jnp.ones((3, 4), F64),
+        )
+        ks, big_ks = zero_updates(3)
+        out = ilqr_module.forward_sim(params, traj, ks, big_ks, jnp.asarray(1.0, F64), DT)
+        # a = 4/1 e_z each step; x0: z=0,v=0; x1: z=0, v=0.4; x2: z=0.04, v=0.8
+        z = np.asarray(out.states.pose.trans)[:, 2]
+        vz = np.asarray(out.states.vel)[:, 2]
+        np.testing.assert_allclose(z, [0.0, 0.0, 0.04], atol=1e-12)
+        np.testing.assert_allclose(vz, [0.0, 0.4, 0.8], atol=1e-12)
+
+    def test_feedback_correction(self):
+        """Nonzero K with a deviated start steers the control."""
+        params, cost, desired = fixture()
+        ks = jnp.zeros((3, 4), F64)
+        big_ks = 0.1 * jnp.ones((3, 4, 12), F64)
+        shifted_start = qm.State(
+            pose=se3.exp(jnp.asarray([0.5, 0, 0, 0, 0, 0], F64)), vel=jnp.zeros(6, F64)
+        )
+        traj = Trajectory(
+            times=desired.times,
+            states=jax.tree.map(
+                lambda a, b: a.at[0].set(b), desired.states, shifted_start
+            ),
+            controls=jnp.zeros((3, 4), F64),
+        )
+        out = ilqr_module.forward_sim(params, traj, ks, big_ks, jnp.asarray(1.0, F64), DT)
+        # first stage: dx = 0 (state == traj state) -> u = 0
+        np.testing.assert_allclose(np.asarray(out.controls)[0], np.zeros(4), atol=1e-12)
+
+
+class TestBackwardPass:
+    def test_zero_update_at_optimum(self):
+        """ilqr_test.cc:143-153: at the tracking optimum k == 0."""
+        params, cost, desired = fixture()
+        ks, big_ks, qutk, ktquuk = ilqr_module.backward_pass(params, cost, desired, DT)
+        np.testing.assert_allclose(np.asarray(ks), np.zeros((3, 4)), atol=1e-12)
+        assert abs(float(qutk)) < 1e-12
+
+    def test_negative_expected_reduction_off_optimum(self):
+        """ilqr_test.cc:155-164."""
+        params, cost, desired = fixture()
+        traj = Trajectory(
+            times=desired.times, states=desired.states, controls=jnp.ones((3, 4), F64)
+        )
+        ks, big_ks, qutk, ktquuk = ilqr_module.backward_pass(params, cost, traj, DT)
+        red = ilqr_module.expected_cost_reduction(qutk, ktquuk, 1.0)
+        assert float(red) < 0
+
+    def test_matches_oracle(self):
+        """Stage-by-stage k/K parity with the independent numpy derivation."""
+        params, cost, desired = fixture()
+        rng = np.random.default_rng(0)
+        traj = Trajectory(
+            times=desired.times,
+            states=desired.states,
+            controls=jnp.asarray(rng.normal(size=(3, 4)), F64),
+        )
+        ks, big_ks, qutk, ktquuk = ilqr_module.backward_pass(params, cost, traj, DT)
+
+        om = oracle.OracleModel(1.0, np.eye(3), 1.0, 0.0, g_mpss=0.0)
+        oc = oracle.OracleCost(np.eye(12), np.eye(4), traj_to_oracle(desired))
+        oi = oracle.OracleILQR(om, oc, DT)
+        updates, o_qutk, o_ktquuk = oi.backwards_pass(traj_to_oracle(traj))
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(ks[i]), updates[i][0], atol=1e-10)
+            np.testing.assert_allclose(np.asarray(big_ks[i]), updates[i][1], atol=1e-10)
+        np.testing.assert_allclose(float(qutk), o_qutk, rtol=1e-10)
+        np.testing.assert_allclose(float(ktquuk), o_ktquuk, rtol=1e-10)
+
+
+class TestLineSearch:
+    def test_armijo_acceptance(self):
+        """ilqr_test.cc:166-177: accepted step satisfies the inequality."""
+        params, cost, desired = fixture()
+        traj = Trajectory(
+            times=desired.times, states=desired.states, controls=jnp.ones((3, 4), F64)
+        )
+        current = trajectory_cost(cost, traj.states, traj.controls)
+        ks, big_ks, qutk, ktquuk = ilqr_module.backward_pass(params, cost, traj, DT)
+        opts = ILQROptions()
+        new_traj, new_cost, ok = ilqr_module.line_search(
+            params, cost, traj, current, ks, big_ks, qutk, ktquuk, DT, opts
+        )
+        assert bool(ok)
+        assert float(new_cost) < float(current)
+
+
+class TestSolve:
+    def test_recovers_optimum_after_perturbation(self):
+        """ilqr_test.cc:179-190: controls x100, solve, recover to 1e-6."""
+        params, cost, desired = fixture()
+        opts = ILQROptions(populate_debug=False)
+        # reference perturbs the optimal controls by x100; optimum here is 0
+        # controls, so scale-up of zeros is zero — use an additive bump
+        # like the spirit of the test: large wrong controls.
+        traj = Trajectory(
+            times=desired.times,
+            states=desired.states,
+            controls=100.0 * jnp.ones((3, 4), F64),
+        )
+        result = ilqr_module.solve(params, cost, traj, DT, opts)
+        # optimum: perfect tracking of the identity hover with zero controls
+        np.testing.assert_allclose(np.asarray(result.trajectory.controls), 0.0, atol=1e-6)
+        dx = qm.minus(result.trajectory.states, desired.states)
+        np.testing.assert_allclose(np.asarray(dx), 0.0, atol=1e-6)
+        assert int(result.status) == STATUS_CONVERGED
+
+    def test_demo_workload_matches_oracle(self):
+        """Full-solve parity on the reference demo (quadrotor_ilqr.py:256-306):
+        optimized controls match the independent float64 oracle to <<1e-5."""
+        desired = workloads.demo_desired_trajectory()
+        params = workloads.demo_params()
+        q, r = workloads.demo_weights()
+        cost = QuadraticTrackingCost(
+            Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+        )
+        opts = ILQROptions(
+            line_search_params=LineSearchParams(0.5, 0.5, 100),
+            convergence_criteria=ConvergenceCriteria(1e-12, 1e-12, 100),
+            populate_debug=True,
+        )
+        result = ilqr_module.solve(params, cost, desired, DT, opts)
+
+        om = oracle.OracleModel(1.0, np.eye(3), 1.0, 0.0, 9.81)
+        oc = oracle.OracleCost(
+            np.asarray(q, np.float64), np.asarray(r, np.float64), traj_to_oracle(desired)
+        )
+        oi = oracle.OracleILQR(om, oc, dt_s=0.1, populate_debug=True)
+        o_traj, o_cost, o_iters = oi.solve(traj_to_oracle(desired))
+
+        o_controls = np.stack([u for (_, _, u) in o_traj])
+        ctrl_err = np.abs(np.asarray(result.trajectory.controls) - o_controls).max()
+        cost_rel = abs(float(result.cost) - o_cost) / abs(o_cost)
+        assert ctrl_err < 1e-5, f"control parity {ctrl_err:.3e} >= 1e-5"
+        assert cost_rel < 1e-9, f"cost parity {cost_rel:.3e}"
+        assert int(result.iterations) == o_iters
+
+        # per-iteration debug costs agree too (ilqr.hh:78-80 gating)
+        n_dbg = len(oi.debug)
+        dbg_costs = np.asarray(result.debug.costs)
+        valid = np.asarray(result.debug.valid)
+        assert valid.sum() == n_dbg
+        for j, (_, c) in enumerate(oi.debug):
+            np.testing.assert_allclose(dbg_costs[j], c, rtol=1e-9)
+
+    def test_populate_debug_off_returns_none(self):
+        params, cost, desired = fixture()
+        result = ilqr_module.solve(params, cost, desired, DT, ILQROptions())
+        assert result.debug is None
+
+    def test_vmap_solve_matches_single(self):
+        """Batched solve lane-for-lane equals single solves."""
+        params, cost, desired = fixture()
+        rng = np.random.default_rng(1)
+        controls = jnp.asarray(rng.normal(size=(4, 3, 4)), F64)
+        trajs = Trajectory(
+            times=jnp.broadcast_to(desired.times, (4, 3)),
+            states=jax.tree.map(lambda leaf: jnp.broadcast_to(leaf, (4,) + leaf.shape), desired.states),
+            controls=controls,
+        )
+        opts = ILQROptions()
+        batched = jax.vmap(
+            lambda t: ilqr_module.solve(params, cost, t, DT, opts)
+        )(trajs)
+        for i in range(4):
+            single = ilqr_module.solve(
+                params,
+                cost,
+                jax.tree.map(lambda leaf: leaf[i], trajs),
+                DT,
+                opts,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.trajectory.controls[i]),
+                np.asarray(single.trajectory.controls),
+                atol=1e-9,
+            )
+            # atol floor: converged costs are ~1e-34 (pure roundoff noise)
+            np.testing.assert_allclose(
+                float(batched.cost[i]), float(single.cost), rtol=1e-9, atol=1e-18
+            )

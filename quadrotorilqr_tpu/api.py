@@ -1,0 +1,106 @@
+"""Public API — drop-in equivalent of the reference's Python binding.
+
+The reference exposes ONE class through pybind11
+(/root/reference/src/quadrotor_ilqr_binding.cc:20-49):
+
+    QuadrotorILQR(mass_kg, inertia, arm_length_m, torque_to_thrust_ratio_m,
+                  g_mpss, Q, R, desired_traj_proto, dt_s, options_proto)
+    .solve(initial_traj_proto) -> (opt_traj_proto, debug_proto)
+
+This class keeps that exact constructor and proto-in/proto-out `solve`
+signature so a reference user can switch by changing one import — while the
+engine underneath is the batched, jit-compiled TPU solver. Native pytree
+inputs are accepted anywhere a proto is, and `solve_pytree` exposes the
+zero-copy device path (plus `solve_batch` for vmapped scenario batches,
+something the reference cannot do at all).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .costs import QuadraticTrackingCost
+from .io import (
+    debug_to_proto,
+    options_from_proto,
+    trajectory_from_proto,
+    trajectory_to_proto,
+)
+from .io import ilqr_options_pb2, trajectory_pb2
+from .models.quadrotor import QuadrotorParams
+from .solver import ILQROptions, SolveResult, Trajectory
+from .solver import ilqr_module
+
+
+class QuadrotorILQR:
+    """SE(3) quadrotor iLQR solver (binding.cc:20-49 API parity)."""
+
+    def __init__(
+        self,
+        mass_kg: float,
+        inertia,
+        arm_length_m: float,
+        torque_to_thrust_ratio_m: float,
+        g_mpss: float,
+        Q,
+        R,
+        desired_traj,
+        dt_s: float,
+        options,
+        dtype=jnp.float64,
+    ):
+        self.dtype = dtype
+        self.params = QuadrotorParams.create(
+            mass_kg=mass_kg,
+            inertia=jnp.asarray(np.asarray(inertia), dtype),
+            arm_length_m=arm_length_m,
+            torque_to_thrust_ratio_m=torque_to_thrust_ratio_m,
+            g_mpss=g_mpss,
+        ).validate()  # PD inertia check, quadrotor_model.cc:21-24
+
+        if isinstance(desired_traj, trajectory_pb2.QuadrotorTrajectory):
+            desired_traj = trajectory_from_proto(desired_traj, dtype)
+        self.desired_traj: Trajectory = desired_traj
+        self.cost = QuadraticTrackingCost(
+            Q=jnp.asarray(np.asarray(Q), dtype),
+            R=jnp.asarray(np.asarray(R), dtype),
+            desired_states=desired_traj.states,
+            desired_controls=desired_traj.controls,
+        )
+        self.dt_s = float(dt_s)
+        if isinstance(options, ilqr_options_pb2.ILQROptions):
+            options = options_from_proto(options)
+        self.options: ILQROptions = options
+
+    # -- reference-parity surface ------------------------------------------
+
+    def solve(self, initial_traj):
+        """binding.cc:34-41: proto in, (opt_traj proto, debug proto) out."""
+        if isinstance(initial_traj, trajectory_pb2.QuadrotorTrajectory):
+            initial_traj = trajectory_from_proto(initial_traj, self.dtype)
+        result = self.solve_pytree(initial_traj)
+        return trajectory_to_proto(result.trajectory), debug_to_proto(result.debug)
+
+    # -- native surface ------------------------------------------------------
+
+    def solve_pytree(self, initial_traj: Trajectory) -> SolveResult:
+        """Device-native solve; jit-compiled, no host round-trips."""
+        if initial_traj.horizon != self.desired_traj.horizon:
+            # reference: desired_trajectory_.at(i) throws (cost.hh:39-40)
+            raise IndexError(
+                f"initial trajectory length {initial_traj.horizon} != desired "
+                f"{self.desired_traj.horizon}"
+            )
+        return ilqr_module.solve(
+            self.params, self.cost, initial_traj, self.dt_s, self.options
+        )
+
+    def solve_batch(self, initial_trajs: Trajectory) -> SolveResult:
+        """vmapped solve over a leading scenario axis (leaves (B, N, ...))."""
+        return jax.vmap(
+            lambda t: ilqr_module.solve(
+                self.params, self.cost, t, self.dt_s, self.options
+            )
+        )(initial_trajs)

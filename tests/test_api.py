@@ -1,0 +1,103 @@
+"""API + serialization + driver smoke tests.
+
+Covers the reference's proto round-trip tests (trajectory_to_proto_test.cc,
+ilqr_options_to_proto_test.cc, ilqr_debug_to_proto_test.cc) and the Python
+smoke test (quadrotor_ilqr_test.py:7-8 — main(show_plots=False))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrotorilqr_tpu.api import QuadrotorILQR
+from quadrotorilqr_tpu.app import driver, workloads
+from quadrotorilqr_tpu.io import (
+    debug_to_proto,
+    options_from_proto,
+    options_to_proto,
+    trajectory_from_proto,
+    trajectory_to_proto,
+)
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions, LineSearchParams
+
+
+def assert_traj_equal(a, b, atol=0.0):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=atol)
+
+
+class TestProtoRoundTrip:
+    def test_trajectory(self):
+        traj = workloads.demo_desired_trajectory()
+        rt = trajectory_from_proto(trajectory_to_proto(traj))
+        assert_traj_equal(traj, rt)
+
+    def test_options(self):
+        opts = ILQROptions(
+            line_search_params=LineSearchParams(0.4, 0.6, 37),
+            convergence_criteria=ConvergenceCriteria(1e-9, 1e-8, 55),
+            populate_debug=True,
+        )
+        assert options_from_proto(options_to_proto(opts)) == opts
+
+    def test_wire_compat_with_reference_field_numbers(self):
+        """Field numbers must match the reference schema for wire compat."""
+        from quadrotorilqr_tpu.io import trajectory_pb2
+
+        fields = trajectory_pb2.QuadrotorTrajectoryPoint.DESCRIPTOR.fields_by_name
+        assert fields["time_s"].number == 1
+        assert fields["state"].number == 2
+        assert fields["control"].number == 3
+        so3_fields = trajectory_pb2.SO3.DESCRIPTOR.fields_by_name
+        assert so3_fields["quaternion"].number == 1
+
+
+class TestAPI:
+    @pytest.fixture(scope="class")
+    def ilqr(self):
+        desired = workloads.demo_desired_trajectory()
+        q, r = workloads.demo_weights()
+        return QuadrotorILQR(
+            1.0, np.eye(3), 1.0, 0.0, 9.81, q, r, desired, 0.1,
+            ILQROptions(
+                convergence_criteria=ConvergenceCriteria(1e-12, 1e-12, 100),
+                populate_debug=True,
+            ),
+        )
+
+    def test_proto_solve_roundtrip(self, ilqr):
+        """binding.cc:34-41 surface: proto in -> (proto, proto) out."""
+        desired_proto = trajectory_to_proto(ilqr.desired_traj)
+        opt_proto, debug_proto = ilqr.solve(desired_proto)
+        assert len(opt_proto.points) == ilqr.desired_traj.horizon
+        assert len(debug_proto.iter_debugs) > 1
+        costs = [d.cost for d in debug_proto.iter_debugs]
+        assert costs[-1] < costs[0]
+
+    def test_pytree_solve_matches_proto_solve(self, ilqr):
+        opt_proto, _ = ilqr.solve(trajectory_to_proto(ilqr.desired_traj))
+        result = ilqr.solve_pytree(ilqr.desired_traj)
+        assert_traj_equal(
+            trajectory_from_proto(opt_proto), result.trajectory, atol=1e-12
+        )
+
+    def test_horizon_mismatch_raises(self, ilqr):
+        short = jax.tree.map(lambda leaf: leaf[:10], ilqr.desired_traj)
+        with pytest.raises(IndexError):
+            ilqr.solve_pytree(short)
+
+    def test_non_pd_inertia_raises(self):
+        desired = workloads.demo_desired_trajectory()
+        q, r = workloads.demo_weights()
+        with pytest.raises(ValueError):
+            QuadrotorILQR(1.0, -np.eye(3), 1.0, 0.0, 9.81, q, r, desired, 0.1, ILQROptions())
+
+
+class TestDriverSmoke:
+    def test_main_no_plots(self):
+        """quadrotor_ilqr_test.py:7-8: full stack end-to-end."""
+        result = driver.main(show_plots=False)
+        # converged demo cost is ~2.2556e4 (cross-checked vs the f64 oracle)
+        assert float(result.cost) < 2.5e4
+        assert int(result.iterations) > 1
+        assert int(result.status) == 1  # STATUS_CONVERGED

@@ -1,0 +1,94 @@
+"""Scenario batching — the data-parallel axis the reference lacks entirely
+(SURVEY.md §2.1: solve processes one trajectory via sequential loops,
+ilqr.hh:89-95). Here thousands of independent iLQR problems run per chip via
+vmap; per-scenario convergence masks replace control-flow divergence (JAX
+batches the solver's while_loops into masked fixed-point iteration
+automatically, so converged lanes freeze while stragglers continue).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs import QuadraticTrackingCost
+from ..models.quadrotor import QuadrotorParams
+from ..solver import ILQROptions, SolveResult, Trajectory
+from ..solver import ilqr_module
+
+
+def _batch_axes(tree, batched: bool):
+    return jax.tree.map(lambda _: 0 if batched else None, tree)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dt_s", "options", "params_batched", "cost_batched"),
+)
+def solve_batch(
+    params: QuadrotorParams,
+    cost: QuadraticTrackingCost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    params_batched: bool = False,
+    cost_batched: bool = False,
+) -> SolveResult:
+    """vmapped solve over a leading scenario axis.
+
+    initial_trajs leaves are (B, N, ...). `params_batched` / `cost_batched`
+    mark whether physical parameters / cost weights+targets also carry a
+    leading B (per-scenario randomization, BASELINE.json configs 2-3);
+    unbatched ones are closed over and broadcast by vmap.
+    """
+    in_axes = (
+        _batch_axes(params, params_batched),
+        _batch_axes(cost, cost_batched),
+        _batch_axes(initial_trajs, True),
+    )
+    return jax.vmap(
+        lambda p, c, t: ilqr_module.solve(p, c, t, dt_s, options), in_axes=in_axes
+    )(params, cost, initial_trajs)
+
+
+def batch_stats(result: SolveResult):
+    """Aggregate per-batch solver statistics (host-friendly summary)."""
+    from ..solver.ilqr import STATUS_CONVERGED, STATUS_LINE_SEARCH_FAILED
+
+    status = result.status
+    return {
+        "num_scenarios": status.shape[0] if status.ndim else 1,
+        "frac_converged": jnp.mean((status == STATUS_CONVERGED).astype(jnp.float32)),
+        "frac_ls_failed": jnp.mean(
+            (status == STATUS_LINE_SEARCH_FAILED).astype(jnp.float32)
+        ),
+        "mean_iterations": jnp.mean(result.iterations.astype(jnp.float32)),
+        "max_iterations": jnp.max(result.iterations),
+        "mean_cost": jnp.mean(result.cost),
+        "max_cost": jnp.max(result.cost),
+    }
+
+
+def initial_trajectory_from_state(x0, desired: Trajectory) -> Trajectory:
+    """Build an initial trajectory for a scenario: the desired trajectory's
+    controls/times with the scenario's initial state at stage 0. The solver's
+    iteration-0 full rollout then makes it dynamically feasible (ilqr.hh:71-73).
+
+    x0 leaves may carry a leading batch dim; desired is unbatched (shared).
+    """
+    batch = jax.tree.leaves(x0)[0].shape[:-1]
+
+    def tile(leaf):
+        return jnp.broadcast_to(leaf, batch + leaf.shape)
+
+    states = jax.tree.map(tile, desired.states)
+    states = jax.tree.map(
+        lambda buf, x: buf.at[..., 0, :].set(x), states, x0
+    )
+    return Trajectory(
+        times=jnp.broadcast_to(desired.times, batch + desired.times.shape),
+        states=states,
+        controls=jnp.broadcast_to(desired.controls, batch + desired.controls.shape),
+    )

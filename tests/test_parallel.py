@@ -1,0 +1,120 @@
+"""Batching + sharding tests on the 8-virtual-device CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.app import workloads
+from quadrotorilqr_tpu.costs import QuadraticTrackingCost
+from quadrotorilqr_tpu.models import quadrotor as qm
+from quadrotorilqr_tpu.parallel import (
+    batch_stats,
+    initial_trajectory_from_state,
+    make_scenario_mesh,
+    solve_batch,
+    solve_sharded,
+    solve_sharded_with_stats,
+)
+from quadrotorilqr_tpu.solver import ILQROptions, ilqr_module
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+F64 = jnp.float64
+B = 16
+N = 20
+
+
+def make_problem():
+    key = jax.random.PRNGKey(0)
+    x0, desired = workloads.hover_to_waypoint(key, B, n=N, dt_s=0.05, dtype=F64, pose_scale=0.3)
+    params = qm.QuadrotorParams.create(1.0, jnp.eye(3, dtype=F64), 1.0, 0.017, 9.81)
+    q = jnp.diag(jnp.concatenate([10.0 * jnp.ones(6, F64), jnp.ones(6, F64)]))
+    r = 0.1 * jnp.eye(4, dtype=F64)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 30))
+    return params, cost, trajs, opts
+
+
+class TestBatch:
+    def test_solve_batch_matches_loop(self):
+        params, cost, trajs, opts = make_problem()
+        batched = solve_batch(params, cost, trajs, 0.05, opts)
+        for i in [0, 7, B - 1]:
+            single = ilqr_module.solve(
+                params, cost, jax.tree.map(lambda leaf: leaf[i], trajs), 0.05, opts
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.trajectory.controls[i]),
+                np.asarray(single.trajectory.controls),
+                atol=1e-8,
+            )
+            assert int(batched.status[i]) == int(single.status)
+            assert int(batched.iterations[i]) == int(single.iterations)
+
+    def test_batch_stats(self):
+        params, cost, trajs, opts = make_problem()
+        result = solve_batch(params, cost, trajs, 0.05, opts)
+        stats = batch_stats(result)
+        assert stats["num_scenarios"] == B
+        assert 0.0 <= float(stats["frac_converged"]) <= 1.0
+        assert float(stats["mean_iterations"]) > 0
+
+    def test_per_scenario_cost_weights(self):
+        """BASELINE.json config 3: per-scenario Q scaling changes solutions."""
+        params, cost, trajs, opts = make_problem()
+        scales = jnp.linspace(0.5, 5.0, B, dtype=F64)[:, None, None]
+        cost_b = QuadraticTrackingCost(
+            Q=scales * cost.Q,
+            R=jnp.broadcast_to(cost.R, (B, 4, 4)),
+            desired_states=jax.tree.map(
+                lambda leaf: jnp.broadcast_to(leaf, (B,) + leaf.shape), cost.desired_states
+            ),
+            desired_controls=jnp.broadcast_to(
+                cost.desired_controls, (B,) + cost.desired_controls.shape
+            ),
+        )
+        result = solve_batch(params, cost_b, trajs, 0.05, opts, cost_batched=True)
+        costs = np.asarray(result.cost)
+        assert np.unique(costs).size == B  # every scenario genuinely different
+
+
+class TestSharded:
+    def test_mesh_has_8_devices(self):
+        mesh = make_scenario_mesh()
+        assert mesh.devices.size == 8
+
+    def test_solve_sharded_matches_batch(self):
+        params, cost, trajs, opts = make_problem()
+        mesh = make_scenario_mesh()
+        sharded = solve_sharded(params, cost, trajs, 0.05, opts, mesh)
+        local = solve_batch(params, cost, trajs, 0.05, opts)
+        np.testing.assert_allclose(
+            np.asarray(sharded.trajectory.controls),
+            np.asarray(local.trajectory.controls),
+            atol=1e-8,
+        )
+        # verify it actually sharded over the scenario axis
+        shard_sizes = {s.data.shape[0] for s in sharded.cost.addressable_shards}
+        assert shard_sizes == {B // 8}
+
+    def test_solve_sharded_with_stats_psum(self):
+        params, cost, trajs, opts = make_problem()
+        mesh = make_scenario_mesh()
+        result, stats = solve_sharded_with_stats(params, cost, trajs, 0.05, opts, mesh)
+        local = solve_batch(params, cost, trajs, 0.05, opts)
+        local_stats = batch_stats(local)
+        np.testing.assert_allclose(
+            float(stats["n_converged"]),
+            float(local_stats["frac_converged"]) * B,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(stats["mean_cost"]), float(local_stats["mean_cost"]), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.trajectory.controls),
+            np.asarray(local.trajectory.controls),
+            atol=1e-8,
+        )

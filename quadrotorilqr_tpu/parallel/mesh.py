@@ -130,7 +130,7 @@ def solve_sharded_with_stats(
                 "total_cost": P(),
             },
         ),
-        check_rep=False,
+        check_vma=False,
     )
     run = jax.jit(sharded)
     return run(shard_scenarios(initial_trajs, mesh, axis_name))

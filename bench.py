@@ -1,0 +1,216 @@
+"""Headline benchmark: batched SE(3) quadrotor iLQR solves/s per chip.
+
+Workload (BASELINE.json metric): batch of hover-to-waypoint solves with
+randomized initial SE(3) poses, 100-step horizon, solved to 1e-6 tolerance
+within a 10-iteration budget. float32 on the compute path.
+
+Baseline: the float64 scalar NumPy oracle (quadrotorilqr_tpu/oracle/scalar.py)
+— an exact re-derivation of the reference C++ semantics (ilqr.hh:53-205) —
+timed on one solve of the same workload on the host CPU. `vs_baseline` is the
+per-chip throughput ratio against that single-threaded oracle.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N, ...}
+
+Env overrides (for quick local runs): QILQR_BENCH_BATCH, QILQR_BENCH_HORIZON,
+QILQR_BENCH_ITERS, QILQR_BENCH_REPEATS, QILQR_BENCH_SKIP_ORACLE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.app import workloads
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state, solve_batch
+from quadrotorilqr_tpu.solver.options import (
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+BATCH = int(os.environ.get("QILQR_BENCH_BATCH", 4096))
+HORIZON = int(os.environ.get("QILQR_BENCH_HORIZON", 100))
+ITERS = int(os.environ.get("QILQR_BENCH_ITERS", 10))
+REPEATS = int(os.environ.get("QILQR_BENCH_REPEATS", 5))
+DT_S = 0.02
+
+
+def build_problem(dtype):
+    key = jax.random.PRNGKey(0)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, BATCH, n=HORIZON, dt_s=DT_S, dtype=dtype, pose_scale=0.3
+    )
+    q, r = workloads.demo_weights(dtype)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.eye(3, dtype=dtype),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    trajs = initial_trajectory_from_state(init_states, desired)
+    return params, cost, trajs, desired
+
+
+def bench_options():
+    # Realistic solver settings: converge to 1e-6 within an ITERS budget.
+    # (rtol=0 "fixed budget" is unnatural here — at the optimum the reference
+    # line search finds no improving step and flags failure, ilqr.hh:191-193.)
+    return ILQROptions(
+        line_search_params=LineSearchParams(
+            step_update=0.5, desired_reduction_frac=0.5, max_iters=20
+        ),
+        convergence_criteria=ConvergenceCriteria(rtol=1e-6, atol=1e-6, max_iters=ITERS),
+    )
+
+
+def time_tpu_solves(options):
+    """AOT-compile a scalar-summarized batched solve, then time steady-state
+    executions synced by a tiny host transfer.
+
+    NOTE: never time via jax.block_until_ready here — under the axon TPU
+    tunnel it can return before the computation finishes; only a host read
+    of an output is a reliable sync.
+    """
+    dtype = jnp.float32
+    params, cost, trajs, _ = build_problem(dtype)
+
+    @jax.jit
+    def run(p, c, t):
+        result = solve_batch(p, c, t, DT_S, options)
+        # reduce to tiny outputs: host sync transfers a few bytes, not MBs
+        return (
+            jnp.sum(result.cost),
+            jnp.mean((result.status == 1).astype(jnp.float32)),
+            jnp.mean(result.iterations.astype(jnp.float32)),
+        )
+
+    t0 = time.perf_counter()
+    compiled = run.lower(params, cost, trajs).compile()
+    compile_s = time.perf_counter() - t0
+
+    def timed_run():
+        t0 = time.perf_counter()
+        out = compiled(params, cost, trajs)
+        out = tuple(float(np.asarray(x)) for x in out)  # sync
+        return time.perf_counter() - t0, out
+
+    _, out = timed_run()  # warm-up execution
+    times = []
+    for _ in range(REPEATS):
+        dt, out = timed_run()
+        times.append(dt)
+    p50 = float(np.median(times))
+    _, frac_conv, mean_iters = out
+    return BATCH / p50, p50, compile_s, frac_conv, mean_iters
+
+
+def _quat_to_mat_np(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _stacked_to_oracle(traj):
+    from quadrotorilqr_tpu.oracle import scalar as orc
+
+    quat = np.asarray(traj.states.pose.quat, np.float64)
+    trans = np.asarray(traj.states.pose.trans, np.float64)
+    vel = np.asarray(traj.states.vel, np.float64)
+    controls = np.asarray(traj.controls, np.float64)
+    times = np.asarray(traj.times, np.float64)
+    return [
+        (
+            times[i],
+            orc.OracleState(orc.SE3(_quat_to_mat_np(quat[i]), trans[i]), vel[i]),
+            controls[i],
+        )
+        for i in range(controls.shape[0])
+    ]
+
+
+def time_oracle_solve(options):
+    """One reference-semantics float64 scalar solve on host CPU."""
+    from quadrotorilqr_tpu.oracle import scalar as orc
+
+    params, cost, trajs, desired = build_problem(jnp.float32)
+    model = orc.OracleModel(
+        mass_kg=1.0,
+        inertia=np.eye(3),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    ocost = orc.OracleCost(
+        np.asarray(cost.Q, np.float64),
+        np.asarray(cost.R, np.float64),
+        _stacked_to_oracle(desired),
+    )
+    init = _stacked_to_oracle(jax.tree.map(lambda leaf: leaf[0], trajs))
+    solver = orc.OracleILQR(
+        model,
+        ocost,
+        DT_S,
+        ls_step_update=0.5,
+        ls_desired_reduction_frac=0.5,
+        ls_max_iters=20,
+        rtol=1e-6,
+        atol=1e-6,
+        max_iters=ITERS,
+    )
+    t0 = time.perf_counter()
+    solver.solve(init)
+    return 1.0 / (time.perf_counter() - t0)
+
+
+def main():
+    solves_per_s, p50, compile_s, frac_conv, mean_iters = time_tpu_solves(bench_options())
+    oracle_sps = None
+    if not os.environ.get("QILQR_BENCH_SKIP_ORACLE"):
+        try:
+            oracle_sps = time_oracle_solve(bench_options())
+        except Exception:
+            oracle_sps = None
+    vs_baseline = solves_per_s / oracle_sps if oracle_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"iLQR solves/s/chip (SE(3) quadrotor, batch {BATCH}, "
+                    f"horizon {HORIZON}, tol 1e-6, max {ITERS} iters)"
+                ),
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+                "p50_batch_latency_s": round(p50, 4),
+                "compile_s": round(compile_s, 1),
+                "frac_converged": frac_conv,
+                "mean_iterations": round(mean_iters, 2),
+                "baseline_oracle_solves_per_s": (
+                    round(oracle_sps, 3) if oracle_sps else None
+                ),
+                "device": str(jax.devices()[0].device_kind),
+                "n_devices": len(jax.devices()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

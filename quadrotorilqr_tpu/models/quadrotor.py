@@ -34,6 +34,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import chol_solve_small, chol_solve_vec
+
 from ..lie import se3, so3
 from ..lie.se3 import SE3
 
@@ -119,20 +121,16 @@ def moment_arms(params: QuadrotorParams):
 def _inertia_solve_vec(params: QuadrotorParams, rhs):
     """I^-1 @ rhs for a vector rhs (...,3).
 
-    The reference caches an LLT (cc:20); at 3x3 a direct solve per call is
-    cheaper than maintaining a factorization on TPU, and XLA CSEs repeats.
+    The reference caches an LLT (cc:20); here an unrolled 3x3 Cholesky solve
+    per call compiles to straight-line fused vector code (ops/linalg.py) —
+    no factorization caching needed, and XLA CSEs repeats.
     """
-    return jnp.linalg.solve(params.inertia, rhs[..., None])[..., 0]
+    return chol_solve_vec(params.inertia, rhs)
 
 
 def _inertia_solve_mat(params: QuadrotorParams, rhs):
     """I^-1 @ rhs for a matrix rhs (...,3,k)."""
-    inertia = params.inertia
-    if rhs.ndim > inertia.ndim:
-        inertia = jnp.broadcast_to(inertia, rhs.shape[:-2] + (3, 3))
-    elif inertia.ndim > rhs.ndim:
-        rhs = jnp.broadcast_to(rhs, inertia.shape[:-2] + rhs.shape[-2:])
-    return jnp.linalg.solve(inertia, rhs)
+    return chol_solve_small(params.inertia, rhs)
 
 
 def continuous_dynamics(params: QuadrotorParams, x: State, u):
@@ -194,7 +192,7 @@ def continuous_dynamics_jacobians(params: QuadrotorParams, x: State, u):
 
 
 def add(x: State, tangent):
-    """State (+) 12-tangent: pose右plus + vel add (cc:202-206)."""
+    """State (+) 12-tangent: pose right-plus + vel add (cc:202-206)."""
     return State(
         pose=se3.plus(x.pose, tangent[..., 0:6]),
         vel=x.vel + tangent[..., 6:12],

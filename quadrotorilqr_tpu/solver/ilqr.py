@@ -33,6 +33,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import chol_solve_small
+
 from ..costs import quadratic as qc
 from ..models import quadrotor as qm
 from ..models.quadrotor import QuadrotorParams, State
@@ -118,9 +120,12 @@ def backward_pass(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj:
         q_uu = cuu + jut @ vxx_ju
         q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
-        # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128).
+        # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128). Quu is symmetric
+        # and SPD whenever R is (reference LDLT-factorizes it, no
+        # regularization); the unrolled 4x4 Cholesky compiles to straight-line
+        # code inside this scan body (ops/linalg.py).
         rhs = jnp.concatenate([q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1)
-        sol = -jnp.linalg.solve(q_uu, rhs)
+        sol = -chol_solve_small(q_uu, rhs)
         k = sol[..., 0]
         big_k = sol[..., 1:]
 

@@ -86,9 +86,16 @@ def time_tpu_solves(options):
     dtype = jnp.float32
     params, cost, trajs, _ = build_problem(dtype)
 
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+
+    use_fused = BATCH % 128 == 0 and not os.environ.get("QILQR_BENCH_NO_FUSED")
+
     @jax.jit
     def run(p, c, t):
-        result = solve_batch(p, c, t, DT_S, options)
+        if use_fused:
+            result = solve_batch_fused(p, c, t, DT_S, options)
+        else:
+            result = solve_batch(p, c, t, DT_S, options)
         # reduce to tiny outputs: host sync transfers a few bytes, not MBs
         return (
             jnp.sum(result.cost),

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels: fused backward (Riccati) pass and rollout+cost.
+
+Layout convention: inside kernels the scenario batch lives in the LANE
+(minor-most) dimension — vectors are (d, B), matrices (r, c, B) — so every
+small-matrix op vectorizes across 128 scenario lanes on the VPU instead of
+padding 12x12 operands onto (8,128) tiles (which inflates HBM traffic ~14x
+and is why the pure-XLA path is latency-bound).
+"""
+
+from . import lanes  # noqa: F401

@@ -1,0 +1,333 @@
+"""Fused Pallas backward pass: per-stage quadratization + Riccati recursion.
+
+One kernel invocation handles a 128-scenario lane tile: for each horizon
+stage (reverse fori_loop) it computes the discrete-dynamics Jacobian j_x
+(quadrotor_model.cc:33-49 chain rule, exploiting its block sparsity — see
+below), the Gauss-Newton cost differentials (cost.hh:36-61), and the Riccati
+update with the unregularized 4x4 Quu Cholesky solve (ilqr.hh:97-147) —
+entirely in VMEM, never materializing (B, N, 12, 12) Jacobians in HBM.
+
+Block structure used (derived from quadrotor_model.cc:42-46 with
+j_cont_u[0:6,:] == 0):
+
+    j_x = [[ J_plus_x            dt * J_plus_t          ]
+           [ [0 dt*A; 0 0]       [[I3, 0], [0, I3+dt*D]] ]]
+    j_u = dt * j_cont_u                       (stage-constant, shared params)
+
+with A = -g hat(R^T e_z), D = -I^-1 (hat(w) I - hat(I w)), J_plus_x =
+Adj(Exp(dt v))^-1, J_plus_t = Jr_SE3(dt v).
+
+v1 scope: physical params, Q/R weights, and the desired trajectory are
+SHARED across the batch (covers BASELINE.json configs 1, 2, 4, 5); the
+generic per-scenario XLA path (solver/ilqr.py) remains for batched weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+
+TILE = 128
+
+
+def _stage_jx(dt, g, v, quat, i_l, iinv_l):
+    """Assemble j_x (12, 12, B) from its blocks (see module docstring)."""
+    b = quat.shape[-1]
+    dtype = quat.dtype
+    # A = -g hat(R^T e_z)
+    ez = jnp.concatenate(
+        [jnp.zeros((2, b), dtype), jnp.ones((1, b), dtype)], axis=0
+    )
+    r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+    a_blk = -g * L.hat(r_t_ez)
+    # D = -I^-1 (hat(w) I - hat(I w))
+    omega = v[3:6]
+    i_omega = L.matvec(i_l, omega)
+    d_blk = -L.matmul(iinv_l, L.matmul(L.hat(omega), i_l) - L.hat(i_omega))
+    # SE(3) plus Jacobians of the Euler step tangent tau = dt * v
+    tau = dt * v
+    qe, te = L.se3_exp(tau)
+    j_plus_x = L.se3_adjoint(*L.se3_inverse(qe, te))
+    j_plus_t = L.se3_right_jacobian(tau)
+
+    zero33 = jnp.zeros((3, 3, b), dtype)
+    eye3 = L.eye(3, quat)
+    bot_left = jnp.concatenate(
+        [
+            jnp.concatenate([zero33, dt * a_blk], axis=1),  # rows 6:9
+            jnp.concatenate([zero33, zero33], axis=1),  # rows 9:12
+        ],
+        axis=0,
+    )
+    bot_right = L.block2x2(eye3, zero33, zero33, eye3 + dt * d_blk)
+    return L.block2x2(j_plus_x, dt * j_plus_t, bot_left, bot_right)
+
+
+def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
+    """(dx, c_x, c_xx, du) for one stage (cost.hh:36-61 in lane layout)."""
+    qd_inv, td_inv = L.se3_inverse(dq, dt_r)
+    qr, tr = L.se3_multiply(qd_inv, td_inv, quat, trans)
+    tau_p = L.se3_log(qr, tr)
+    dx = jnp.concatenate([tau_p, v - dv], axis=0)
+    w = L.se3_right_jacobian_inv(tau_p)
+    w_t = L.transpose(w)
+
+    qdx = L.matvec(q_l, dx)
+    c_x = 2.0 * jnp.concatenate(
+        [L.matvec(w_t, qdx[0:6]), qdx[6:12]], axis=0
+    )
+    # J_d = diag(W, I6):  c_xx = 2 J_d^T Q J_d computed blockwise
+    qjd = jnp.concatenate(
+        [L.matmul(q_l[:, 0:6], w), q_l[:, 6:12]], axis=1
+    )  # (12, 12, B)
+    c_xx = 2.0 * jnp.concatenate(
+        [L.matmul(w_t, qjd[0:6]), qjd[6:12]], axis=0
+    )
+    du = u - du_d
+    return dx, c_x, c_xx, du
+
+
+def _backward_kernel(
+    n_stages,
+    scal_ref,  # SMEM (4,): [dt, g, unused, unused]
+    q_ref,  # (N, 4, Bt) state quats
+    t_ref,  # (N, 3, Bt)
+    v_ref,  # (N, 6, Bt)
+    u_ref,  # (N, 4, Bt)
+    dq_ref,  # (N, 4, Bt) desired quats (broadcast tile)
+    dt_ref,  # (N, 3, Bt)
+    dv_ref,  # (N, 6, Bt)
+    du_ref,  # (N, 4, Bt)
+    qmat_ref,  # (12, 12, Bt) cost Q broadcast
+    r2_ref,  # (4, 4, Bt) 2R broadcast
+    ju_ref,  # (12, 4, Bt) stage-constant j_u broadcast
+    i_ref,  # (3, 3, Bt) inertia broadcast
+    iinv_ref,  # (3, 3, Bt)
+    ks_ref,  # out (N, 4, Bt)
+    bigks_ref,  # out (N, 4, 12, Bt)
+    red_ref,  # out (2, Bt): [QuTk, kTQuuk]
+):
+    dt = scal_ref[0]
+    g = scal_ref[1]
+    q_l = qmat_ref[:]
+    r2_l = r2_ref[:]
+    ju = ju_ref[:]
+    ju_t = L.transpose(ju)
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    bt = q_l.shape[-1]
+    dtype = q_l.dtype
+
+    def stage(idx, carry):
+        n = n_stages - 1 - idx
+        v_x, v_xx, qutk, ktquuk = carry
+        quat = q_ref[n]
+        trans = t_ref[n]
+        vel = v_ref[n]
+        u = u_ref[n]
+
+        j_x = _stage_jx(dt, g, vel, quat, i_l, iinv_l)
+        _, c_x, c_xx, du = _stage_cost_diffs(
+            quat, trans, vel, u, dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n], q_l
+        )
+        c_u = L.matvec(r2_l, du)
+
+        jx_t = L.transpose(j_x)
+        q_x = c_x + L.matvec(jx_t, v_x)
+        q_u = c_u + L.matvec(ju_t, v_x)
+        vxx_jx = L.matmul(v_xx, j_x)
+        q_xx = c_xx + L.matmul(jx_t, vxx_jx)
+        vxx_ju = L.matmul(v_xx, ju)
+        q_uu = r2_l + L.matmul(ju_t, vxx_ju)
+        q_xu = L.matmul(jx_t, vxx_ju)
+
+        rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
+        sol = -L.chol_solve4(q_uu, rhs)
+        k = jax.lax.index_in_dim(sol, 0, 1, keepdims=False)
+        big_k = sol[:, 1:, :]
+
+        quu_k = L.matvec(q_uu, k)
+        big_kt = L.transpose(big_k)
+        v_x_new = q_x - L.matvec(big_kt, quu_k)
+        v_xx_new = q_xx - L.matmul(big_kt, L.matmul(q_uu, big_k))
+        qutk_new = qutk + L.dot_lanes(q_u, k)
+        ktquuk_new = ktquuk + L.dot_lanes(k, quu_k)
+
+        ks_ref[n] = k
+        bigks_ref[n] = big_k
+        return (v_x_new, v_xx_new, qutk_new, ktquuk_new)
+
+    init = (
+        jnp.zeros((12, bt), dtype),
+        jnp.zeros((12, 12, bt), dtype),
+        jnp.zeros((1, bt), dtype),
+        jnp.zeros((1, bt), dtype),
+    )
+    _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, stage, init)
+    red_ref[:] = jnp.concatenate([qutk, ktquuk], axis=0)
+
+
+def _to_lanes(a):
+    """(B, N, d...) -> (N, d..., B)."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _bcast_tile(a, dtype):
+    """Shared array (d...,) -> (d..., TILE) broadcast."""
+    a = jnp.asarray(a, dtype)
+    return jnp.broadcast_to(a[..., None], a.shape + (TILE,))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dt_s", "n", "batch", "interpret")
+)
+def _backward_call(
+    scal,
+    states_q,
+    states_t,
+    states_v,
+    controls,
+    des_q,
+    des_t,
+    des_v,
+    des_u,
+    q_mat,
+    r2,
+    ju,
+    inertia,
+    inertia_inv,
+    dt_s,
+    n,
+    batch,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = states_q.dtype
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_backward_kernel, n)
+    ks, big_ks, red = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, 4)),
+            fixed_block((n, 4)),
+            fixed_block((n, 3)),
+            fixed_block((n, 6)),
+            fixed_block((n, 4)),
+            fixed_block((12, 12)),
+            fixed_block((4, 4)),
+            fixed_block((12, 4)),
+            fixed_block((3, 3)),
+            fixed_block((3, 3)),
+        ],
+        out_specs=[
+            lane_block((n, 4)),
+            lane_block((n, 4, 12)),
+            lane_block((2,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4, 12, batch), dtype),
+            jax.ShapeDtypeStruct((2, batch), dtype),
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        states_q,
+        states_t,
+        states_v,
+        controls,
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r2,
+        ju,
+        inertia,
+        inertia_inv,
+    )
+    return ks, big_ks, red
+
+
+def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
+    """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
+
+    traj leaves are (B, N, ...) with B a multiple of 128 (the lane tile).
+    params / cost weights / desired trajectory must be UNBATCHED (shared).
+    Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
+    """
+    from ..models.quadrotor import moment_arms
+    from ..ops.linalg import chol_solve_small
+
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    dtype = controls.dtype
+
+    # lane layouts
+    states_q = _to_lanes(traj.states.pose.quat)
+    states_t = _to_lanes(traj.states.pose.trans)
+    states_v = _to_lanes(traj.states.vel)
+    controls_l = _to_lanes(controls)
+
+    # shared (broadcast-to-tile) operands
+    des = cost.desired_states
+    des_q = _bcast_tile(des.pose.quat, dtype)  # (N, 4, TILE)
+    des_t = _bcast_tile(des.pose.trans, dtype)
+    des_v = _bcast_tile(des.vel, dtype)
+    des_u = _bcast_tile(cost.desired_controls, dtype)
+    q_mat = _bcast_tile(cost.Q, dtype)
+    r2 = _bcast_tile(2.0 * cost.R, dtype)
+
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    ma = moment_arms(params)
+    # j_u = dt * j_cont_u (stage-constant): row 8 = dt/m, rows 9:12 = dt I^-1 MA
+    ju_np = jnp.zeros((12, 4), dtype)
+    ju_np = ju_np.at[8, :].set(dt_s / params.mass_kg)
+    ju_np = ju_np.at[9:12, :].set(dt_s * (inertia_inv @ ma))
+    ju = _bcast_tile(ju_np, dtype)
+
+    scal = jnp.asarray([dt_s, params.g_mpss, 0.0, 0.0], dtype)
+
+    ks, big_ks, red = _backward_call(
+        scal,
+        states_q,
+        states_t,
+        states_v,
+        controls_l,
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r2,
+        ju,
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        dt_s,
+        n,
+        batch,
+        interpret,
+    )
+    ks = jnp.moveaxis(ks, -1, 0)  # (B, N, 4)
+    big_ks = jnp.moveaxis(big_ks, -1, 0)  # (B, N, 4, 12)
+    return ks, big_ks, red[0], red[1]

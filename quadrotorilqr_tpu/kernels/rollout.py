@@ -1,0 +1,262 @@
+"""Fused Pallas rollout: closed-loop forward simulation + trajectory cost.
+
+One kernel invocation rolls a 128-scenario lane tile forward through the
+whole horizon (ilqr.hh:149-172) with per-lane line-search step sizes, and
+accumulates the tracking cost of the produced trajectory (ilqr.hh:89-95,
+cost.hh:47-48) in the same sweep — the line search's rollout+cost round trip
+(ilqr.hh:178-190) becomes a single kernel launch.
+
+    u_n   = u_old_n + alpha * k_n + K_n (x (-) x_old_n)
+    x_{n+1} = f(x_n, u_n)                     (Lie-Euler, quadrotor_model.cc:33-49)
+    J    += (x_n (-) x_d_n)' Q (x_n (-) x_d_n) + (u_n - u_d_n)' R (u_n - u_d_n)
+
+Same v1 scope as backward.py: shared params / weights / desired trajectory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+from .backward import TILE, _bcast_tile, _to_lanes
+
+
+def _state_minus(q1, t1, v1, q2, t2, v2):
+    """12-tangent lhs (-) rhs in lane layout (quadrotor_model.cc:215-219)."""
+    qd_inv, td_inv = L.se3_inverse(q2, t2)
+    qr, tr = L.se3_multiply(qd_inv, td_inv, q1, t1)
+    tau = L.se3_log(qr, tr)
+    return jnp.concatenate([tau, v1 - v2], axis=0)
+
+
+def _rollout_kernel(
+    n_stages,
+    scal_ref,  # SMEM (4,): [dt, g, m_inv, 0]
+    q_ref,  # (N, 4, Bt) old state quats
+    t_ref,
+    v_ref,
+    u_ref,
+    ks_ref,  # (N, 4, Bt)
+    bigks_ref,  # (N, 4, 12, Bt)
+    alpha_ref,  # (1, Bt) per-lane step size
+    dq_ref,  # desired (broadcast tile)
+    dt_ref,
+    dv_ref,
+    du_ref,
+    qmat_ref,  # (12, 12, Bt) cost Q
+    rmat_ref,  # (4, 4, Bt) cost R
+    iinv_ma_ref,  # (3, 4, Bt) I^-1 @ moment_arms
+    i_ref,  # (3, 3, Bt)
+    iinv_ref,  # (3, 3, Bt)
+    oq_ref,  # out (N, 4, Bt) new state quats
+    ot_ref,
+    ov_ref,
+    ou_ref,
+    cost_ref,  # out (1, Bt)
+):
+    dt = scal_ref[0]
+    g = scal_ref[1]
+    m_inv = scal_ref[2]
+    alpha = alpha_ref[:]
+    q_l = qmat_ref[:]
+    r_l = rmat_ref[:]
+    iinv_ma = iinv_ma_ref[:]
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    bt = alpha.shape[-1]
+    dtype = alpha.dtype
+
+    ez = jnp.concatenate([jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0)
+
+    def stage(n, carry):
+        quat, trans, vel, cost = carry
+        # feedback control update (ilqr.hh:158-161)
+        dx = _state_minus(quat, trans, vel, q_ref[n], t_ref[n], v_ref[n])
+        u = u_ref[n] + alpha * ks_ref[n] + L.matvec(bigks_ref[n], dx)
+
+        # stage cost of the produced (state, control) pair
+        dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
+        du = u - du_ref[n]
+        cost = (
+            cost
+            + L.dot_lanes(dxd, L.matvec(q_l, dxd))
+            + L.dot_lanes(du, L.matvec(r_l, du))
+        )
+
+        oq_ref[n] = quat
+        ot_ref[n] = trans
+        ov_ref[n] = vel
+        ou_ref[n] = u
+
+        # dynamics (quadrotor_model.cc:65-79) + Lie-Euler step (cc:266-277)
+        r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+        acc_lin = -g * r_t_ez + (jnp.sum(u, axis=0, keepdims=True) * m_inv) * ez
+        omega = vel[3:6]
+        i_omega = L.matvec(i_l, omega)
+        acc_ang = L.matvec(iinv_ma, u) - L.matvec(iinv_l, L.cross(omega, i_omega))
+        tau = dt * vel
+        qe, te = L.se3_exp(tau)
+        quat_next, trans_next = L.se3_multiply(quat, trans, qe, te)
+        vel_next = vel + dt * jnp.concatenate([acc_lin, acc_ang], axis=0)
+        return (quat_next, trans_next, vel_next, cost)
+
+    init = (
+        q_ref[0],
+        t_ref[0],
+        v_ref[0],
+        jnp.zeros((1, bt), dtype),
+    )
+    _, _, _, cost = jax.lax.fori_loop(0, n_stages, stage, init)
+    cost_ref[:] = cost
+
+
+@functools.partial(jax.jit, static_argnames=("n", "batch", "interpret"))
+def _rollout_call(
+    scal,
+    states_q,
+    states_t,
+    states_v,
+    controls,
+    ks,
+    big_ks,
+    alpha,
+    des_q,
+    des_t,
+    des_v,
+    des_u,
+    q_mat,
+    r_mat,
+    iinv_ma,
+    inertia,
+    inertia_inv,
+    n,
+    batch,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = states_q.dtype
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_rollout_kernel, n)
+    oq, ot, ov, ou, cost = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, 4)),
+            lane_block((n, 4)),
+            lane_block((n, 4, 12)),
+            lane_block((1,)),
+            fixed_block((n, 4)),
+            fixed_block((n, 3)),
+            fixed_block((n, 6)),
+            fixed_block((n, 4)),
+            fixed_block((12, 12)),
+            fixed_block((4, 4)),
+            fixed_block((3, 4)),
+            fixed_block((3, 3)),
+            fixed_block((3, 3)),
+        ],
+        out_specs=[
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, 4)),
+            lane_block((1,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, 3, batch), dtype),
+            jax.ShapeDtypeStruct((n, 6, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        states_q,
+        states_t,
+        states_v,
+        controls,
+        ks,
+        big_ks,
+        alpha,
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
+        iinv_ma,
+        inertia,
+        inertia_inv,
+    )
+    return oq, ot, ov, ou, cost
+
+
+def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False):
+    """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
+
+    traj leaves (B, N, ...), ks (B, N, 4), big_ks (B, N, 4, 12), alpha (B,).
+    Returns (Trajectory with (B, N, ...) leaves, cost (B,)).
+    """
+    from ..models.quadrotor import State, moment_arms
+    from ..lie.se3 import SE3
+    from ..ops.linalg import chol_solve_small
+    from ..solver.ilqr import Trajectory
+
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    dtype = controls.dtype
+
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    iinv_ma = inertia_inv @ moment_arms(params)
+    des = cost.desired_states
+    scal = jnp.asarray([dt_s, params.g_mpss, 1.0 / params.mass_kg, 0.0], dtype)
+
+    oq, ot, ov, ou, cost_out = _rollout_call(
+        scal,
+        _to_lanes(traj.states.pose.quat),
+        _to_lanes(traj.states.pose.trans),
+        _to_lanes(traj.states.vel),
+        _to_lanes(controls),
+        _to_lanes(ks),
+        _to_lanes(big_ks),
+        alpha[None, :],
+        _bcast_tile(des.pose.quat, dtype),
+        _bcast_tile(des.pose.trans, dtype),
+        _bcast_tile(des.vel, dtype),
+        _bcast_tile(cost.desired_controls, dtype),
+        _bcast_tile(cost.Q, dtype),
+        _bcast_tile(cost.R, dtype),
+        _bcast_tile(iinv_ma, dtype),
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        n,
+        batch,
+        interpret,
+    )
+    new_traj = Trajectory(
+        times=traj.times,
+        states=State(
+            pose=SE3(quat=jnp.moveaxis(oq, -1, 0), trans=jnp.moveaxis(ot, -1, 0)),
+            vel=jnp.moveaxis(ov, -1, 0),
+        ),
+        controls=jnp.moveaxis(ou, -1, 0),
+    )
+    return new_traj, cost_out[0]

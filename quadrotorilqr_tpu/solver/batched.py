@@ -1,0 +1,186 @@
+"""Batch-level iLQR solve built on the fused Pallas kernels.
+
+Where parallel/batch.py vmaps the per-scenario solver (solver/ilqr.py) and
+lets JAX mask the control flow, this module runs ONE solver loop at the batch
+level: the backward pass and every line-search rollout are single fused
+kernel launches over all scenarios (kernels/backward.py, kernels/rollout.py),
+with per-lane step sizes, acceptance masks, and convergence/status tracking
+reproducing the reference per-scenario semantics exactly (ilqr.hh:53-205):
+
+  * trip 0 takes an unconditional full step for every lane (ilqr.hh:71-73);
+  * later trips: per-lane pre-check on the expected cost (ilqr.hh:66-68),
+    backtracking line search with per-lane alpha (ilqr.hh:174-194; exhaustion
+    sets STATUS_LINE_SEARCH_FAILED and keeps the last candidate), post-check
+    on the achieved cost (ilqr.hh:82-84);
+  * finished lanes freeze (their state is re-selected, not recomputed).
+
+v1 scope matches the kernels: shared params / cost weights / desired
+trajectory across the batch; populate_debug unsupported (use the XLA path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs import quadratic as qc
+from ..kernels.backward import backward_pass_fused
+from ..kernels.rollout import rollout_cost_fused
+from .ilqr import (
+    STATUS_CONVERGED,
+    STATUS_LINE_SEARCH_FAILED,
+    STATUS_MAX_ITERS,
+    SolveResult,
+    Trajectory,
+    is_converged,
+)
+from .options import ILQROptions
+
+
+def _where_lanes(mask, a, b):
+    """Per-lane select over (B, ...) pytrees; mask is (B,)."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y),
+        a,
+        b,
+    )
+
+
+@partial(jax.jit, static_argnames=("dt_s", "options", "interpret"))
+def solve_batch_fused(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    interpret: bool = False,
+) -> SolveResult:
+    """Batched iLQR solve; initial_trajs leaves are (B, N, ...), B % 128 == 0."""
+    if options.populate_debug:
+        raise NotImplementedError(
+            "populate_debug is only supported on the XLA path (parallel.batch)"
+        )
+    ls = options.line_search_params
+    max_iters = int(options.convergence_criteria.max_iters)
+    batch = initial_trajs.controls.shape[0]
+    dtype = initial_trajs.controls.dtype
+
+    backward = lambda traj: backward_pass_fused(
+        params, cost, traj, dt_s, interpret=interpret
+    )
+    rollout = lambda traj, ks, big_ks, alpha: rollout_cost_fused(
+        params, cost, traj, ks, big_ks, alpha, dt_s, interpret=interpret
+    )
+
+    new_cost0 = jax.vmap(lambda t: qc.trajectory_cost(cost, t.states, t.controls))(
+        initial_trajs
+    )
+
+    def expected_reduction(qutk, ktquuk, step):
+        return step * qutk + step * step * ktquuk / 2.0
+
+    def line_search(traj, current_cost, ks, big_ks, qutk, ktquuk, active):
+        """Per-lane backtracking (ilqr.hh:174-194). Returns
+        (traj', cost', accepted) — unaccepted active lanes carry the last
+        (smallest-step) candidate, as the reference does before throwing."""
+
+        def cond(carry):
+            j, _, accepted, _, _ = carry
+            return jnp.logical_and(
+                j < ls.max_iters, jnp.any(jnp.logical_and(active, ~accepted))
+            )
+
+        def body(carry):
+            j, alpha, accepted, best, best_cost = carry
+            cand, cand_cost = rollout(traj, ks, big_ks, alpha)
+            desired = ls.desired_reduction_frac * expected_reduction(
+                qutk, ktquuk, alpha
+            )
+            ok = (cand_cost - current_cost) < desired
+            pending = jnp.logical_and(active, ~accepted)
+            best = _where_lanes(pending, cand, best)
+            best_cost = jnp.where(pending, cand_cost, best_cost)
+            accepted = jnp.logical_or(accepted, jnp.logical_and(pending, ok))
+            alpha = jnp.where(
+                jnp.logical_or(accepted, ~active), alpha, alpha * ls.step_update
+            )
+            return (j + 1, alpha, accepted, best, best_cost)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.ones((batch,), dtype),
+            jnp.zeros((batch,), bool),
+            traj,
+            current_cost,
+        )
+        _, _, accepted, best, best_cost = jax.lax.while_loop(cond, body, init)
+        return best, best_cost, accepted
+
+    def outer_cond(carry):
+        i, _, _, done, _, _ = carry
+        return jnp.logical_and(i < max_iters, jnp.logical_not(jnp.all(done)))
+
+    def outer_body(carry):
+        i, traj, new_cost, done, status, iterations = carry
+        ks, big_ks, qutk, ktquuk = backward(traj)
+        current = new_cost
+
+        expected = current + expected_reduction(qutk, ktquuk, 1.0)
+        pre_conv = jnp.logical_and(
+            jnp.logical_and(i > 0, is_converged(current, expected, options)),
+            jnp.logical_not(done),
+        )
+        active = jnp.logical_not(jnp.logical_or(done, pre_conv))
+
+        def first_trip(_):
+            cand, cand_cost = rollout(
+                traj, ks, big_ks, jnp.ones((batch,), dtype)
+            )
+            return cand, cand_cost, jnp.ones((batch,), bool)
+
+        def later_trip(_):
+            return line_search(traj, current, ks, big_ks, qutk, ktquuk, active)
+
+        cand, cand_cost, ls_ok = jax.lax.cond(i == 0, first_trip, later_trip, None)
+
+        post_conv = jnp.logical_and(
+            jnp.logical_and(i > 0, is_converged(current, cand_cost, options)),
+            jnp.logical_and(active, ls_ok),
+        )
+        ls_failed = jnp.logical_and(active, jnp.logical_not(ls_ok))
+
+        traj = _where_lanes(active, cand, traj)
+        new_cost = jnp.where(active, cand_cost, current)
+        status = jnp.where(
+            ls_failed,
+            STATUS_LINE_SEARCH_FAILED,
+            jnp.where(
+                jnp.logical_or(post_conv, pre_conv), STATUS_CONVERGED, status
+            ),
+        ).astype(jnp.int32)
+        done = jnp.logical_or(
+            done, jnp.logical_or(pre_conv, jnp.logical_or(post_conv, ls_failed))
+        )
+        iterations = iterations + jnp.where(active, 1, 0).astype(jnp.int32)
+        return (i + 1, traj, new_cost, done, status, iterations)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        initial_trajs,
+        new_cost0,
+        jnp.zeros((batch,), bool),
+        jnp.full((batch,), STATUS_MAX_ITERS, jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+    _, traj, final_cost, done, status, iterations = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+    return SolveResult(
+        trajectory=traj,
+        cost=final_cost,
+        iterations=iterations,
+        status=status,
+        debug=None,
+    )

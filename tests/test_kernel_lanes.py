@@ -1,0 +1,157 @@
+"""Lane-layout math (kernels/lanes.py) vs the reference lie/ implementations.
+
+Pure-jnp comparison on CPU: arrays in lane layout (d, B) are checked against
+the batch-leading (B, d) modules by transposition.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.kernels import lanes as L
+from quadrotorilqr_tpu.lie import se3, so3
+
+B = 32
+
+
+def _rand(rng, shape, scale=1.0):
+    return jnp.asarray(scale * rng.normal(size=shape), jnp.float64)
+
+
+def _rand_quat(rng, n):
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.asarray(q, jnp.float64)
+
+
+def to_lanes(a):
+    """(B, ...) -> (..., B)."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def from_lanes(a):
+    return jnp.moveaxis(a, -1, 0)
+
+
+def test_matrix_ops():
+    rng = np.random.default_rng(0)
+    a = _rand(rng, (B, 5, 7))
+    b = _rand(rng, (B, 7, 4))
+    v = _rand(rng, (B, 7))
+    np.testing.assert_allclose(
+        from_lanes(L.matmul(to_lanes(a), to_lanes(b))), a @ b, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.matvec(to_lanes(a), to_lanes(v))),
+        jnp.einsum("bij,bj->bi", a, v),
+        atol=1e-12,
+    )
+    w = np.asarray(rng.normal(size=(4, 5)))
+    np.testing.assert_allclose(
+        from_lanes(L.smat_matmul(w, to_lanes(a))), jnp.einsum("ik,bkj->bij", w, a),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.mat_smat(to_lanes(b), w.T[:4][:, :3] if False else np.asarray(rng.normal(size=(4, 3))))).shape,
+        (B, 7, 3),
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.smat_vec(w[:, :7] if w.shape[1] == 7 else np.asarray(rng.normal(size=(4, 7))), to_lanes(v))).shape,
+        (B, 4),
+    )
+
+
+def test_cross_hat_quat():
+    rng = np.random.default_rng(1)
+    a = _rand(rng, (B, 3))
+    b = _rand(rng, (B, 3))
+    q = _rand_quat(rng, B)
+    p = _rand_quat(rng, B)
+    np.testing.assert_allclose(
+        from_lanes(L.cross(to_lanes(a), to_lanes(b))), jnp.cross(a, b), atol=1e-12
+    )
+    np.testing.assert_allclose(from_lanes(L.hat(to_lanes(a))), so3.hat(a), atol=1e-12)
+    np.testing.assert_allclose(
+        from_lanes(L.quat_multiply(to_lanes(q), to_lanes(p))),
+        so3.quat_multiply(q, p),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.quat_rotate(to_lanes(q), to_lanes(a))),
+        so3.quat_rotate(q, a),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.quat_to_matrix(to_lanes(q))), so3.quat_to_matrix(q), atol=1e-12
+    )
+
+
+def test_so3_exp_log_jacs():
+    rng = np.random.default_rng(2)
+    # mix of generic and tiny angles to hit both branches
+    theta = jnp.concatenate(
+        [_rand(rng, (B // 2, 3)), _rand(rng, (B // 2, 3), scale=1e-5)], axis=0
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.so3_exp(to_lanes(theta))), so3.exp(theta), atol=1e-14
+    )
+    q = so3.exp(theta)
+    np.testing.assert_allclose(
+        from_lanes(L.so3_log(to_lanes(q))), so3.log(q), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.so3_left_jacobian(to_lanes(theta))),
+        so3.left_jacobian(theta),
+        atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.so3_left_jacobian_inv(to_lanes(theta))),
+        so3.left_jacobian_inv(theta),
+        atol=1e-14,
+    )
+
+
+def test_se3_ops():
+    rng = np.random.default_rng(3)
+    tau = jnp.concatenate(
+        [_rand(rng, (B // 2, 6)), _rand(rng, (B // 2, 6), scale=1e-5)], axis=0
+    )
+    qe, te = L.se3_exp(to_lanes(tau))
+    ref = se3.exp(tau)
+    np.testing.assert_allclose(from_lanes(qe), ref.quat, atol=1e-14)
+    np.testing.assert_allclose(from_lanes(te), ref.trans, atol=1e-14)
+
+    np.testing.assert_allclose(
+        from_lanes(L.se3_log(to_lanes(ref.quat), to_lanes(ref.trans))),
+        se3.log(ref),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.se3_adjoint(to_lanes(ref.quat), to_lanes(ref.trans))),
+        se3.adjoint(ref),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.se3_right_jacobian(to_lanes(tau))),
+        se3.right_jacobian(tau),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        from_lanes(L.se3_right_jacobian_inv(to_lanes(tau))),
+        se3.right_jacobian_inv(tau),
+        atol=1e-12,
+    )
+    qi, ti = L.se3_inverse(to_lanes(ref.quat), to_lanes(ref.trans))
+    refi = se3.inverse(ref)
+    np.testing.assert_allclose(from_lanes(qi), refi.quat, atol=1e-14)
+    np.testing.assert_allclose(from_lanes(ti), refi.trans, atol=1e-12)
+
+
+def test_chol_solve4():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(B, 4, 4))
+    a = a @ np.swapaxes(a, -1, -2) + 3.0 * np.eye(4)
+    b = rng.normal(size=(B, 4, 13))
+    x = from_lanes(
+        L.chol_solve4(to_lanes(jnp.asarray(a)), to_lanes(jnp.asarray(b)))
+    )
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-10)

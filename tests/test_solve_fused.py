@@ -1,0 +1,45 @@
+"""solve_batch_fused (Pallas kernels, interpret mode) vs vmapped XLA solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.parallel.batch import solve_batch
+from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+from quadrotorilqr_tpu.solver.options import (
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+from test_kernel_backward import _problem
+
+
+def test_solve_fused_matches_vmapped_xla():
+    params, cost, trajs = _problem(n=6)
+    dt = 0.02
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 6),
+    )
+
+    fused = solve_batch_fused(params, cost, trajs, dt, options, interpret=True)
+    ref = solve_batch(params, cost, trajs, dt, options)
+
+    np.testing.assert_array_equal(np.asarray(fused.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(fused.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.cost), np.asarray(ref.cost), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.states.pose.trans),
+        np.asarray(ref.trajectory.states.pose.trans),
+        atol=1e-7,
+    )

@@ -1,0 +1,148 @@
+"""Receding-horizon MPC on top of the iLQR engine (BASELINE.json config 4).
+
+The reference has no MPC mode — its driver solves one fixed-horizon problem
+(quadrotor_ilqr.py:294-306). This module adds the production pattern the
+benchmark targets: warm-started H-step solves at a fixed control rate, the
+whole control loop compiled as ONE `lax.scan` so there is no per-step host
+round trip (a per-step dispatch would cost ~25 ms through a TPU tunnel and
+cap the rate at 40 Hz regardless of compute).
+
+Per control step k (batched over B scenarios):
+  1. window the desired trajectory to [k, k + H),
+  2. solve iLQR from the current plant state, warm-started with the previous
+     solution shifted by one stage (last control repeated),
+  3. apply the first optimized control to the plant (Euler step),
+  4. carry the shifted solution as the next warm start.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs.quadratic import QuadraticTrackingCost
+from ..models import quadrotor as qm
+from ..models.quadrotor import QuadrotorParams, State
+from ..solver.batched import solve_batch_fused
+from ..solver.ilqr import Trajectory
+from ..solver.options import ILQROptions
+from . import workloads  # noqa: F401  (re-exported convenience)
+
+
+def _window(tree, k, h, axis=1):
+    """dynamic_slice of length h at offset k along `axis` of every leaf."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, k, h, axis=axis), tree
+    )
+
+
+def _shift(traj: Trajectory) -> Trajectory:
+    """Shift one stage forward, repeating the final stage (warm start)."""
+
+    def shift_leaf(a):
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+    return Trajectory(
+        times=traj.times,
+        states=jax.tree.map(shift_leaf, traj.states),
+        controls=shift_leaf(traj.controls),
+    )
+
+
+def _set_first_state(states: State, x: State) -> State:
+    return jax.tree.map(lambda buf, v: buf.at[:, 0, :].set(v), states, x)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "horizon", "dt_s", "options", "interpret"),
+)
+def run_mpc(
+    params: QuadrotorParams,
+    q_weight,
+    r_weight,
+    desired_full: Trajectory,
+    x0: State,
+    n_steps: int,
+    horizon: int,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    interpret: bool = False,
+):
+    """Run `n_steps` of warm-started receding-horizon control.
+
+    desired_full leaves are UNBATCHED (N_full >= n_steps + horizon stages,
+    leading axis = time); x0 leaves are (B, ...) with B a multiple of 128.
+    Returns a dict of stacked outputs: applied controls (B, K, 4), plant
+    states (B, K+1, ...), per-step solver iterations and costs (B, K).
+    """
+    batch = x0.vel.shape[0]
+    dtype = x0.vel.dtype
+    n_full = desired_full.controls.shape[0]
+    if n_full < n_steps + horizon:
+        # dynamic_slice would clamp silently, making the last windows track
+        # stale targets — refuse instead.
+        raise ValueError(
+            f"desired trajectory has {n_full} stages; receding over "
+            f"{n_steps} steps with horizon {horizon} needs >= {n_steps + horizon}"
+        )
+
+    # initial warm start: the first horizon window of the desired trajectory,
+    # tiled over the batch (the solver's trip-0 rollout makes it feasible).
+    first_win = _window(
+        jax.tree.map(lambda a: a[None], desired_full), 0, horizon
+    )
+    warm0 = Trajectory(
+        times=jnp.broadcast_to(first_win.times, (batch, horizon)),
+        states=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape[1:]),
+            first_win.states,
+        ),
+        controls=jnp.broadcast_to(
+            first_win.controls, (batch, horizon, 4)
+        ),
+    )
+    warm0 = Trajectory(
+        times=warm0.times,
+        states=_set_first_state(warm0.states, x0),
+        controls=warm0.controls,
+    )
+
+    def step(carry, k):
+        x, warm = carry
+        win = _window(desired_full, k, horizon, axis=0)
+        cost_k = QuadraticTrackingCost(
+            Q=q_weight,
+            R=r_weight,
+            desired_states=win.states,
+            desired_controls=win.controls,
+        )
+        init_traj = Trajectory(
+            times=warm.times,
+            states=_set_first_state(warm.states, x),
+            controls=warm.controls,
+        )
+        res = solve_batch_fused(
+            params, cost_k, init_traj, dt_s, options, interpret=interpret
+        )
+        u0 = res.trajectory.controls[:, 0]
+        x_next = qm.discrete_dynamics(params, x, u0, dt_s)
+        warm_next = _shift(res.trajectory)
+        out = {
+            "u": u0,
+            "x_trans": x.pose.trans,
+            "iterations": res.iterations,
+            "cost": res.cost,
+            "status": res.status,
+        }
+        return (x_next, warm_next), out
+
+    (x_final, _), outs = jax.lax.scan(
+        step, (x0, warm0), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    # scan stacks along axis 0 (time); move batch first
+    outs = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), outs)
+    outs["x_final"] = x_final
+    return outs

@@ -136,6 +136,65 @@ def solve_sharded_with_stats(
     return run(shard_scenarios(initial_trajs, mesh, axis_name))
 
 
+def solve_sharded_fused(
+    params: QuadrotorParams,
+    cost: QuadraticTrackingCost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions,
+    mesh: Mesh,
+    axis_name: str = SCENARIO_AXIS,
+    interpret: bool = False,
+):
+    """Fused-kernel multi-chip path: shard_map of the batch-level Pallas
+    solver (solver/batched.py) over the scenario mesh, with psum'd global
+    convergence statistics (BASELINE.json config 5 at kernel speed).
+
+    The per-shard batch (B / mesh size) must be a multiple of the 128-lane
+    kernel tile. `interpret=True` runs the kernels in interpreter mode
+    (CPU-mesh tests without TPU hardware).
+    """
+    from jax import shard_map
+
+    from ..solver.batched import solve_batch_fused
+
+    n_total = jax.tree.leaves(initial_trajs)[0].shape[0]
+
+    def per_shard(t):
+        result = solve_batch_fused(
+            params, cost, t, dt_s, options, interpret=interpret
+        )
+        local_converged = jnp.sum((result.status == STATUS_CONVERGED).astype(jnp.float32))
+        local_iters = jnp.sum(result.iterations.astype(jnp.float32))
+        local_cost = jnp.sum(result.cost)
+        stats = {
+            "n_converged": jax.lax.psum(local_converged, axis_name),
+            "mean_iterations": jax.lax.psum(local_iters, axis_name) / n_total,
+            "mean_cost": jax.lax.psum(local_cost, axis_name) / n_total,
+            "total_cost": jax.lax.psum(local_cost, axis_name),
+        }
+        return result, stats
+
+    batch_spec = jax.tree.map(lambda _: P(axis_name), initial_trajs)
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(batch_spec,),
+        out_specs=(
+            _result_specs(axis_name),
+            {
+                "n_converged": P(),
+                "mean_iterations": P(),
+                "mean_cost": P(),
+                "total_cost": P(),
+            },
+        ),
+        check_vma=False,
+    )
+    run = jax.jit(sharded)
+    return run(shard_scenarios(initial_trajs, mesh, axis_name))
+
+
 def _result_specs(axis_name):
     """PartitionSpec pytree matching SolveResult (debug=None)."""
     from ..lie.se3 import SE3

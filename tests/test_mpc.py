@@ -1,0 +1,66 @@
+"""Receding-horizon MPC loop (app/mpc.py): regulation + warm-start effect."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.app import workloads
+from quadrotorilqr_tpu.app.mpc import run_mpc
+from quadrotorilqr_tpu.lie import se3
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams, State
+from quadrotorilqr_tpu.solver.ilqr import Trajectory
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
+
+B = 128
+DT = 0.05
+
+
+def _setup(n_total=80, dtype=jnp.float64):
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.eye(3, dtype=dtype),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    hover_u = jnp.full((n_total, 4), 9.81 / 4.0, dtype)
+    desired = Trajectory(
+        times=jnp.arange(n_total, dtype=dtype) * DT,
+        states=State(
+            pose=se3.identity((n_total,), dtype), vel=jnp.zeros((n_total, 6), dtype)
+        ),
+        controls=hover_u,
+    )
+    q, r = workloads.demo_weights(dtype)
+    key = jax.random.PRNGKey(0)
+    # position-only perturbations: with the demo weights (pose block uniformly
+    # 100) large random attitude offsets make position recovery cost-neutral
+    # and arbitrarily slow — not a useful regulation test
+    tau = 0.2 * jax.random.normal(key, (B, 6), dtype)
+    tau = tau.at[:, 3:6].set(0.0)
+    x0 = State(pose=se3.exp(tau), vel=jnp.zeros((B, 6), dtype))
+    return params, q, r, desired, x0
+
+
+def test_mpc_regulates_to_hover():
+    params, q, r, desired, x0 = _setup()
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3)
+    )
+    n_steps = 55
+    out = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=n_steps, horizon=20, dt_s=DT, options=options, interpret=True,
+    )
+    assert out["u"].shape == (B, n_steps, 4)
+    # the perturbed fleet is driven toward the hover pose at the origin
+    # (2 s of simulated flight; the quad must tilt, translate, and brake)
+    final_dist = np.linalg.norm(np.asarray(out["x_final"].pose.trans), axis=-1)
+    initial_dist = np.linalg.norm(np.asarray(out["x_trans"][:, 0]), axis=-1)
+    assert float(np.mean(final_dist)) < 0.6 * float(np.mean(initial_dist))
+    # windowed tracking cost drops as the fleet locks onto the target
+    cost = np.asarray(out["cost"], np.float64)
+    assert cost[:, -1].mean() < 0.6 * cost[:, 0].mean()
+    # warm starting pays off: later steps need fewer iLQR iterations
+    iters = np.asarray(out["iterations"], np.float64)
+    assert iters[:, -1].mean() <= iters[:, 0].mean()

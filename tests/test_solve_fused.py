@@ -43,3 +43,40 @@ def test_solve_fused_matches_vmapped_xla():
         np.asarray(ref.trajectory.states.pose.trans),
         atol=1e-7,
     )
+
+
+def test_solve_fused_sharded_cpu_mesh():
+    """Fused solver under shard_map on the 8-device CPU mesh (interpret)."""
+    import jax
+
+    from quadrotorilqr_tpu.parallel.mesh import (
+        make_scenario_mesh,
+        solve_sharded_fused,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    params, cost, trajs = _problem(n=4)
+    # 8 shards x 128-lane tile = 1024 total scenarios
+    trajs = jax.tree.map(
+        lambda a: jnp.concatenate([a] * n_dev, axis=0), trajs
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 2),
+    )
+    mesh = make_scenario_mesh()
+    result, stats = solve_sharded_fused(
+        params, cost, trajs, 0.02, options, mesh, interpret=True
+    )
+    assert result.cost.shape == (n_dev * 128,)
+    # every shard solves the same 128 scenarios -> global stats = 8x one shard
+    ref = solve_batch_fused(
+        params, cost, jax.tree.map(lambda a: a[:128], trajs), 0.02, options,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        float(stats["total_cost"]), float(jnp.sum(ref.cost)) * n_dev, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.cost[:128]), np.asarray(ref.cost), rtol=1e-8
+    )

@@ -1,0 +1,291 @@
+"""Benchmark suite: the five BASELINE.json configs on real hardware.
+
+Run: python benchmarks/run_all.py [--quick]
+
+Prints one JSON line per config and a markdown summary table. Timings use
+AOT-compiled scalar-reduced wrappers synced by tiny host reads (see
+.claude/skills/verify/SKILL.md for why block_until_ready is not trustworthy
+under the axon TPU tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quadrotorilqr_tpu.app import workloads  # noqa: E402
+from quadrotorilqr_tpu.app.mpc import run_mpc  # noqa: E402
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.lie import se3  # noqa: E402
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams, State  # noqa: E402
+from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
+    initial_trajectory_from_state,
+)
+from quadrotorilqr_tpu.solver.batched import solve_batch_fused  # noqa: E402
+from quadrotorilqr_tpu.solver.ilqr import Trajectory, solve  # noqa: E402
+from quadrotorilqr_tpu.solver.options import (  # noqa: E402
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+DTYPE = jnp.float32
+
+
+def _params(dtype=DTYPE):
+    return QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.eye(3, dtype=dtype),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+
+
+def _options(max_iters=10, tol=1e-6):
+    return ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(tol, tol, max_iters),
+    )
+
+
+def _time(compiled, args=(), repeats=5):
+    out = tuple(float(np.asarray(x)) for x in compiled(*args))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = tuple(float(np.asarray(x)) for x in compiled(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def config1_single_solve(quick):
+    """Reference demo workload (quadrotor_ilqr.py:256-306): one solve."""
+    desired = workloads.demo_desired_trajectory(dtype=DTYPE)
+    q, r = workloads.demo_weights(DTYPE)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    params = workloads.demo_params(DTYPE)
+    options = _options(max_iters=100, tol=1e-9)
+
+    @jax.jit
+    def run(p, c, t):
+        res = solve(p, c, t, 0.1, options)
+        return res.cost, res.iterations
+
+    compiled = run.lower(params, cost, desired).compile()
+    p50, out = _time(compiled, (params, cost, desired), repeats=3 if quick else 10)
+    return {
+        "config": 1,
+        "name": "reference demo workload, single solve (N=40, dt=0.1)",
+        "p50_latency_ms": round(p50 * 1e3, 2),
+        "value": round(1.0 / p50, 1),
+        "unit": "solves/s (single scenario)",
+        "final_cost": out[0],
+        "iterations": out[1],
+    }
+
+
+def config2_hover(quick):
+    batch = 256 if quick else 1024
+    n = 100
+    key = jax.random.PRNGKey(0)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, batch, n=n, dt_s=0.02, dtype=DTYPE, pose_scale=0.3
+    )
+    q, r = workloads.demo_weights(DTYPE)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    trajs = initial_trajectory_from_state(init_states, desired)
+    params = _params()
+    options = _options()
+
+    @jax.jit
+    def run(p, c, t):
+        res = solve_batch_fused(p, c, t, 0.02, options)
+        return (
+            jnp.sum(res.cost),
+            jnp.mean((res.status == 1).astype(jnp.float32)),
+        )
+
+    compiled = run.lower(params, cost, trajs).compile()
+    p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
+    return {
+        "config": 2,
+        "name": f"batch-{batch} hover-to-waypoint, randomized SE(3) poses (N={n})",
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "value": round(batch / p50, 1),
+        "unit": "solves/s/chip",
+        "frac_converged": out[1],
+    }
+
+
+def config3_figure_eight(quick):
+    batch = 512 if quick else 4096
+    n = 64 if quick else 200
+    fig8 = workloads.figure_eight(n=n, dt_s=0.02, dtype=DTYPE)
+    q, r = workloads.demo_weights(DTYPE)
+    key = jax.random.PRNGKey(3)
+    scale = jax.random.uniform(key, (batch,), DTYPE, 0.5, 2.0)
+    cost = QuadraticTrackingCost(
+        Q=scale[:, None, None] * q,  # per-scenario weights
+        R=jnp.broadcast_to(r, (batch, 4, 4)),
+        desired_states=fig8.states,
+        desired_controls=fig8.controls,
+    )
+    k2 = jax.random.PRNGKey(4)
+    tau = 0.2 * jax.random.normal(k2, (batch, 6), DTYPE)
+    init_states = State(pose=se3.exp(tau), vel=jnp.zeros((batch, 6), DTYPE))
+    trajs = initial_trajectory_from_state(init_states, fig8)
+    params = _params()
+    options = _options()
+
+    @jax.jit
+    def run(p, c, t):
+        res = solve_batch_fused(p, c, t, 0.02, options)
+        return (
+            jnp.sum(res.cost),
+            jnp.mean((res.status == 1).astype(jnp.float32)),
+        )
+
+    compiled = run.lower(params, cost, trajs).compile()
+    p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
+    return {
+        "config": 3,
+        "name": f"batch-{batch} figure-eight tracking, per-scenario weights (N={n})",
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "value": round(batch / p50, 1),
+        "unit": "solves/s/chip",
+        "frac_converged": out[1],
+    }
+
+
+def config4_mpc(quick):
+    batch, horizon, steps = 128, 50, 50 if quick else 100
+    dt = 0.01
+    n_total = steps + horizon
+    desired = Trajectory(
+        times=jnp.arange(n_total, dtype=DTYPE) * dt,
+        states=State(
+            pose=se3.identity((n_total,), DTYPE),
+            vel=jnp.zeros((n_total, 6), DTYPE),
+        ),
+        controls=jnp.full((n_total, 4), 9.81 / 4.0, DTYPE),
+    )
+    q, r = workloads.demo_weights(DTYPE)
+    key = jax.random.PRNGKey(0)
+    tau = 0.2 * jax.random.normal(key, (batch, 6), DTYPE)
+    tau = tau.at[:, 3:6].multiply(0.2)
+    x0 = State(pose=se3.exp(tau), vel=jnp.zeros((batch, 6), DTYPE))
+    params = _params()
+    options = _options(max_iters=3, tol=1e-5)
+
+    @jax.jit
+    def run():
+        out = run_mpc(
+            params, q, r, desired, x0,
+            n_steps=steps, horizon=horizon, dt_s=dt, options=options,
+        )
+        return jnp.sum(out["u"]), jnp.mean(out["iterations"].astype(jnp.float32))
+
+    compiled = run.lower().compile()
+    p50, out = _time(compiled, (), repeats=3)
+    per_step = p50 / steps
+    return {
+        "config": 4,
+        "name": f"warm-started MPC, fleet of {batch}, {horizon}-step solves",
+        "p50_latency_ms": round(per_step * 1e3, 3),
+        "value": round(1.0 / per_step, 1),
+        "unit": "control steps/s (Hz), whole fleet",
+        "mean_ilqr_iters_per_step": out[1],
+    }
+
+
+def config5_monte_carlo(quick):
+    batch = 8192 if quick else 65536
+    n = 50
+    key = jax.random.PRNGKey(5)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, batch, n=n, dt_s=0.02, dtype=DTYPE, pose_scale=0.5
+    )
+    q, r = workloads.demo_weights(DTYPE)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    trajs = initial_trajectory_from_state(init_states, desired)
+    params = _params()
+    options = _options(max_iters=8)
+
+    @jax.jit
+    def run(p, c, t):
+        res = solve_batch_fused(p, c, t, 0.02, options)
+        # Monte-Carlo reduction (single-chip here; multi-chip via
+        # parallel.mesh.solve_sharded_fused — validated on the CPU mesh)
+        return (
+            jnp.sum(res.cost),
+            jnp.sum((res.status == 1).astype(jnp.float32)),
+            jnp.mean(res.iterations.astype(jnp.float32)),
+        )
+
+    compiled = run.lower(params, cost, trajs).compile()
+    p50, out = _time(compiled, (params, cost, trajs), repeats=3)
+    return {
+        "config": 5,
+        "name": f"{batch}-scenario Monte-Carlo library generation (N={n})",
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "value": round(batch / p50, 1),
+        "unit": "solves/s/chip",
+        "n_converged": out[1],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller shapes")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    wanted = {int(x) for x in args.configs.split(",")}
+    if not wanted <= {1, 2, 3, 4, 5}:
+        ap.error(f"--configs must be a subset of 1-5, got {sorted(wanted)}")
+
+    fns = {
+        1: config1_single_solve,
+        2: config2_hover,
+        3: config3_figure_eight,
+        4: config4_mpc,
+        5: config5_monte_carlo,
+    }
+    rows = []
+    for idx in sorted(wanted):
+        t0 = time.perf_counter()
+        row = fns[idx](args.quick)
+        row["wall_s"] = round(time.perf_counter() - t0, 1)
+        row["device"] = str(jax.devices()[0].device_kind)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    print("\n| # | workload | p50 latency | throughput |")
+    print("|---|----------|-------------|------------|")
+    for r in rows:
+        print(
+            f"| {r['config']} | {r['name']} | {r['p50_latency_ms']} ms "
+            f"| {r['value']} {r['unit']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

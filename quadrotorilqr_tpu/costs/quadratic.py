@@ -47,15 +47,18 @@ class QuadraticTrackingCost:
 
 def stage_cost(cost: QuadraticTrackingCost, x: State, u, i):
     """Scalar stage cost (cost.hh:47-48 semantics, no 1/2)."""
-    x_d = jax.tree.map(lambda leaf: leaf[..., i, :], cost.desired_states)
-    u_d = cost.desired_controls[..., i, :]
-    dx = qm.minus(x, x_d)
-    du = u - u_d
-    return _quadform(dx, cost.Q) + _quadform(du, cost.R)
+    with jax.default_matmul_precision("highest"):
+        x_d = jax.tree.map(lambda leaf: leaf[..., i, :], cost.desired_states)
+        u_d = cost.desired_controls[..., i, :]
+        dx = qm.minus(x, x_d)
+        du = u - u_d
+        return _quadform(dx, cost.Q) + _quadform(du, cost.R)
 
 
 def _quadform(v, m):
-    return jnp.einsum("...i,...ij,...j->...", v, m, v)
+    return jnp.einsum(
+        "...i,...ij,...j->...", v, m, v, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def stage_cost_with_diffs(cost: QuadraticTrackingCost, x: State, u, x_d: State, u_d):
@@ -64,6 +67,11 @@ def stage_cost_with_diffs(cost: QuadraticTrackingCost, x: State, u, x_d: State, 
     C_xu is identically zero (cost.hh:57) and never materialized — the solver
     exploits this (Q.xu = J_x' v_xx J_u exactly).
     """
+    with jax.default_matmul_precision("highest"):
+        return _stage_cost_with_diffs_hp(cost, x, u, x_d, u_d)
+
+
+def _stage_cost_with_diffs_hp(cost, x, u, x_d, u_d):
     dx, j_dx, _ = qm.minus_jacobians(x, x_d)
     du = u - u_d
     q_dx = jnp.einsum("...ij,...j->...i", cost.Q, dx)
@@ -90,6 +98,11 @@ def gather_stage(cost: QuadraticTrackingCost, i):
 def trajectory_cost(cost: QuadraticTrackingCost, states: State, controls):
     """Total cost of a stacked trajectory (ilqr.hh:89-95), vectorized over the
     horizon instead of the reference's sequential loop."""
+    with jax.default_matmul_precision("highest"):
+        return _trajectory_cost_hp(cost, states, controls)
+
+
+def _trajectory_cost_hp(cost, states, controls):
     dx = qm.minus(states, cost.desired_states)
     du = controls - cost.desired_controls
     return jnp.sum(

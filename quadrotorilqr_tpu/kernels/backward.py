@@ -17,9 +17,9 @@ j_cont_u[0:6,:] == 0):
 with A = -g hat(R^T e_z), D = -I^-1 (hat(w) I - hat(I w)), J_plus_x =
 Adj(Exp(dt v))^-1, J_plus_t = Jr_SE3(dt v).
 
-v1 scope: physical params, Q/R weights, and the desired trajectory are
-SHARED across the batch (covers BASELINE.json configs 1, 2, 4, 5); the
-generic per-scenario XLA path (solver/ilqr.py) remains for batched weights.
+Physical params are SHARED across the batch (randomized inertia would break
+the stage-constant j_u — use the XLA path for that); cost weights and the
+desired trajectory may be shared or per-scenario (BASELINE.json config 3).
 """
 
 from __future__ import annotations
@@ -185,8 +185,39 @@ def _bcast_tile(a, dtype):
     return jnp.broadcast_to(a[..., None], a.shape + (TILE,))
 
 
+def _prep_cost(cost, batch, dtype, r_scale=1.0):
+    """Lane-layout cost operands + static batched flag.
+
+    If ANY cost leaf carries a leading batch dim (per-scenario weights or
+    targets, BASELINE.json config 3), every cost operand is materialized in
+    per-lane layout (d..., B); otherwise they are single-tile broadcasts the
+    kernel grid re-reads (index_map 0). Mixed batched/shared leaves are
+    broadcast up to batched.
+    """
+    des = cost.desired_states
+    batched = cost.Q.ndim == 3 or cost.desired_controls.ndim == 3
+
+    def prep(a, core_ndim):
+        a = jnp.asarray(a, dtype)
+        if not batched:
+            return jnp.broadcast_to(a[..., None], a.shape + (TILE,))
+        if a.ndim == core_ndim:  # shared leaf in a batched cost
+            a = jnp.broadcast_to(a, (batch,) + a.shape)
+        return _to_lanes(a)
+
+    return (
+        prep(des.pose.quat, 2),
+        prep(des.pose.trans, 2),
+        prep(des.vel, 2),
+        prep(cost.desired_controls, 2),
+        prep(cost.Q, 2),
+        prep(r_scale * cost.R, 2),
+        batched,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("dt_s", "n", "batch", "interpret")
+    jax.jit, static_argnames=("dt_s", "n", "batch", "cost_batched", "interpret")
 )
 def _backward_call(
     scal,
@@ -206,6 +237,7 @@ def _backward_call(
     dt_s,
     n,
     batch,
+    cost_batched,
     interpret,
 ):
     n_tiles = batch // TILE
@@ -216,6 +248,7 @@ def _backward_call(
     fixed_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
     )
+    cost_block = lane_block if cost_batched else fixed_block
     kernel = functools.partial(_backward_kernel, n)
     ks, big_ks, red = pl.pallas_call(
         kernel,
@@ -226,12 +259,12 @@ def _backward_call(
             lane_block((n, 3)),
             lane_block((n, 6)),
             lane_block((n, 4)),
-            fixed_block((n, 4)),
-            fixed_block((n, 3)),
-            fixed_block((n, 6)),
-            fixed_block((n, 4)),
-            fixed_block((12, 12)),
-            fixed_block((4, 4)),
+            cost_block((n, 4)),
+            cost_block((n, 3)),
+            cost_block((n, 6)),
+            cost_block((n, 4)),
+            cost_block((12, 12)),
+            cost_block((4, 4)),
             fixed_block((12, 4)),
             fixed_block((3, 3)),
             fixed_block((3, 3)),
@@ -246,6 +279,9 @@ def _backward_call(
             jax.ShapeDtypeStruct((n, 4, 12, batch), dtype),
             jax.ShapeDtypeStruct((2, batch), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         scal,
@@ -270,8 +306,9 @@ def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
     traj leaves are (B, N, ...) with B a multiple of 128 (the lane tile).
-    params / cost weights / desired trajectory must be UNBATCHED (shared).
-    Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
+    Cost weights / desired trajectory may be shared or carry a leading batch
+    dim (per-scenario weights, BASELINE.json config 3); physical params must
+    be shared. Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
     """
     from ..models.quadrotor import moment_arms
     from ..ops.linalg import chol_solve_small
@@ -288,14 +325,9 @@ def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
     states_v = _to_lanes(traj.states.vel)
     controls_l = _to_lanes(controls)
 
-    # shared (broadcast-to-tile) operands
-    des = cost.desired_states
-    des_q = _bcast_tile(des.pose.quat, dtype)  # (N, 4, TILE)
-    des_t = _bcast_tile(des.pose.trans, dtype)
-    des_v = _bcast_tile(des.vel, dtype)
-    des_u = _bcast_tile(cost.desired_controls, dtype)
-    q_mat = _bcast_tile(cost.Q, dtype)
-    r2 = _bcast_tile(2.0 * cost.R, dtype)
+    des_q, des_t, des_v, des_u, q_mat, r2, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=2.0
+    )
 
     inertia = jnp.asarray(params.inertia, dtype)
     inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
@@ -326,6 +358,7 @@ def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
         dt_s,
         n,
         batch,
+        cost_batched,
         interpret,
     )
     ks = jnp.moveaxis(ks, -1, 0)  # (B, N, 4)

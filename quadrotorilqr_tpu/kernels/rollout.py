@@ -10,7 +10,8 @@ cost.hh:47-48) in the same sweep — the line search's rollout+cost round trip
     x_{n+1} = f(x_n, u_n)                     (Lie-Euler, quadrotor_model.cc:33-49)
     J    += (x_n (-) x_d_n)' Q (x_n (-) x_d_n) + (u_n - u_d_n)' R (u_n - u_d_n)
 
-Same v1 scope as backward.py: shared params / weights / desired trajectory.
+Same scope as backward.py: shared physical params; cost weights and desired
+trajectory may be shared or per-scenario.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
-from .backward import TILE, _bcast_tile, _to_lanes
+from .backward import TILE, _bcast_tile, _prep_cost, _to_lanes
 
 
 def _state_minus(q1, t1, v1, q2, t2, v2):
@@ -115,7 +116,9 @@ def _rollout_kernel(
     cost_ref[:] = cost
 
 
-@functools.partial(jax.jit, static_argnames=("n", "batch", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "batch", "cost_batched", "interpret")
+)
 def _rollout_call(
     scal,
     states_q,
@@ -136,6 +139,7 @@ def _rollout_call(
     inertia_inv,
     n,
     batch,
+    cost_batched,
     interpret,
 ):
     n_tiles = batch // TILE
@@ -146,6 +150,7 @@ def _rollout_call(
     fixed_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
     )
+    cost_block = lane_block if cost_batched else fixed_block
     kernel = functools.partial(_rollout_kernel, n)
     oq, ot, ov, ou, cost = pl.pallas_call(
         kernel,
@@ -159,12 +164,12 @@ def _rollout_call(
             lane_block((n, 4)),
             lane_block((n, 4, 12)),
             lane_block((1,)),
-            fixed_block((n, 4)),
-            fixed_block((n, 3)),
-            fixed_block((n, 6)),
-            fixed_block((n, 4)),
-            fixed_block((12, 12)),
-            fixed_block((4, 4)),
+            cost_block((n, 4)),
+            cost_block((n, 3)),
+            cost_block((n, 6)),
+            cost_block((n, 4)),
+            cost_block((12, 12)),
+            cost_block((4, 4)),
             fixed_block((3, 4)),
             fixed_block((3, 3)),
             fixed_block((3, 3)),
@@ -183,6 +188,9 @@ def _rollout_call(
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         scal,
@@ -226,7 +234,9 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
     inertia = jnp.asarray(params.inertia, dtype)
     inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
     iinv_ma = inertia_inv @ moment_arms(params)
-    des = cost.desired_states
+    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=1.0
+    )
     scal = jnp.asarray([dt_s, params.g_mpss, 1.0 / params.mass_kg, 0.0], dtype)
 
     oq, ot, ov, ou, cost_out = _rollout_call(
@@ -238,17 +248,18 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
         _to_lanes(ks),
         _to_lanes(big_ks),
         alpha[None, :],
-        _bcast_tile(des.pose.quat, dtype),
-        _bcast_tile(des.pose.trans, dtype),
-        _bcast_tile(des.vel, dtype),
-        _bcast_tile(cost.desired_controls, dtype),
-        _bcast_tile(cost.Q, dtype),
-        _bcast_tile(cost.R, dtype),
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
         _bcast_tile(iinv_ma, dtype),
         _bcast_tile(inertia, dtype),
         _bcast_tile(inertia_inv, dtype),
         n,
         batch,
+        cost_batched,
         interpret,
     )
     new_traj = Trajectory(

@@ -43,9 +43,16 @@ def solve_batch(
     leading B (per-scenario randomization, BASELINE.json configs 2-3);
     unbatched ones are closed over and broadcast by vmap.
     """
+    # cost leaves may be individually batched (e.g. per-scenario Q/R with a
+    # shared desired trajectory): infer the vmap axis per leaf.
+    cost_axes = (
+        jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+        if cost_batched
+        else _batch_axes(cost, False)
+    )
     in_axes = (
         _batch_axes(params, params_batched),
-        _batch_axes(cost, cost_batched),
+        cost_axes,
         _batch_axes(initial_trajs, True),
     )
     return jax.vmap(

@@ -74,9 +74,13 @@ def solve_batch_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s, interpret=interpret
     )
 
-    new_cost0 = jax.vmap(lambda t: qc.trajectory_cost(cost, t.states, t.controls))(
-        initial_trajs
-    )
+    # cost leaves may be shared (ndim 2) or carry a leading batch dim (ndim 3,
+    # per-scenario weights/targets — config 3)
+    cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+    new_cost0 = jax.vmap(
+        lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
+        in_axes=(cost_axes, 0),
+    )(cost, initial_trajs)
 
     def expected_reduction(qutk, ktquuk, step):
         return step * qutk + step * step * ktquuk / 2.0

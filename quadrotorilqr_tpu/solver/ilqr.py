@@ -105,6 +105,14 @@ def backward_pass(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj:
     Returns (ks (N,4), Ks (N,4,12), QuTk, kTQuuk). The Quu solve is plain
     (NO regularization), matching ilqr.hh:126-128.
     """
+    # f32 on TPU: the default matmul precision routes through bf16 MXU
+    # passes, which wrecks the unregularized Quu (NaNs on the demo workload)
+    # — force full-f32 accumulation for the whole pass.
+    with jax.default_matmul_precision("highest"):
+        return _backward_pass_hp(params, cost, traj, dt_s)
+
+
+def _backward_pass_hp(params, cost, traj, dt_s):
     j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s)
 
     def stage(carry, inputs):
@@ -170,6 +178,11 @@ def forward_sim(
 ):
     """Closed-loop rollout (ilqr.hh:149-172):
     u_i = u_old_i + alpha*k_i + K_i (x (-) x_old_i); x_{i+1} = f(x_i, u_i)."""
+    with jax.default_matmul_precision("highest"):
+        return _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s)
+
+
+def _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s):
     x0 = jax.tree.map(lambda leaf: leaf[..., 0, :], traj.states)
     n_axis = traj.controls.ndim - 2
 

@@ -80,3 +80,33 @@ def test_solve_fused_sharded_cpu_mesh():
     np.testing.assert_allclose(
         np.asarray(result.cost[:128]), np.asarray(ref.cost), rtol=1e-8
     )
+
+
+def test_solve_fused_per_scenario_weights():
+    """Per-scenario Q/R scaling (config 3) vs the vmapped XLA path."""
+    params, cost, trajs = _problem(n=5)
+    batch = trajs.controls.shape[0]
+    rng = np.random.default_rng(7)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(batch,)), jnp.float64)
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+
+    cost_b = QuadraticTrackingCost(
+        Q=scale[:, None, None] * cost.Q,
+        R=jnp.broadcast_to(cost.R, (batch, 4, 4)),
+        desired_states=cost.desired_states,
+        desired_controls=cost.desired_controls,
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 4),
+    )
+    fused = solve_batch_fused(params, cost_b, trajs, 0.02, options, interpret=True)
+    ref = solve_batch(
+        params, cost_b, trajs, 0.02, options, cost_batched=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(fused.cost), np.asarray(ref.cost), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-7,
+    )

@@ -152,8 +152,49 @@ def _stacked_to_oracle(traj):
     ]
 
 
+def time_native_oracle_solve(options):
+    """Reference-semantics float64 solve via the native C++ oracle
+    (native/qilqr_oracle.cc) — the stand-in for the reference's C++ core.
+    Returns solves/s for one scenario, or None if the library won't build."""
+    from quadrotorilqr_tpu.oracle import native
+
+    if not native.available():
+        return None
+    params, cost, trajs, desired = build_problem(jnp.float32)
+    s0 = jax.tree.map(lambda leaf: np.asarray(leaf[0], np.float64), trajs.states)
+    u0 = np.asarray(trajs.controls[0], np.float64)
+    kwargs = dict(
+        mass_kg=1.0,
+        inertia=np.eye(3),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+        q_mat=np.asarray(cost.Q, np.float64),
+        r_mat=np.asarray(cost.R, np.float64),
+        desired_quat=np.asarray(desired.states.pose.quat, np.float64),
+        desired_trans=np.asarray(desired.states.pose.trans, np.float64),
+        desired_vel=np.asarray(desired.states.vel, np.float64),
+        desired_controls=np.asarray(desired.controls, np.float64),
+        init_quat=s0.pose.quat,
+        init_trans=s0.pose.trans,
+        init_vel=s0.vel,
+        init_controls=u0,
+        dt_s=DT_S,
+        ls_max_iters=20,
+        rtol=1e-6,
+        atol=1e-6,
+        max_iters=ITERS,
+    )
+    native.solve(**kwargs)  # warm-up
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        native.solve(**kwargs)
+    return n_rep / (time.perf_counter() - t0)
+
+
 def time_oracle_solve(options):
-    """One reference-semantics float64 scalar solve on host CPU."""
+    """One reference-semantics float64 scalar solve on host CPU (NumPy)."""
     from quadrotorilqr_tpu.oracle import scalar as orc
 
     params, cost, trajs, desired = build_problem(jnp.float32)
@@ -189,11 +230,19 @@ def time_oracle_solve(options):
 def main():
     solves_per_s, p50, compile_s, frac_conv, mean_iters = time_tpu_solves(bench_options())
     oracle_sps = None
+    oracle_kind = None
     if not os.environ.get("QILQR_BENCH_SKIP_ORACLE"):
         try:
-            oracle_sps = time_oracle_solve(bench_options())
+            oracle_sps = time_native_oracle_solve(bench_options())
+            oracle_kind = "native C++ float64" if oracle_sps else None
         except Exception:
             oracle_sps = None
+        if oracle_sps is None:
+            try:
+                oracle_sps = time_oracle_solve(bench_options())
+                oracle_kind = "numpy float64"
+            except Exception:
+                oracle_sps = None
     vs_baseline = solves_per_s / oracle_sps if oracle_sps else None
     print(
         json.dumps(
@@ -212,6 +261,7 @@ def main():
                 "baseline_oracle_solves_per_s": (
                     round(oracle_sps, 3) if oracle_sps else None
                 ),
+                "baseline_kind": oracle_kind,
                 "device": str(jax.devices()[0].device_kind),
                 "n_devices": len(jax.devices()),
             }

@@ -79,6 +79,9 @@ def trajectory_from_proto(
 
 
 def options_to_proto(options: ILQROptions) -> ilqr_options_pb2.ILQROptions:
+    """NOTE: `quu_reg` is a TPU-engine extension with no field in the
+    reference schema (ilqr_options.proto:17-21); it does not survive a proto
+    round trip (wire compatibility with the reference takes precedence)."""
     msg = ilqr_options_pb2.ILQROptions()
     ls, cc = options.line_search_params, options.convergence_criteria
     msg.line_search_params.step_update = ls.step_update

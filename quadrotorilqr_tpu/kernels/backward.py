@@ -96,7 +96,7 @@ def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
 
 def _backward_kernel(
     n_stages,
-    scal_ref,  # SMEM (4,): [dt, g, unused, unused]
+    scal_ref,  # SMEM (4,): [dt, g, quu_reg, unused]
     q_ref,  # (N, 4, Bt) state quats
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
@@ -116,6 +116,7 @@ def _backward_kernel(
 ):
     dt = scal_ref[0]
     g = scal_ref[1]
+    quu_reg = scal_ref[2]
     q_l = qmat_ref[:]
     r2_l = r2_ref[:]
     ju = ju_ref[:]
@@ -145,7 +146,7 @@ def _backward_kernel(
         vxx_jx = L.matmul(v_xx, j_x)
         q_xx = c_xx + L.matmul(jx_t, vxx_jx)
         vxx_ju = L.matmul(v_xx, ju)
-        q_uu = r2_l + L.matmul(ju_t, vxx_ju)
+        q_uu = r2_l + L.matmul(ju_t, vxx_ju) + quu_reg * L.eye(4, q_l)
         q_xu = L.matmul(jx_t, vxx_ju)
 
         rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
@@ -302,7 +303,7 @@ def _backward_call(
     return ks, big_ks, red
 
 
-def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
+def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
     traj leaves are (B, N, ...) with B a multiple of 128 (the lane tile).
@@ -338,7 +339,7 @@ def backward_pass_fused(params, cost, traj, dt_s, interpret=False):
     ju_np = ju_np.at[9:12, :].set(dt_s * (inertia_inv @ ma))
     ju = _bcast_tile(ju_np, dtype)
 
-    scal = jnp.asarray([dt_s, params.g_mpss, 0.0, 0.0], dtype)
+    scal = jnp.asarray([dt_s, params.g_mpss, quu_reg, 0.0], dtype)
 
     ks, big_ks, red = _backward_call(
         scal,

@@ -14,8 +14,9 @@ reproducing the reference per-scenario semantics exactly (ilqr.hh:53-205):
     on the achieved cost (ilqr.hh:82-84);
   * finished lanes freeze (their state is re-selected, not recomputed).
 
-v1 scope matches the kernels: shared params / cost weights / desired
-trajectory across the batch; populate_debug unsupported (use the XLA path).
+Scope matches the kernels: physical params are shared across the batch;
+cost weights / desired trajectories may be shared or per-scenario.
+populate_debug is unsupported here (use the XLA path, parallel/batch.py).
 """
 
 from __future__ import annotations
@@ -68,7 +69,7 @@ def solve_batch_fused(
     dtype = initial_trajs.controls.dtype
 
     backward = lambda traj: backward_pass_fused(
-        params, cost, traj, dt_s, interpret=interpret
+        params, cost, traj, dt_s, quu_reg=options.quu_reg, interpret=interpret
     )
     rollout = lambda traj, ks, big_ks, alpha: rollout_cost_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s, interpret=interpret

@@ -99,20 +99,27 @@ def quadratize(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Tr
     return j_x, j_u, c_x, c_u, c_xx, c_uu
 
 
-def backward_pass(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Trajectory, dt_s):
+def backward_pass(
+    params: QuadrotorParams,
+    cost: qc.QuadraticTrackingCost,
+    traj: Trajectory,
+    dt_s,
+    quu_reg=0.0,
+):
     """Riccati recursion (ilqr.hh:97-147).
 
-    Returns (ks (N,4), Ks (N,4,12), QuTk, kTQuuk). The Quu solve is plain
-    (NO regularization), matching ilqr.hh:126-128.
+    Returns (ks (N,4), Ks (N,4,12), QuTk, kTQuuk). With quu_reg == 0 the Quu
+    solve is plain, matching ilqr.hh:126-128 (reference parity); quu_reg > 0
+    adds Levenberg-style damping (robust mode, SURVEY.md hard-part 4).
     """
     # f32 on TPU: the default matmul precision routes through bf16 MXU
     # passes, which wrecks the unregularized Quu (NaNs on the demo workload)
     # — force full-f32 accumulation for the whole pass.
     with jax.default_matmul_precision("highest"):
-        return _backward_pass_hp(params, cost, traj, dt_s)
+        return _backward_pass_hp(params, cost, traj, dt_s, quu_reg)
 
 
-def _backward_pass_hp(params, cost, traj, dt_s):
+def _backward_pass_hp(params, cost, traj, dt_s, quu_reg):
     j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s)
 
     def stage(carry, inputs):
@@ -126,6 +133,8 @@ def _backward_pass_hp(params, cost, traj, dt_s):
         q_u = cu + jnp.einsum("...ij,...j->...i", jut, v_x)
         q_xx = cxx + jxt @ vxx_jx
         q_uu = cuu + jut @ vxx_ju
+        if quu_reg:
+            q_uu = q_uu + quu_reg * jnp.eye(4, dtype=q_uu.dtype)
         q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
         # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128). Quu is symmetric
@@ -313,7 +322,9 @@ def solve(
 
     def body(carry):
         i, traj, new_cost, done, status, debug = carry
-        ks, big_ks, qutk, ktquuk = backward_pass(params, cost, traj, dt_s)
+        ks, big_ks, qutk, ktquuk = backward_pass(
+            params, cost, traj, dt_s, options.quu_reg
+        )
         current = new_cost
 
         expected = current + expected_cost_reduction(qutk, ktquuk)

@@ -29,3 +29,9 @@ class ILQROptions:
     line_search_params: LineSearchParams = LineSearchParams()
     convergence_criteria: ConvergenceCriteria = ConvergenceCriteria()
     populate_debug: bool = False
+    # Levenberg-style Quu regularization: Quu + quu_reg * I before the gain
+    # solve. The reference has NO regularization (ilqr.hh:126, parity mode) —
+    # keep 0.0 for parity; set small positive (e.g. 1e-6) for robustness on
+    # ill-conditioned problems / f32. Not part of the reference proto schema;
+    # serialization round-trips drop it (documented in io/proto.py).
+    quu_reg: float = 0.0

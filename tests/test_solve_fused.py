@@ -110,3 +110,21 @@ def test_solve_fused_per_scenario_weights():
         np.asarray(ref.trajectory.controls),
         atol=1e-7,
     )
+
+
+def test_solve_fused_quu_regularization():
+    """quu_reg > 0 (robust mode): fused and XLA paths still agree."""
+    params, cost, trajs = _problem(n=5)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 4),
+        quu_reg=1e-4,
+    )
+    fused = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    ref = solve_batch(params, cost, trajs, 0.02, options)
+    np.testing.assert_array_equal(np.asarray(fused.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(fused.cost), np.asarray(ref.cost), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-7,
+    )

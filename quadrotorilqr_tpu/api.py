@@ -97,8 +97,20 @@ class QuadrotorILQR:
             self.params, self.cost, initial_traj, self.dt_s, self.options
         )
 
-    def solve_batch(self, initial_trajs: Trajectory) -> SolveResult:
-        """vmapped solve over a leading scenario axis (leaves (B, N, ...))."""
+    def solve_batch(self, initial_trajs: Trajectory, fused: bool = True) -> SolveResult:
+        """Batched solve over a leading scenario axis (leaves (B, N, ...)).
+
+        With `fused=True` (default) and B a multiple of 128, uses the Pallas
+        kernel path (~30x the vmapped XLA path on TPU; no per-iteration debug
+        records). Falls back to the vmapped XLA solver otherwise.
+        """
+        batch = initial_trajs.controls.shape[0]
+        if fused and batch % 128 == 0 and not self.options.populate_debug:
+            from .solver.batched import solve_batch_fused
+
+            return solve_batch_fused(
+                self.params, self.cost, initial_trajs, self.dt_s, self.options
+            )
         return jax.vmap(
             lambda t: ilqr_module.solve(
                 self.params, self.cost, t, self.dt_s, self.options

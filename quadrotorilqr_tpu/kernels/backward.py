@@ -101,12 +101,12 @@ def _backward_kernel(
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
     u_ref,  # (N, 4, Bt)
-    dq_ref,  # (N, 4, Bt) desired quats (broadcast tile)
+    dq_ref,  # (N, 4, Bt) desired quats (broadcast tile or per-lane)
     dt_ref,  # (N, 3, Bt)
     dv_ref,  # (N, 6, Bt)
     du_ref,  # (N, 4, Bt)
-    qmat_ref,  # (12, 12, Bt) cost Q broadcast
-    r2_ref,  # (4, 4, Bt) 2R broadcast
+    qmat_ref,  # (12, 12, Bt) cost Q (broadcast or per-lane)
+    r2_ref,  # (4, 4, Bt) 2R (broadcast or per-lane)
     ju_ref,  # (12, 4, Bt) stage-constant j_u broadcast
     i_ref,  # (3, 3, Bt) inertia broadcast
     iinv_ref,  # (3, 3, Bt)

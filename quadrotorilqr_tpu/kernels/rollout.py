@@ -45,7 +45,7 @@ def _rollout_kernel(
     ks_ref,  # (N, 4, Bt)
     bigks_ref,  # (N, 4, 12, Bt)
     alpha_ref,  # (1, Bt) per-lane step size
-    dq_ref,  # desired (broadcast tile)
+    dq_ref,  # desired (broadcast tile or per-lane)
     dt_ref,
     dv_ref,
     du_ref,

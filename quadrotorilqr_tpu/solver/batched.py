@@ -21,10 +21,12 @@ populate_debug is unsupported here (use the XLA path, parallel/batch.py).
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..costs import quadratic as qc
 from ..kernels.backward import backward_pass_fused
@@ -49,7 +51,7 @@ def _where_lanes(mask, a, b):
     )
 
 
-@partial(jax.jit, static_argnames=("dt_s", "options", "interpret"))
+@partial(jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation"))
 def solve_batch_fused(
     params,
     cost,
@@ -57,8 +59,16 @@ def solve_batch_fused(
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
+    continuation: bool = False,
 ) -> SolveResult:
-    """Batched iLQR solve; initial_trajs leaves are (B, N, ...), B % 128 == 0."""
+    """Batched iLQR solve; initial_trajs leaves are (B, N, ...), B % 128 == 0.
+
+    `continuation=True` resumes a solve whose outer loop already ran >= 1
+    trip (the input trajectories are feasible): trip 0 behaves like a later
+    trip — pre-check enabled, line search instead of the unconditional full
+    step (ilqr.hh:71-73 applies only to the very first trip of a solve).
+    Used by `solve_batch_refine` to continue straggler lanes exactly.
+    """
     if options.populate_debug:
         raise NotImplementedError(
             "populate_debug is only supported on the XLA path (parallel.batch)"
@@ -131,10 +141,12 @@ def solve_batch_fused(
         i, traj, new_cost, done, status, iterations = carry
         ks, big_ks, qutk, ktquuk = backward(traj)
         current = new_cost
+        # logical trip index: a continuation starts past the trip-0 specials
+        li = i + 1 if continuation else i
 
         expected = current + expected_reduction(qutk, ktquuk, 1.0)
         pre_conv = jnp.logical_and(
-            jnp.logical_and(i > 0, is_converged(current, expected, options)),
+            jnp.logical_and(li > 0, is_converged(current, expected, options)),
             jnp.logical_not(done),
         )
         active = jnp.logical_not(jnp.logical_or(done, pre_conv))
@@ -148,10 +160,10 @@ def solve_batch_fused(
         def later_trip(_):
             return line_search(traj, current, ks, big_ks, qutk, ktquuk, active)
 
-        cand, cand_cost, ls_ok = jax.lax.cond(i == 0, first_trip, later_trip, None)
+        cand, cand_cost, ls_ok = jax.lax.cond(li == 0, first_trip, later_trip, None)
 
         post_conv = jnp.logical_and(
-            jnp.logical_and(i > 0, is_converged(current, cand_cost, options)),
+            jnp.logical_and(li > 0, is_converged(current, cand_cost, options)),
             jnp.logical_and(active, ls_ok),
         )
         ls_failed = jnp.logical_and(active, jnp.logical_not(ls_ok))
@@ -187,5 +199,79 @@ def solve_batch_fused(
         cost=final_cost,
         iterations=iterations,
         status=status,
+        debug=None,
+    )
+
+
+def solve_batch_refine(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    phase1_iters: int = 4,
+    interpret: bool = False,
+) -> SolveResult:
+    """Two-phase batched solve: full batch for `phase1_iters` trips, then
+    gather the still-unconverged lanes, pad to a 128-lane tile, and continue
+    ONLY those with the remaining budget (`continuation=True` resumes the
+    reference loop exactly — same per-lane results as a single-phase solve).
+
+    Why: with masked batch convergence, late outer trips run full-batch
+    kernels for a handful of straggler lanes (mean iterations ~3.5 vs a
+    budget of 10 on the hover workload) — compaction reclaims that. This is
+    host-orchestrated (one device round trip between phases), so use it for
+    throughput, not latency; per-scenario weights/targets are gathered along
+    with the lanes.
+    """
+    cc = options.convergence_criteria
+    total_iters = int(cc.max_iters)
+    phase1_iters = min(phase1_iters, total_iters)
+    opts1 = replace(
+        options, convergence_criteria=replace(cc, max_iters=phase1_iters)
+    )
+    r1 = solve_batch_fused(params, cost, initial_trajs, dt_s, opts1, interpret)
+    if phase1_iters == total_iters:
+        return r1
+
+    status1 = np.asarray(r1.status)
+    pending = np.nonzero(status1 == STATUS_MAX_ITERS)[0]
+    if pending.size == 0:
+        return r1
+
+    # pad the gather indices to a 128-lane multiple (duplicates are solved
+    # redundantly and dropped at scatter)
+    pad = (-pending.size) % 128
+    idx = jnp.asarray(np.concatenate([pending, np.full(pad, pending[0])]))
+
+    def gather(tree):
+        return jax.tree.map(lambda a: a[idx], tree)
+
+    sub_trajs = gather(r1.trajectory)
+    sub_cost = jax.tree.map(
+        lambda a: a[idx] if a.ndim == 3 else a, cost
+    )
+    opts2 = replace(
+        options,
+        convergence_criteria=replace(cc, max_iters=total_iters - phase1_iters),
+    )
+    r2 = solve_batch_fused(
+        params, sub_cost, sub_trajs, dt_s, opts2, interpret, continuation=True
+    )
+
+    scatter_idx = jnp.asarray(pending)
+
+    def scatter(full, sub):
+        return jax.tree.map(
+            lambda f, s: f.at[scatter_idx].set(s[: pending.size]), full, sub
+        )
+
+    return SolveResult(
+        trajectory=scatter(r1.trajectory, r2.trajectory),
+        cost=r1.cost.at[scatter_idx].set(r2.cost[: pending.size]),
+        iterations=r1.iterations.at[scatter_idx].add(
+            r2.iterations[: pending.size]
+        ),
+        status=r1.status.at[scatter_idx].set(r2.status[: pending.size]),
         debug=None,
     )

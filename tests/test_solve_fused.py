@@ -128,3 +128,29 @@ def test_solve_fused_quu_regularization():
         np.asarray(ref.trajectory.controls),
         atol=1e-7,
     )
+
+
+def test_solve_refine_matches_single_phase():
+    """Two-phase compacted solve == single-phase solve, lane for lane."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_refine
+
+    params, cost, trajs = _problem(n=5)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 6),
+    )
+    single = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    two = solve_batch_refine(
+        params, cost, trajs, 0.02, options, phase1_iters=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(two.status), np.asarray(single.status))
+    np.testing.assert_array_equal(
+        np.asarray(two.iterations), np.asarray(single.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(two.cost), np.asarray(single.cost), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(two.trajectory.controls),
+        np.asarray(single.trajectory.controls),
+        atol=1e-12,
+    )

@@ -193,6 +193,11 @@ def parse_args(args):
     return parser.parse_args(args)
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (pyproject `quadrotor-ilqr`)."""
     parsed = parse_args(sys.argv[1:])
     main(parsed.show_plots, parsed.plot_iters, parsed.save_anim_path)
+
+
+if __name__ == "__main__":
+    cli()

@@ -271,29 +271,42 @@ def so3_exp(theta):
 def atan(z):
     """Elementwise arctangent — Mosaic TPU has no atan/atan2 primitive.
 
-    Range-reduce |z| to [0, 1] via the reciprocal identity, then three
-    half-angle reductions atan(x) = 2 atan(x / (1 + sqrt(1 + x^2))) shrink
-    the argument below tan(pi/32) ~ 0.0985, where the odd Taylor series to
-    x^13 is accurate to ~6e-17 relative (below f64 eps). Costs 4 sqrts.
+    Range-reduce |z| to [0, 1] via the reciprocal identity, then half-angle
+    reductions atan(x) = 2 atan(x / (1 + sqrt(1 + x^2))) shrink the argument
+    until an odd Taylor series reaches the dtype's epsilon:
+      f64: 3 reductions (arg < tan(pi/32) ~ 0.0985) + terms to x^13 -> ~6e-17
+      f32: 2 reductions (arg < tan(pi/16) ~ 0.199)  + terms to x^9  -> ~6e-9
     """
     dtype = z.dtype
+    f64 = dtype == jnp.float64
     half_pi = jnp.asarray(jnp.pi / 2, dtype)
     t = jnp.abs(z)
     big = t > 1.0
     x = jnp.where(big, 1.0 / jnp.where(big, t, jnp.ones_like(t)), t)
-    for _ in range(3):
+    reductions = 3 if f64 else 2
+    for _ in range(reductions):
         x = x / (1.0 + jnp.sqrt(1.0 + x * x))
     x2 = x * x
-    p = x * (
-        1.0
-        + x2
-        * (
-            -1.0 / 3.0
+    if f64:
+        p = x * (
+            1.0
             + x2
-            * (1.0 / 5.0 + x2 * (-1.0 / 7.0 + x2 * (1.0 / 9.0 + x2 * (-1.0 / 11.0 + x2 / 13.0))))
+            * (
+                -1.0 / 3.0
+                + x2
+                * (
+                    1.0 / 5.0
+                    + x2
+                    * (-1.0 / 7.0 + x2 * (1.0 / 9.0 + x2 * (-1.0 / 11.0 + x2 / 13.0)))
+                )
+            )
         )
-    )
-    p = 8.0 * p
+    else:
+        p = x * (
+            1.0
+            + x2 * (-1.0 / 3.0 + x2 * (1.0 / 5.0 + x2 * (-1.0 / 7.0 + x2 / 9.0)))
+        )
+    p = float(2**reductions) * p
     p = jnp.where(big, half_pi - p, p)
     return jnp.where(z < 0, -p, p)
 

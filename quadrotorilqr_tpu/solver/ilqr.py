@@ -384,3 +384,57 @@ def solve(
         status=status,
         debug=debug,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory container helpers (reference parity: trajectory.hh:16-45,
+# quadrotor_model.cc:258-263 — equality and stream formatting)
+# ---------------------------------------------------------------------------
+
+
+def trajectory_point(traj: Trajectory, i):
+    """(time, State, control) triple at stage i — the reference's
+    TrajectoryPoint (trajectory.hh:10-14) as a tuple view."""
+    state = jax.tree.map(lambda leaf: leaf[..., i, :], traj.states)
+    return traj.times[..., i], state, traj.controls[..., i, :]
+
+
+def trajectory_equal(a: Trajectory, b: Trajectory, atol: float = 0.0) -> bool:
+    """Elementwise equality of two trajectories (trajectory.hh:16-21
+    semantics; atol > 0 gives an approximate variant). Host-side."""
+    import numpy as np
+
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(a)
+    leaves_b, treedef_b = jax.tree_util.tree_flatten(b)
+    if treedef_a != treedef_b:
+        return False
+    for la, lb in zip(leaves_a, leaves_b):
+        if la.shape != lb.shape:
+            return False
+        if atol == 0.0:
+            if not np.array_equal(np.asarray(la), np.asarray(lb)):
+                return False
+        elif not np.allclose(np.asarray(la), np.asarray(lb), atol=atol):
+            return False
+    return True
+
+
+def format_trajectory(traj: Trajectory, max_points: int = 5) -> str:
+    """Human-readable summary (operator<< equivalent, trajectory.hh:26-45)."""
+    import numpy as np
+
+    n = traj.horizon
+    lines = [f"Trajectory(horizon={n}, batch={traj.controls.shape[:-2]})"]
+    show = min(n, max_points)
+    times = np.asarray(traj.times)
+    trans = np.asarray(traj.states.pose.trans)
+    quat = np.asarray(traj.states.pose.quat)
+    controls = np.asarray(traj.controls)
+    for i in range(show):
+        lines.append(
+            f"  [{i}] t={times[..., i]} trans={trans[..., i, :]} "
+            f"quat={quat[..., i, :]} u={controls[..., i, :]}"
+        )
+    if n > show:
+        lines.append(f"  ... ({n - show} more)")
+    return "\n".join(lines)

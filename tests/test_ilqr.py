@@ -277,3 +277,31 @@ class TestSolve:
             np.testing.assert_allclose(
                 float(batched.cost[i]), float(single.cost), rtol=1e-9, atol=1e-18
             )
+
+
+class TestTrajectoryContainer:
+    """Reference trajectory.hh:16-45 parity: point view, equality, format."""
+
+    def test_point_equality_format(self):
+        from quadrotorilqr_tpu.solver.ilqr import (
+            format_trajectory,
+            trajectory_equal,
+            trajectory_point,
+        )
+
+        _, _, desired = fixture()
+        t, s, u = trajectory_point(desired, 1)
+        assert u.shape == (4,)
+        np.testing.assert_allclose(np.asarray(s.vel), np.asarray(desired.states.vel[1]))
+
+        assert trajectory_equal(desired, desired)
+        perturbed = Trajectory(
+            times=desired.times,
+            states=desired.states,
+            controls=desired.controls + 1e-9,
+        )
+        assert not trajectory_equal(desired, perturbed)
+        assert trajectory_equal(desired, perturbed, atol=1e-6)
+
+        text = format_trajectory(desired)
+        assert "Trajectory(horizon=3" in text and "[0]" in text

@@ -155,3 +155,22 @@ def test_chol_solve4():
         L.chol_solve4(to_lanes(jnp.asarray(a)), to_lanes(jnp.asarray(b)))
     )
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-10)
+
+
+def test_atan2_accuracy_both_dtypes():
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=4096) * np.exp(rng.uniform(-6, 6, 4096))
+    x = rng.normal(size=4096) * np.exp(rng.uniform(-6, 6, 4096))
+    ref = np.arctan2(y, x)
+    # float64: near machine epsilon
+    got64 = np.asarray(
+        L.atan2(jnp.asarray(y[None]), jnp.asarray(x[None]))
+    )[0]
+    np.testing.assert_allclose(got64, ref, atol=1e-14)
+    # float32: within a few ulp of f32
+    got32 = np.asarray(
+        L.atan2(
+            jnp.asarray(y[None], jnp.float32), jnp.asarray(x[None], jnp.float32)
+        )
+    )[0]
+    np.testing.assert_allclose(got32, ref.astype(np.float32), atol=5e-7)

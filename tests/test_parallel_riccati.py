@@ -1,0 +1,56 @@
+"""Associative-scan Riccati (solver/parallel_riccati.py) vs the sequential pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.solver import ilqr as seq
+from quadrotorilqr_tpu.solver.parallel_riccati import backward_pass_assoc
+
+from test_kernel_backward import _problem
+
+
+def _single(trajs, i=0):
+    return jax.tree.map(lambda a: a[i], trajs)
+
+
+def test_assoc_matches_sequential():
+    params, cost, trajs = _problem(n=25)
+    traj = _single(trajs)
+    dt = 0.02
+
+    ks_a, big_ks_a, qutk_a, ktquuk_a = backward_pass_assoc(params, cost, traj, dt)
+    ks_s, big_ks_s, qutk_s, ktquuk_s = seq.backward_pass(params, cost, traj, dt)
+
+    np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(big_ks_a), np.asarray(big_ks_s), atol=1e-8)
+    np.testing.assert_allclose(float(qutk_a), float(qutk_s), rtol=1e-8)
+    np.testing.assert_allclose(float(ktquuk_a), float(ktquuk_s), rtol=1e-8)
+
+
+def test_assoc_matches_sequential_with_reg():
+    params, cost, trajs = _problem(n=9)
+    traj = _single(trajs, 3)
+    ks_a, big_ks_a, qutk_a, _ = backward_pass_assoc(
+        params, cost, traj, 0.02, quu_reg=1e-3
+    )
+    ks_s, big_ks_s, qutk_s, _ = seq.backward_pass(
+        params, cost, traj, 0.02, quu_reg=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(big_ks_a), np.asarray(big_ks_s), atol=1e-8)
+    np.testing.assert_allclose(float(qutk_a), float(qutk_s), rtol=1e-8)
+
+
+def test_assoc_vmaps_over_batch():
+    params, cost, trajs = _problem(n=6)
+    sub = jax.tree.map(lambda a: a[:8], trajs)
+    ks_b, big_ks_b, qutk_b, _ = jax.vmap(
+        lambda t: backward_pass_assoc(params, cost, t, 0.02)
+    )(sub)
+    ks_s, _, qutk_s, _ = jax.vmap(
+        lambda t: seq.backward_pass(params, cost, t, 0.02)
+    )(sub)
+    assert ks_b.shape == (8, 6, 4)
+    np.testing.assert_allclose(np.asarray(ks_b), np.asarray(ks_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qutk_b), np.asarray(qutk_s), rtol=1e-8)

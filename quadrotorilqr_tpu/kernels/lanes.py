@@ -10,8 +10,8 @@ conventions and small-angle Taylor branches — see those modules for the
 reference citations); only the data layout differs. Keep the two in sync.
 
 Shared (lane-less) quantities — cost weights Q/R, inertia, moment arms —
-enter as ordinary Python/numpy nested lists of floats and multiply in as
-scalar constants.
+enter pre-broadcast to a 128-lane tile by the host wrappers
+(kernels/backward.py `_bcast_tile` / `_prep_cost`).
 """
 
 from __future__ import annotations
@@ -60,81 +60,10 @@ def transpose(m):
     return jnp.swapaxes(m, 0, 1)
 
 
-def smat_matmul(w, b):
-    """Shared (r, k) scalar matrix @ (k, c, B) -> (r, c, B).
-
-    `w` is a nested Python list / numpy array of floats (no lane dim).
-    """
-    r, k = len(w), len(w[0])
-    rows = []
-    for i in range(r):
-        acc = None
-        for kk in range(k):
-            wik = float(w[i][kk])
-            if wik == 0.0:
-                continue
-            term = wik * row(b, kk)
-            acc = term if acc is None else acc + term
-        if acc is None:
-            acc = jnp.zeros_like(row(b, 0))
-        rows.append(acc)
-    return jnp.stack(rows, axis=0)
-
-
-def mat_smat(a, w):
-    """(r, k, B) @ shared (k, c) scalar matrix -> (r, c, B)."""
-    k, c = len(w), len(w[0])
-    cols = []
-    for j in range(c):
-        acc = None
-        for kk in range(k):
-            wkj = float(w[kk][j])
-            if wkj == 0.0:
-                continue
-            term = wkj * col(a, kk)
-            acc = term if acc is None else acc + term
-        if acc is None:
-            acc = jnp.zeros_like(col(a, 0))
-        cols.append(acc)
-    return jnp.stack(cols, axis=1)
-
-
-def smat_vec(w, v):
-    """Shared (r, k) scalar matrix @ (k, B) -> (r, B)."""
-    r, k = len(w), len(w[0])
-    rows = []
-    for i in range(r):
-        acc = None
-        for kk in range(k):
-            wik = float(w[i][kk])
-            if wik == 0.0:
-                continue
-            term = wik * v[kk : kk + 1, :]
-            acc = term if acc is None else acc + term
-        if acc is None:
-            acc = jnp.zeros_like(v[0:1, :])
-        rows.append(acc)
-    return jnp.concatenate(rows, axis=0)
-
-
-def outer(u, v):
-    """(r, B) outer (c, B) -> (r, c, B)."""
-    return jnp.expand_dims(u, 1) * jnp.expand_dims(v, 0)
-
-
 def eye(n, like):
     """(n, n, B) identity broadcast over lanes."""
     e = jnp.eye(n, dtype=like.dtype)[:, :, None]
     return jnp.broadcast_to(e, (n, n, like.shape[-1]))
-
-
-def block_diag2(a, b):
-    """diag(a (r1,c1,B), b (r2,c2,B)) -> (r1+r2, c1+c2, B)."""
-    z_top = jnp.zeros((a.shape[0], b.shape[1], a.shape[-1]), a.dtype)
-    z_bot = jnp.zeros((b.shape[0], a.shape[1], a.shape[-1]), a.dtype)
-    top = jnp.concatenate([a, z_top], axis=1)
-    bot = jnp.concatenate([z_bot, b], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
 
 
 def block2x2(a, b, c, d):

@@ -45,18 +45,12 @@ def test_matrix_ops():
         jnp.einsum("bij,bj->bi", a, v),
         atol=1e-12,
     )
-    w = np.asarray(rng.normal(size=(4, 5)))
     np.testing.assert_allclose(
-        from_lanes(L.smat_matmul(w, to_lanes(a))), jnp.einsum("ik,bkj->bij", w, a),
-        atol=1e-12,
+        from_lanes(L.transpose(to_lanes(a))), jnp.swapaxes(a, -1, -2), atol=0
     )
     np.testing.assert_allclose(
-        from_lanes(L.mat_smat(to_lanes(b), w.T[:4][:, :3] if False else np.asarray(rng.normal(size=(4, 3))))).shape,
-        (B, 7, 3),
-    )
-    np.testing.assert_allclose(
-        from_lanes(L.smat_vec(w[:, :7] if w.shape[1] == 7 else np.asarray(rng.normal(size=(4, 7))), to_lanes(v))).shape,
-        (B, 4),
+        from_lanes(L.block2x2(*[to_lanes(_rand(rng, (B, 3, 3))) for _ in range(4)])).shape,
+        (B, 6, 6),
     )
 
 

@@ -118,3 +118,40 @@ class TestSharded:
             np.asarray(local.trajectory.controls),
             atol=1e-8,
         )
+
+
+def test_solve_batch_per_scenario_params():
+    """params_batched: randomized mass/inertia per scenario (domain
+    randomization) through the vmapped XLA path."""
+    import numpy as np
+
+    from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+
+    params1, cost, trajs, opts = make_problem()
+    nb = 4
+    trajs = jax.tree.map(lambda a: a[:nb], trajs)
+    rng = np.random.default_rng(11)
+    masses = jnp.asarray(rng.uniform(0.8, 1.5, size=(nb,)), F64)
+    inertias = jnp.asarray(
+        np.stack([np.eye(3) * s for s in rng.uniform(0.5, 2.0, size=nb)]), F64
+    )
+    params_b = QuadrotorParams(
+        mass_kg=masses,
+        inertia=inertias,
+        arm_length_m=jnp.broadcast_to(params1.arm_length_m, (nb,)),
+        torque_to_thrust_ratio_m=jnp.broadcast_to(
+            params1.torque_to_thrust_ratio_m, (nb,)
+        ),
+        g_mpss=jnp.broadcast_to(params1.g_mpss, (nb,)),
+    )
+    res = solve_batch(params_b, cost, trajs, 0.05, opts, params_batched=True)
+    assert res.cost.shape == (nb,)
+    # per-scenario solve with scenario i's params matches lane i
+    for i in (0, 3):
+        pi = jax.tree.map(lambda a: a[i], params_b)
+        ti = jax.tree.map(lambda a: a[i : i + 1], trajs)
+        ri = solve_batch(pi, cost, ti, 0.05, opts)
+        np.testing.assert_allclose(
+            float(res.cost[i]), float(ri.cost[0]), rtol=1e-10
+        )

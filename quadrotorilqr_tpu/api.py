@@ -105,7 +105,16 @@ class QuadrotorILQR:
         records). Falls back to the vmapped XLA solver otherwise.
         """
         batch = initial_trajs.controls.shape[0]
-        if fused and batch % 128 == 0 and not self.options.populate_debug:
+        # Mosaic TPU kernels have no float64 support — the fused path is for
+        # the f32 throughput regime; f64 (the ctor default, for reference
+        # parity) falls back to the vmapped XLA solver.
+        fusable_dtype = initial_trajs.controls.dtype == jnp.float32
+        if (
+            fused
+            and fusable_dtype
+            and batch % 128 == 0
+            and not self.options.populate_debug
+        ):
             from .solver.batched import solve_batch_fused
 
             return solve_batch_fused(

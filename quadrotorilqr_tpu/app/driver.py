@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..api import QuadrotorILQR
-from ..io import debug_from_proto, options_to_proto, trajectory_to_proto
+from ..io import debug_from_proto, debug_to_proto
 from ..solver.options import ConvergenceCriteria, ILQROptions, LineSearchParams
 from . import workloads
 
@@ -140,9 +140,10 @@ def main(show_plots: bool = True, plot_iters: bool = False, save_anim_path: str 
         dt_s=dt_s,
         options=options,
     )
-    # round-trip through the proto boundary like the reference binding does
-    opt_traj_proto, debug_proto = ilqr.solve(trajectory_to_proto(desired_traj))
+    # solve once natively, then cross the proto boundary for the outputs
+    # (the reference binding's round trip, without re-running the solve)
     result = ilqr.solve_pytree(desired_traj)
+    debug_proto = debug_to_proto(result.debug)
 
     debug_trajs, costs = debug_from_proto(debug_proto)
     traj_dict = {"desired": desired_traj, "optimized": result.trajectory}

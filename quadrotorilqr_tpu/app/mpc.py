@@ -75,8 +75,10 @@ def run_mpc(
 
     desired_full leaves are UNBATCHED (N_full >= n_steps + horizon stages,
     leading axis = time); x0 leaves are (B, ...) with B a multiple of 128.
-    Returns a dict of stacked outputs: applied controls (B, K, 4), plant
-    states (B, K+1, ...), per-step solver iterations and costs (B, K).
+    Returns a dict of stacked outputs: applied controls "u" (B, K, 4), the
+    plant translation history "x_trans" (B, K, 3), per-step solver
+    "iterations"/"cost"/"status" (B, K), and the final full plant state
+    "x_final" (State with (B, ...) leaves).
     """
     batch = x0.vel.shape[0]
     dtype = x0.vel.dtype

@@ -28,7 +28,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -234,7 +233,17 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
     broadcast up to batched.
     """
     des = cost.desired_states
-    batched = cost.Q.ndim == 3 or cost.desired_controls.ndim == 3
+    batched = any(
+        leaf.ndim == 3
+        for leaf in (
+            cost.Q,
+            cost.R,
+            cost.desired_controls,
+            des.pose.quat,
+            des.pose.trans,
+            des.vel,
+        )
+    )
 
     def prep(a, core_ndim):
         a = jnp.asarray(a, dtype)

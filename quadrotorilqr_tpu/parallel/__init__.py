@@ -7,6 +7,7 @@ from .mesh import (
     replicate,
     shard_scenarios,
     solve_sharded,
+    solve_sharded_fused,
     solve_sharded_with_stats,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "shard_scenarios",
     "replicate",
     "solve_sharded",
+    "solve_sharded_fused",
     "solve_sharded_with_stats",
     "SCENARIO_AXIS",
 ]

@@ -115,7 +115,6 @@ def solve_sharded_with_stats(
         return result, stats
 
     batch_spec = jax.tree.map(lambda _: P(axis_name), initial_trajs)
-    result_spec_tree = None  # inferred below via out_specs construction
 
     sharded = shard_map(
         per_shard,

@@ -37,6 +37,7 @@ from .ilqr import (
     STATUS_MAX_ITERS,
     SolveResult,
     Trajectory,
+    expected_cost_reduction,
     is_converged,
 )
 from .options import ILQROptions
@@ -52,6 +53,7 @@ def _where_lanes(mask, a, b):
 
 
 @partial(jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation"))
+# initial_cost is a traced operand (or None, resolved at trace time)
 def solve_batch_fused(
     params,
     cost,
@@ -60,6 +62,7 @@ def solve_batch_fused(
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
     continuation: bool = False,
+    initial_cost=None,
 ) -> SolveResult:
     """Batched iLQR solve; initial_trajs leaves are (B, N, ...), B % 128 == 0.
 
@@ -85,16 +88,31 @@ def solve_batch_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s, interpret=interpret
     )
 
-    # cost leaves may be shared (ndim 2) or carry a leading batch dim (ndim 3,
-    # per-scenario weights/targets — config 3)
-    cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
-    new_cost0 = jax.vmap(
-        lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
-        in_axes=(cost_axes, 0),
-    )(cost, initial_trajs)
+    if initial_cost is not None:
+        # continuation from a previous phase: reuse its kernel-computed costs
+        # so near-threshold convergence decisions round identically
+        new_cost0 = initial_cost
+    elif continuation:
+        # cost leaves may be shared (ndim 2) or carry a leading batch dim
+        # (ndim 3, per-scenario weights/targets — config 3)
+        cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+        new_cost0 = jax.vmap(
+            lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
+            in_axes=(cost_axes, 0),
+        )(cost, initial_trajs)
+    elif max_iters == 0:
+        # degenerate budget: the loop never runs; report the true cost
+        cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+        new_cost0 = jax.vmap(
+            lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
+            in_axes=(cost_axes, 0),
+        )(cost, initial_trajs)
+    else:
+        # trip 0 takes an unconditional full step for every lane, so the
+        # initial trajectory's cost is never compared against — skip it
+        new_cost0 = jnp.zeros((batch,), dtype)
 
-    def expected_reduction(qutk, ktquuk, step):
-        return step * qutk + step * step * ktquuk / 2.0
+    expected_reduction = expected_cost_reduction
 
     def line_search(traj, current_cost, ks, big_ks, qutk, ktquuk, active):
         """Per-lane backtracking (ilqr.hh:174-194). Returns
@@ -256,7 +274,8 @@ def solve_batch_refine(
         convergence_criteria=replace(cc, max_iters=total_iters - phase1_iters),
     )
     r2 = solve_batch_fused(
-        params, sub_cost, sub_trajs, dt_s, opts2, interpret, continuation=True
+        params, sub_cost, sub_trajs, dt_s, opts2, interpret, continuation=True,
+        initial_cost=r1.cost[idx],
     )
 
     scatter_idx = jnp.asarray(pending)

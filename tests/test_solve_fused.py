@@ -154,3 +154,42 @@ def test_solve_refine_matches_single_phase():
         np.asarray(single.trajectory.controls),
         atol=1e-12,
     )
+
+
+def test_solve_fused_per_scenario_desired_shared_weights():
+    """Regression (review finding): per-scenario desired trajectories with
+    SHARED Q/R must route through the per-lane cost path, not crash."""
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+    from quadrotorilqr_tpu.models.quadrotor import State
+    from quadrotorilqr_tpu.lie.se3 import SE3
+
+    params, cost, trajs = _problem(n=4)
+    batch = trajs.controls.shape[0]
+    # jitter the desired translation per scenario
+    rng = np.random.default_rng(5)
+    offs = jnp.asarray(rng.normal(scale=0.05, size=(batch, 1, 3)), jnp.float64)
+    des_b = QuadraticTrackingCost(
+        Q=cost.Q,  # shared
+        R=cost.R,  # shared
+        desired_states=State(
+            pose=SE3(
+                quat=jnp.broadcast_to(
+                    cost.desired_states.pose.quat, (batch, 4, 4)
+                ),
+                trans=cost.desired_states.pose.trans + offs,
+            ),
+            vel=jnp.broadcast_to(cost.desired_states.vel, (batch, 4, 6)),
+        ),
+        desired_controls=jnp.broadcast_to(cost.desired_controls, (batch, 4, 4)),
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+    )
+    fused = solve_batch_fused(params, des_b, trajs, 0.02, options, interpret=True)
+    ref = solve_batch(params, des_b, trajs, 0.02, options, cost_batched=True)
+    np.testing.assert_allclose(np.asarray(fused.cost), np.asarray(ref.cost), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-7,
+    )

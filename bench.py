@@ -88,7 +88,7 @@ def time_tpu_solves(options):
 
     from quadrotorilqr_tpu.solver.batched import solve_batch_fused
 
-    use_fused = BATCH % 128 == 0 and not os.environ.get("QILQR_BENCH_NO_FUSED")
+    use_fused = not os.environ.get("QILQR_BENCH_NO_FUSED")
 
     @jax.jit
     def run(p, c, t):

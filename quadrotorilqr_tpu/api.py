@@ -100,21 +100,16 @@ class QuadrotorILQR:
     def solve_batch(self, initial_trajs: Trajectory, fused: bool = True) -> SolveResult:
         """Batched solve over a leading scenario axis (leaves (B, N, ...)).
 
-        With `fused=True` (default) and B a multiple of 128, uses the Pallas
-        kernel path (~30x the vmapped XLA path on TPU; no per-iteration debug
-        records). Falls back to the vmapped XLA solver otherwise.
+        With `fused=True` (default), uses the Pallas kernel path (~30x the
+        vmapped XLA path on TPU; batches auto-pad to the 128-lane tile; no
+        per-iteration debug records). Falls back to the vmapped XLA solver
+        otherwise.
         """
-        batch = initial_trajs.controls.shape[0]
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
         # parity) falls back to the vmapped XLA solver.
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
-        if (
-            fused
-            and fusable_dtype
-            and batch % 128 == 0
-            and not self.options.populate_debug
-        ):
+        if fused and fusable_dtype and not self.options.populate_debug:
             from .solver.batched import solve_batch_fused
 
             return solve_batch_fused(

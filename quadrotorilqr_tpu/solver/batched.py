@@ -64,7 +64,11 @@ def solve_batch_fused(
     continuation: bool = False,
     initial_cost=None,
 ) -> SolveResult:
-    """Batched iLQR solve; initial_trajs leaves are (B, N, ...), B % 128 == 0.
+    """Batched iLQR solve; initial_trajs leaves are (B, N, ...).
+
+    Batches that are not a multiple of the 128-lane kernel tile are padded
+    (repeating lane 0) and the padding is stripped from the result — full
+    tiles avoid the padding cost entirely.
 
     `continuation=True` resumes a solve whose outer loop already ran >= 1
     trip (the input trajectories are feasible): trip 0 behaves like a later
@@ -80,6 +84,25 @@ def solve_batch_fused(
     max_iters = int(options.convergence_criteria.max_iters)
     batch = initial_trajs.controls.shape[0]
     dtype = initial_trajs.controls.dtype
+
+    pad = (-batch) % 128
+    if pad:
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
+            )
+
+        padded = solve_batch_fused(
+            params,
+            jax.tree.map(lambda a: pad_lane(a) if a.ndim == 3 else a, cost),
+            jax.tree.map(pad_lane, initial_trajs),
+            dt_s,
+            options,
+            interpret=interpret,
+            continuation=continuation,
+            initial_cost=None if initial_cost is None else pad_lane(initial_cost),
+        )
+        return jax.tree.map(lambda a: a[:batch], padded)
 
     backward = lambda traj: backward_pass_fused(
         params, cost, traj, dt_s, quu_reg=options.quu_reg, interpret=interpret

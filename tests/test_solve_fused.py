@@ -193,3 +193,21 @@ def test_solve_fused_per_scenario_desired_shared_weights():
         np.asarray(ref.trajectory.controls),
         atol=1e-7,
     )
+
+
+def test_solve_fused_auto_pads_odd_batches():
+    """Batches that aren't 128-multiples pad to the tile and strip back."""
+    params, cost, trajs = _problem(n=4)
+    sub = jax.tree.map(lambda a: a[:100], trajs)  # 100 lanes
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+    )
+    res = solve_batch_fused(params, cost, sub, 0.02, options, interpret=True)
+    full = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    assert res.cost.shape == (100,)
+    np.testing.assert_allclose(
+        np.asarray(res.cost), np.asarray(full.cost[:100]), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.status), np.asarray(full.status[:100])
+    )

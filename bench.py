@@ -2,12 +2,14 @@
 
 Workload (BASELINE.json metric): batch of hover-to-waypoint solves with
 randomized initial SE(3) poses, 100-step horizon, solved to 1e-6 tolerance
-within a 10-iteration budget. float32 on the compute path.
+within a 10-iteration budget. float32 on the compute path (fused Pallas
+kernels; QILQR_BENCH_NO_FUSED=1 for the vmapped XLA path).
 
-Baseline: the float64 scalar NumPy oracle (quadrotorilqr_tpu/oracle/scalar.py)
-— an exact re-derivation of the reference C++ semantics (ilqr.hh:53-205) —
-timed on one solve of the same workload on the host CPU. `vs_baseline` is the
-per-chip throughput ratio against that single-threaded oracle.
+Baseline: the native C++ oracle (native/qilqr_oracle.cc, -O3, single
+thread) — an independent implementation of the reference C++ semantics
+(ilqr.hh:53-205) — timed on one solve of the same workload on the host CPU.
+`vs_baseline` is the per-chip throughput ratio against it (falls back to the
+slower NumPy oracle if the C++ build is unavailable).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N, ...}
@@ -21,6 +23,10 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# remote TPU compile latency is wildly variable without the persistent cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 import jax.numpy as jnp

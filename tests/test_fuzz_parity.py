@@ -108,3 +108,59 @@ def test_random_solves_match_cpp_oracle():
         )
     # typical agreement is far tighter than the assert tolerance
     assert max_err < 1e-6
+
+
+def test_random_fused_solves_match_cpp_oracle():
+    """The Pallas-kernel solver (interpret mode, f64, auto-padded single
+    lane) against the C++ oracle on random problems — ties the kernel math
+    directly to the independent native implementation."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.ilqr import Trajectory
+
+    rng = np.random.default_rng(7)
+    for case in range(3):
+        mass, inertia, arm, kappa, q, r, tau, vel0, hover = _random_problem(rng)
+        dtype = jnp.float64
+        desired = Trajectory(
+            times=jnp.arange(HORIZON, dtype=dtype) * DT,
+            states=State(
+                pose=se3.identity((HORIZON,), dtype),
+                vel=jnp.zeros((HORIZON, 6), dtype),
+            ),
+            controls=jnp.full((HORIZON, 4), hover, dtype),
+        )
+        x0 = State(pose=se3.exp(jnp.asarray(tau, dtype)), vel=jnp.asarray(vel0, dtype))
+        init_b = initial_trajectory_from_state(x0, desired)  # batch of 1
+
+        params = QuadrotorParams.create(mass, jnp.asarray(inertia, dtype), arm, kappa, 9.81)
+        cost = QuadraticTrackingCost(
+            Q=jnp.asarray(q, dtype), R=jnp.asarray(r, dtype),
+            desired_states=desired.states, desired_controls=desired.controls,
+        )
+        options = ILQROptions(
+            convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 10)
+        )
+        res = solve_batch_fused(params, cost, init_b, DT, options, interpret=True)
+
+        init = jax.tree.map(lambda a: a[0], init_b)
+        out = native.solve(
+            mass_kg=mass, inertia=inertia, arm_length_m=arm,
+            torque_to_thrust_ratio_m=kappa, g_mpss=9.81, q_mat=q, r_mat=r,
+            desired_quat=desired.states.pose.quat,
+            desired_trans=desired.states.pose.trans,
+            desired_vel=desired.states.vel,
+            desired_controls=desired.controls,
+            init_quat=init.states.pose.quat,
+            init_trans=init.states.pose.trans,
+            init_vel=init.states.vel,
+            init_controls=init.controls,
+            dt_s=DT, rtol=1e-10, atol=1e-10, max_iters=10,
+        )
+        assert int(res.iterations[0]) == out["iterations"], f"case {case}"
+        np.testing.assert_allclose(
+            float(res.cost[0]), out["cost"], rtol=1e-8, err_msg=f"case {case}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.trajectory.controls[0]), out["controls"], atol=1e-6,
+            err_msg=f"case {case}",
+        )

@@ -155,3 +155,24 @@ def test_solve_batch_per_scenario_params():
         np.testing.assert_allclose(
             float(res.cost[i]), float(ri.cost[0]), rtol=1e-10
         )
+
+
+def test_solve_batch_populate_debug():
+    """Per-iteration debug buffers work under the vmapped batch path
+    (SURVEY.md §5.5 observability, batched)."""
+    from quadrotorilqr_tpu.app import workloads as wl
+
+    params, cost, trajs, _ = make_problem()
+    sub = jax.tree.map(lambda a: a[:4], trajs)
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+        populate_debug=True,
+    )
+    res = solve_batch(params, cost, sub, 0.05, opts)
+    assert res.debug is not None
+    assert res.debug.costs.shape == (4, 3)
+    assert res.debug.trajectories.controls.shape == (4, 3, N, 4)
+    valid = np.asarray(res.debug.valid)
+    iters = np.asarray(res.iterations)
+    # one debug slot per executed update, per lane
+    np.testing.assert_array_equal(valid.sum(axis=1), iters)

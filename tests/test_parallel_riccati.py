@@ -54,3 +54,25 @@ def test_assoc_vmaps_over_batch():
     assert ks_b.shape == (8, 6, 4)
     np.testing.assert_allclose(np.asarray(ks_b), np.asarray(ks_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(qutk_b), np.asarray(qutk_s), rtol=1e-8)
+
+
+def test_full_solve_with_associative_backward():
+    """solve(associative=True) end-to-end matches the sequential solve."""
+    from quadrotorilqr_tpu.solver.ilqr import solve
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
+
+    params, cost, trajs = _problem(n=10)
+    traj = _single(trajs, 1)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 8)
+    )
+    r_seq = solve(params, cost, traj, 0.02, options)
+    r_par = solve(params, cost, traj, 0.02, options, associative=True)
+    assert int(r_par.status) == int(r_seq.status)
+    assert int(r_par.iterations) == int(r_seq.iterations)
+    np.testing.assert_allclose(float(r_par.cost), float(r_seq.cost), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(r_par.trajectory.controls),
+        np.asarray(r_seq.trajectory.controls),
+        atol=1e-7,
+    )

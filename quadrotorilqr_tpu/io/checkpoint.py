@@ -32,19 +32,34 @@ def save_pytree(path: str, tree, metadata: dict | None = None):
             json.dump(metadata, f, indent=2)
 
 
-def load_pytree(path: str, target=None):
+def load_pytree(path: str, target=None, sharding=None):
     """Restore a pytree saved with `save_pytree`.
 
     `target` (optional) is a pytree of like-structured arrays (or
     ShapeDtypeStructs) used to restore dataclass containers + shardings;
     without it the raw nested-dict representation is returned.
-    """
+
+    `sharding` (optional, exclusive with `target`) is a single
+    `jax.sharding.Sharding` applied to EVERY restored array — the common
+    case of restoring a scenario-batched checkpoint onto a device mesh
+    (arrays land sharded directly, no host-side gather + device_put)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
             return ckptr.restore(path, item=target)
+        if sharding is not None:
+            meta = ckptr.metadata(path)
+            restore_args = jax.tree.map(
+                lambda m: ocp.ArrayRestoreArgs(
+                    sharding=sharding, dtype=m.dtype, restore_type=jax.Array
+                ),
+                meta.item_metadata if hasattr(meta, "item_metadata") else meta,
+            )
+            return ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+            )
         return ckptr.restore(path)
 
 
@@ -55,13 +70,17 @@ def save_solve_result(path: str, result: SolveResult, metadata: dict | None = No
     save_pytree(path, dataclasses.asdict(result), meta)
 
 
-def load_solve_result(path: str) -> SolveResult:
-    """Restore a SolveResult checkpoint (debug restored if present)."""
+def load_solve_result(path: str, sharding=None) -> SolveResult:
+    """Restore a SolveResult checkpoint (debug restored if present).
+
+    `sharding` (optional): a `jax.sharding.Sharding` over the scenario batch
+    axis — every array is restored directly onto the mesh (e.g. resuming a
+    65k-scenario Monte-Carlo library on a different host/chip topology)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import IterDebug, Trajectory
 
-    raw = load_pytree(path)
+    raw = load_pytree(path, sharding=sharding)
 
     def to_traj(d):
         return Trajectory(

@@ -268,10 +268,16 @@ def line_search(
 
 
 def is_converged(cost, new_cost, options: ILQROptions):
-    """ilqr.hh:196-205: rel OR abs criterion."""
+    """ilqr.hh:196-205: rel OR abs criterion.
+
+    The relative test is the division-free form `diff < rtol*|cost|` — same
+    truth table as the reference's `diff/|cost| < rtol` for |cost| > 0, but a
+    zero-cost lane yields a deterministic False (0 < 0) instead of a NaN
+    comparison, so batched lanes at exact zero cost fall through to the
+    absolute criterion instead of tripping NaN checkers."""
     cc = options.convergence_criteria
     diff = jnp.abs(cost - new_cost)
-    return jnp.logical_or(diff / jnp.abs(cost) < cc.rtol, diff < cc.atol)
+    return jnp.logical_or(diff < cc.rtol * jnp.abs(cost), diff < cc.atol)
 
 
 def _empty_debug(traj: Trajectory, max_iters):

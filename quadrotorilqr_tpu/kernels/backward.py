@@ -17,9 +17,14 @@ j_cont_u[0:6,:] == 0):
 with A = -g hat(R^T e_z), D = -I^-1 (hat(w) I - hat(I w)), J_plus_x =
 Adj(Exp(dt v))^-1, J_plus_t = Jr_SE3(dt v).
 
-Physical params are SHARED across the batch (randomized inertia would break
-the stage-constant j_u — use the XLA path for that); cost weights and the
-desired trajectory may be shared or per-scenario (BASELINE.json config 3).
+Physical params (quadrotor_model.hh:7-9) may be SHARED across the batch or
+PER-SCENARIO (Monte-Carlo over mass/inertia/arm length/g): every param
+operand — g, inertia, its inverse, and the stage-constant j_u — enters the
+kernel as a lane tile, either one broadcast tile the grid re-reads (shared)
+or a per-lane (d..., B) tensor (batched). j_u = dt * j_cont_u is constant
+over STAGES for either case because params never vary along the horizon.
+Cost weights and the desired trajectory may likewise be shared or
+per-scenario (BASELINE.json config 3).
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l):
     with P = Adj(Exp(dt v))^-1, T = dt Jr_SE3(dt v), G = -dt g hat(R^T e_z),
     M = I3 + dt D. Never materialized dense — the Riccati products below
     exploit the sparsity (45% fewer FLOPs than 12x12 dense, and no block
-    assembly/relayout inside the scan body)."""
+    assembly/relayout inside the scan body). `g` is scalar or (1, 1, b)
+    (per-lane gravity); `i_l`/`iinv_l` are (3, 3, b) lane tiles."""
     b = quat.shape[-1]
     dtype = quat.dtype
     ez = jnp.concatenate(
@@ -131,9 +137,42 @@ def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
     return dx, c_x, c_xx, du
 
 
+def _riccati_stage(
+    dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
+    quat, trans, vel, u, dq, dtr, dv, du_d, v_x, v_xx,
+):
+    """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
+    Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
+    update. Returns (k, big_k, v_x', v_xx', qutk_inc, ktquuk_inc). Shared by
+    the per-pass kernel below and the whole-solve kernel (kernels/solve.py)."""
+    p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
+    _, c_x, c_xx, du = _stage_cost_diffs(quat, trans, vel, u, dq, dtr, dv, du_d, q_l)
+    c_u = L.matvec(r2_l, du)
+
+    blocks = (p_blk, t_blk, g_blk, m_blk)
+    q_x = c_x + _jxt_vec(v_x, *blocks)
+    q_u = c_u + L.matvec(ju_t, v_x)
+    vxx_jx = _mat_jx(v_xx, *blocks)
+    q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
+    vxx_ju = L.matmul(v_xx, ju)
+    q_uu = r2_l + L.matmul(ju_t, vxx_ju) + quu_reg * L.eye(4, q_l)
+    q_xu = _jxt_mat(vxx_ju, *blocks)
+
+    rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
+    sol = -L.chol_solve4(q_uu, rhs)
+    k = jax.lax.index_in_dim(sol, 0, 1, keepdims=False)
+    big_k = sol[:, 1:, :]
+
+    quu_k = L.matvec(q_uu, k)
+    big_kt = L.transpose(big_k)
+    v_x_new = q_x - L.matvec(big_kt, quu_k)
+    v_xx_new = q_xx - L.matmul(big_kt, L.matmul(q_uu, big_k))
+    return k, big_k, v_x_new, v_xx_new, L.dot_lanes(q_u, k), L.dot_lanes(k, quu_k)
+
+
 def _backward_kernel(
     n_stages,
-    scal_ref,  # SMEM (4,): [dt, g, quu_reg, unused]
+    scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
     q_ref,  # (N, 4, Bt) state quats
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
@@ -144,16 +183,17 @@ def _backward_kernel(
     du_ref,  # (N, 4, Bt)
     qmat_ref,  # (12, 12, Bt) cost Q (broadcast or per-lane)
     r2_ref,  # (4, 4, Bt) 2R (broadcast or per-lane)
-    ju_ref,  # (12, 4, Bt) stage-constant j_u broadcast
-    i_ref,  # (3, 3, Bt) inertia broadcast
+    g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
+    ju_ref,  # (12, 4, Bt) stage-constant j_u (broadcast or per-lane)
+    i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
     iinv_ref,  # (3, 3, Bt)
     ks_ref,  # out (N, 4, Bt)
     bigks_ref,  # out (N, 4, 12, Bt)
     red_ref,  # out (2, Bt): [QuTk, kTQuuk]
 ):
     dt = scal_ref[0]
-    g = scal_ref[1]
-    quu_reg = scal_ref[2]
+    g = g_ref[:]  # (1, 1, bt): broadcasts against (r, c, bt) lane matrices
+    quu_reg = scal_ref[1]
     q_l = qmat_ref[:]
     r2_l = r2_ref[:]
     ju = ju_ref[:]
@@ -166,41 +206,15 @@ def _backward_kernel(
     def stage(idx, carry):
         n = n_stages - 1 - idx
         v_x, v_xx, qutk, ktquuk = carry
-        quat = q_ref[n]
-        trans = t_ref[n]
-        vel = v_ref[n]
-        u = u_ref[n]
-
-        p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
-        _, c_x, c_xx, du = _stage_cost_diffs(
-            quat, trans, vel, u, dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n], q_l
+        k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = _riccati_stage(
+            dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
+            q_ref[n], t_ref[n], v_ref[n], u_ref[n],
+            dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
+            v_x, v_xx,
         )
-        c_u = L.matvec(r2_l, du)
-
-        blocks = (p_blk, t_blk, g_blk, m_blk)
-        q_x = c_x + _jxt_vec(v_x, *blocks)
-        q_u = c_u + L.matvec(ju_t, v_x)
-        vxx_jx = _mat_jx(v_xx, *blocks)
-        q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
-        vxx_ju = L.matmul(v_xx, ju)
-        q_uu = r2_l + L.matmul(ju_t, vxx_ju) + quu_reg * L.eye(4, q_l)
-        q_xu = _jxt_mat(vxx_ju, *blocks)
-
-        rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
-        sol = -L.chol_solve4(q_uu, rhs)
-        k = jax.lax.index_in_dim(sol, 0, 1, keepdims=False)
-        big_k = sol[:, 1:, :]
-
-        quu_k = L.matvec(q_uu, k)
-        big_kt = L.transpose(big_k)
-        v_x_new = q_x - L.matvec(big_kt, quu_k)
-        v_xx_new = q_xx - L.matmul(big_kt, L.matmul(q_uu, big_k))
-        qutk_new = qutk + L.dot_lanes(q_u, k)
-        ktquuk_new = ktquuk + L.dot_lanes(k, quu_k)
-
         ks_ref[n] = k
         bigks_ref[n] = big_k
-        return (v_x_new, v_xx_new, qutk_new, ktquuk_new)
+        return (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc)
 
     init = (
         jnp.zeros((12, bt), dtype),
@@ -221,6 +235,56 @@ def _bcast_tile(a, dtype):
     """Shared array (d...,) -> (d..., TILE) broadcast."""
     a = jnp.asarray(a, dtype)
     return jnp.broadcast_to(a[..., None], a.shape + (TILE,))
+
+
+def _prep_params(params, dt_s, dtype):
+    """Lane-layout physical-param operands + static batched flag.
+
+    Shared params (scalar leaves, quadrotor_model.hh:7-9) become one
+    broadcast tile per operand that the kernel grid re-reads (index_map 0);
+    per-scenario params (ALL leaves carrying a leading batch dim — build
+    them with `jnp.broadcast_to` for any shared leaf) become per-lane
+    (d..., B) tensors. Returns
+    (g, ju, iinv_ma, inertia, inertia_inv, m_inv, batched) where
+    j_u = dt * j_cont_u is the stage-constant discrete control Jacobian
+    (constant over the horizon because params don't vary along it) and
+    g / m_inv are (1, 1, B) lane rows.
+    """
+    from ..models.quadrotor import moment_arms
+    from ..ops.linalg import chol_solve_small
+
+    batched = jnp.ndim(params.mass_kg) >= 1
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    ma = jnp.asarray(moment_arms(params), dtype)
+    iinv_ma = inertia_inv @ ma
+    mass = jnp.asarray(params.mass_kg, dtype)
+    g = jnp.asarray(params.g_mpss, dtype)
+    # j_u = dt * j_cont_u: row 8 = dt/m (thrust), rows 9:12 = dt I^-1 MA
+    ju = jnp.zeros(jnp.shape(mass) + (12, 4), dtype)
+    ju = ju.at[..., 8, :].set(
+        (dt_s / mass)[..., None] if batched else dt_s / mass
+    )
+    ju = ju.at[..., 9:12, :].set(dt_s * iinv_ma)
+    if batched:
+        return (
+            _to_lanes(g.reshape(-1, 1, 1)),
+            _to_lanes(ju),
+            _to_lanes(iinv_ma),
+            _to_lanes(inertia),
+            _to_lanes(inertia_inv),
+            _to_lanes((1.0 / mass).reshape(-1, 1, 1)),
+            True,
+        )
+    return (
+        _bcast_tile(g.reshape(1, 1), dtype),
+        _bcast_tile(ju, dtype),
+        _bcast_tile(iinv_ma, dtype),
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        _bcast_tile((1.0 / mass).reshape(1, 1), dtype),
+        False,
+    )
 
 
 def _prep_cost(cost, batch, dtype, r_scale=1.0):
@@ -265,7 +329,10 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt_s", "n", "batch", "cost_batched", "interpret")
+    jax.jit,
+    static_argnames=(
+        "dt_s", "n", "batch", "cost_batched", "params_batched", "interpret"
+    ),
 )
 def _backward_call(
     scal,
@@ -279,6 +346,7 @@ def _backward_call(
     des_u,
     q_mat,
     r2,
+    g,
     ju,
     inertia,
     inertia_inv,
@@ -286,6 +354,7 @@ def _backward_call(
     n,
     batch,
     cost_batched,
+    params_batched,
     interpret,
 ):
     n_tiles = batch // TILE
@@ -297,6 +366,7 @@ def _backward_call(
         shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
     )
     cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
     kernel = functools.partial(_backward_kernel, n)
     ks, big_ks, red = pl.pallas_call(
         kernel,
@@ -313,9 +383,10 @@ def _backward_call(
             cost_block((n, 4)),
             cost_block((12, 12)),
             cost_block((4, 4)),
-            fixed_block((12, 4)),
-            fixed_block((3, 3)),
-            fixed_block((3, 3)),
+            param_block((1, 1)),
+            param_block((12, 4)),
+            param_block((3, 3)),
+            param_block((3, 3)),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -343,6 +414,7 @@ def _backward_call(
         des_u,
         q_mat,
         r2,
+        g,
         ju,
         inertia,
         inertia_inv,
@@ -355,12 +427,11 @@ def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
 
     traj leaves are (B, N, ...) with B a multiple of 128 (the lane tile).
     Cost weights / desired trajectory may be shared or carry a leading batch
-    dim (per-scenario weights, BASELINE.json config 3); physical params must
-    be shared. Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
+    dim (per-scenario weights, BASELINE.json config 3); physical params may
+    likewise be shared or per-scenario (ALL leaves with a leading B — see
+    _prep_params). Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,),
+    ktquuk (B,)).
     """
-    from ..models.quadrotor import moment_arms
-    from ..ops.linalg import chol_solve_small
-
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
@@ -376,17 +447,11 @@ def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
     des_q, des_t, des_v, des_u, q_mat, r2, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=2.0
     )
+    g, ju, _, inertia, inertia_inv, _, params_batched = _prep_params(
+        params, dt_s, dtype
+    )
 
-    inertia = jnp.asarray(params.inertia, dtype)
-    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
-    ma = moment_arms(params)
-    # j_u = dt * j_cont_u (stage-constant): row 8 = dt/m, rows 9:12 = dt I^-1 MA
-    ju_np = jnp.zeros((12, 4), dtype)
-    ju_np = ju_np.at[8, :].set(dt_s / params.mass_kg)
-    ju_np = ju_np.at[9:12, :].set(dt_s * (inertia_inv @ ma))
-    ju = _bcast_tile(ju_np, dtype)
-
-    scal = jnp.asarray([dt_s, params.g_mpss, quu_reg, 0.0], dtype)
+    scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
 
     ks, big_ks, red = _backward_call(
         scal,
@@ -400,13 +465,15 @@ def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
         des_u,
         q_mat,
         r2,
+        g,
         ju,
-        _bcast_tile(inertia, dtype),
-        _bcast_tile(inertia_inv, dtype),
+        inertia,
+        inertia_inv,
         dt_s,
         n,
         batch,
         cost_batched,
+        params_batched,
         interpret,
     )
     ks = jnp.moveaxis(ks, -1, 0)  # (B, N, 4)

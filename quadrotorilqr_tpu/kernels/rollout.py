@@ -10,8 +10,8 @@ cost.hh:47-48) in the same sweep — the line search's rollout+cost round trip
     x_{n+1} = f(x_n, u_n)                     (Lie-Euler, quadrotor_model.cc:33-49)
     J    += (x_n (-) x_d_n)' Q (x_n (-) x_d_n) + (u_n - u_d_n)' R (u_n - u_d_n)
 
-Same scope as backward.py: shared physical params; cost weights and desired
-trajectory may be shared or per-scenario.
+Same scope as backward.py: physical params, cost weights, and the desired
+trajectory may each be shared across the batch or per-scenario.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
-from .backward import TILE, _bcast_tile, _prep_cost, _to_lanes
+from .backward import TILE, _prep_cost, _prep_params, _to_lanes
 
 
 def _state_minus(q1, t1, v1, q2, t2, v2):
@@ -35,9 +35,25 @@ def _state_minus(q1, t1, v1, q2, t2, v2):
     return jnp.concatenate([tau, v1 - v2], axis=0)
 
 
+def _dynamics_step(dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u):
+    """One Lie-Euler step of the quadrotor dynamics in lane layout
+    (quadrotor_model.cc:65-79 continuous dynamics + cc:266-277 Euler step).
+    Returns (quat', trans', vel'). `g`/`m_inv` are (1, b) lane rows."""
+    r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+    acc_lin = -g * r_t_ez + (jnp.sum(u, axis=0, keepdims=True) * m_inv) * ez
+    omega = vel[3:6]
+    i_omega = L.matvec(i_l, omega)
+    acc_ang = L.matvec(iinv_ma, u) - L.matvec(iinv_l, L.cross(omega, i_omega))
+    tau = dt * vel
+    qe, te = L.se3_exp(tau)
+    quat_next, trans_next = L.se3_multiply(quat, trans, qe, te)
+    vel_next = vel + dt * jnp.concatenate([acc_lin, acc_ang], axis=0)
+    return quat_next, trans_next, vel_next
+
+
 def _rollout_kernel(
     n_stages,
-    scal_ref,  # SMEM (4,): [dt, g, m_inv, 0]
+    scal_ref,  # SMEM (4,): [dt, 0, 0, 0]
     q_ref,  # (N, 4, Bt) old state quats
     t_ref,
     v_ref,
@@ -51,6 +67,8 @@ def _rollout_kernel(
     du_ref,
     qmat_ref,  # (12, 12, Bt) cost Q
     rmat_ref,  # (4, 4, Bt) cost R
+    g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
+    minv_ref,  # (1, 1, Bt) 1/mass
     iinv_ma_ref,  # (3, 4, Bt) I^-1 @ moment_arms
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
@@ -61,8 +79,8 @@ def _rollout_kernel(
     cost_ref,  # out (1, Bt)
 ):
     dt = scal_ref[0]
-    g = scal_ref[1]
-    m_inv = scal_ref[2]
+    g = g_ref[0]  # (1, bt): broadcasts against (3, bt) lane vectors
+    m_inv = minv_ref[0]
     alpha = alpha_ref[:]
     q_l = qmat_ref[:]
     r_l = rmat_ref[:]
@@ -94,16 +112,9 @@ def _rollout_kernel(
         ov_ref[n] = vel
         ou_ref[n] = u
 
-        # dynamics (quadrotor_model.cc:65-79) + Lie-Euler step (cc:266-277)
-        r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
-        acc_lin = -g * r_t_ez + (jnp.sum(u, axis=0, keepdims=True) * m_inv) * ez
-        omega = vel[3:6]
-        i_omega = L.matvec(i_l, omega)
-        acc_ang = L.matvec(iinv_ma, u) - L.matvec(iinv_l, L.cross(omega, i_omega))
-        tau = dt * vel
-        qe, te = L.se3_exp(tau)
-        quat_next, trans_next = L.se3_multiply(quat, trans, qe, te)
-        vel_next = vel + dt * jnp.concatenate([acc_lin, acc_ang], axis=0)
+        quat_next, trans_next, vel_next = _dynamics_step(
+            dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u
+        )
         return (quat_next, trans_next, vel_next, cost)
 
     init = (
@@ -117,7 +128,8 @@ def _rollout_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "batch", "cost_batched", "interpret")
+    jax.jit,
+    static_argnames=("n", "batch", "cost_batched", "params_batched", "interpret"),
 )
 def _rollout_call(
     scal,
@@ -134,12 +146,15 @@ def _rollout_call(
     des_u,
     q_mat,
     r_mat,
+    g,
+    m_inv,
     iinv_ma,
     inertia,
     inertia_inv,
     n,
     batch,
     cost_batched,
+    params_batched,
     interpret,
 ):
     n_tiles = batch // TILE
@@ -151,6 +166,7 @@ def _rollout_call(
         shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
     )
     cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
     kernel = functools.partial(_rollout_kernel, n)
     oq, ot, ov, ou, cost = pl.pallas_call(
         kernel,
@@ -170,9 +186,11 @@ def _rollout_call(
             cost_block((n, 4)),
             cost_block((12, 12)),
             cost_block((4, 4)),
-            fixed_block((3, 4)),
-            fixed_block((3, 3)),
-            fixed_block((3, 3)),
+            param_block((1, 1)),
+            param_block((1, 1)),
+            param_block((3, 4)),
+            param_block((3, 3)),
+            param_block((3, 3)),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -207,6 +225,8 @@ def _rollout_call(
         des_u,
         q_mat,
         r_mat,
+        g,
+        m_inv,
         iinv_ma,
         inertia,
         inertia_inv,
@@ -218,11 +238,11 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
     """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
 
     traj leaves (B, N, ...), ks (B, N, 4), big_ks (B, N, 4, 12), alpha (B,).
+    Physical params may be shared or per-scenario (see backward._prep_params).
     Returns (Trajectory with (B, N, ...) leaves, cost (B,)).
     """
-    from ..models.quadrotor import State, moment_arms
+    from ..models.quadrotor import State
     from ..lie.se3 import SE3
-    from ..ops.linalg import chol_solve_small
     from ..solver.ilqr import Trajectory
 
     controls = traj.controls
@@ -231,13 +251,13 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     dtype = controls.dtype
 
-    inertia = jnp.asarray(params.inertia, dtype)
-    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
-    iinv_ma = inertia_inv @ moment_arms(params)
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
-    scal = jnp.asarray([dt_s, params.g_mpss, 1.0 / params.mass_kg, 0.0], dtype)
+    g, _, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+        params, dt_s, dtype
+    )
+    scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
 
     oq, ot, ov, ou, cost_out = _rollout_call(
         scal,
@@ -254,12 +274,15 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
         des_u,
         q_mat,
         r_mat,
-        _bcast_tile(iinv_ma, dtype),
-        _bcast_tile(inertia, dtype),
-        _bcast_tile(inertia_inv, dtype),
+        g,
+        m_inv,
+        iinv_ma,
+        inertia,
+        inertia_inv,
         n,
         batch,
         cost_batched,
+        params_batched,
         interpret,
     )
     new_traj = Trajectory(

@@ -112,6 +112,47 @@ def test_solve_fused_per_scenario_weights():
     )
 
 
+def test_solve_fused_per_scenario_params():
+    """Per-scenario physical params (Monte-Carlo over mass/inertia/arm/g,
+    quadrotor_model.hh:7-9) on the fused path vs the vmapped XLA path."""
+    from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+
+    _, cost, trajs = _problem(n=5)
+    batch = trajs.controls.shape[0]
+    rng = np.random.default_rng(13)
+    # randomized diagonal-dominant SPD inertias + scalar param spreads
+    diags = rng.uniform(0.3, 0.8, size=(batch, 3))
+    inertias = np.zeros((batch, 3, 3))
+    for i in range(batch):
+        inertias[i] = np.diag(diags[i]) + 0.02
+    params_b = QuadrotorParams(
+        mass_kg=jnp.asarray(rng.uniform(0.8, 1.6, size=(batch,)), jnp.float64),
+        inertia=jnp.asarray(inertias, jnp.float64),
+        arm_length_m=jnp.asarray(rng.uniform(0.15, 0.3, size=(batch,)), jnp.float64),
+        torque_to_thrust_ratio_m=jnp.asarray(
+            rng.uniform(0.01, 0.02, size=(batch,)), jnp.float64
+        ),
+        g_mpss=jnp.asarray(rng.uniform(9.0, 10.5, size=(batch,)), jnp.float64),
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 4),
+    )
+    fused = solve_batch_fused(params_b, cost, trajs, 0.02, options, interpret=True)
+    ref = solve_batch(params_b, cost, trajs, 0.02, options, params_batched=True)
+    np.testing.assert_array_equal(np.asarray(fused.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(fused.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(fused.cost), np.asarray(ref.cost), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fused.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-7,
+    )
+    # params genuinely differentiate the lanes
+    assert np.unique(np.asarray(fused.cost)).size == batch
+
+
 def test_solve_fused_quu_regularization():
     """quu_reg > 0 (robust mode): fused and XLA paths still agree."""
     params, cost, trajs = _problem(n=5)
@@ -127,6 +168,54 @@ def test_solve_fused_quu_regularization():
         np.asarray(fused.trajectory.controls),
         np.asarray(ref.trajectory.controls),
         atol=1e-7,
+    )
+
+
+def test_solve_fused_populate_debug():
+    """Per-iteration debug on the fused path == the vmapped XLA path's
+    (ilqr.hh:78-80 semantics), and one lane's record round-trips through the
+    reference-compatible debug proto."""
+    from quadrotorilqr_tpu.io.proto import debug_from_proto, debug_to_proto
+
+    params, cost, trajs = _problem(n=5)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 4),
+        populate_debug=True,
+    )
+    fused = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    ref = solve_batch(params, cost, trajs, 0.02, options)
+    assert fused.debug is not None
+    np.testing.assert_array_equal(
+        np.asarray(fused.debug.valid), np.asarray(ref.debug.valid)
+    )
+    valid = np.asarray(fused.debug.valid)
+    np.testing.assert_allclose(
+        np.asarray(fused.debug.costs)[valid],
+        np.asarray(ref.debug.costs)[valid],
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.debug.trajectories.controls)[valid],
+        np.asarray(ref.debug.trajectories.controls)[valid],
+        atol=1e-7,
+    )
+    # per-lane slot count == executed updates
+    np.testing.assert_array_equal(
+        valid.sum(axis=1), np.asarray(fused.iterations)
+    )
+
+    # proto round trip of lane 0's record (reference ilqr_debug.proto wire)
+    lane0 = jax.tree.map(lambda a: a[0], fused.debug)
+    msg = debug_to_proto(lane0)
+    trajs_back, costs_back = debug_from_proto(msg)
+    assert len(trajs_back) == int(fused.iterations[0])
+    np.testing.assert_allclose(
+        np.asarray(trajs_back[-1].controls),
+        np.asarray(fused.debug.trajectories.controls[0][valid[0]][-1]),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        costs_back[-1], float(fused.cost[0]), rtol=1e-10
     )
 
 

@@ -1,0 +1,533 @@
+"""Whole-solve fused Pallas kernel: the COMPLETE iLQR loop in one program.
+
+The batch-level solver (solver/batched.py) launches 2+ kernels per outer
+trip (backward pass, line-search rollouts) with XLA glue between them. For
+large batches the glue amortizes; at small batch (the latency regime —
+BASELINE.json config 1 is ONE scenario) fixed per-kernel overhead dominates:
+measured ~1.5-2 ms per kernel launch at one 128-lane tile vs ~10 us of
+actual VPU work. This kernel removes ALL of it: one `pallas_call` runs the
+entire reference solve loop (ilqr.hh:53-87) — backward Riccati recursion,
+per-lane backtracking line search, pre/post convergence checks, status and
+iteration accounting — for a 128-scenario tile without leaving VMEM.
+
+Control-flow mapping (Mosaic cannot lower `lax.while_loop` with vector
+carries — scf.yield legalization fails — so loops are bounded `fori_loop`s
+with predicated bodies):
+
+  * outer trips: `fori_loop(0, max_iters)`, body wrapped in
+    `@pl.when(not all_done)` with the all-done flag in SMEM — finished
+    solves degrade to empty trips costing only loop overhead;
+  * line search: `fori_loop(0, ls_max_iters)` with `@pl.when(any pending)`;
+  * per-lane state that crosses trip boundaries (cost, done, status,
+    iterations, alpha, accepted, best-candidate cost) lives as rows of one
+    (8, 128) VMEM scratch tile.
+
+The stage math is IMPORTED from kernels/backward.py (`_riccati_stage`) and
+kernels/rollout.py (`_state_minus`, `_dynamics_step`) — one definition,
+shared lane-for-lane with the per-pass kernels, so the f64 interpret parity
+contract (tests/test_solve_fused.py) extends to this kernel automatically.
+
+Semantics are lane-for-lane identical to solver/batched.solve_batch_fused
+(itself the reference loop, ilqr.hh:53-205): trip 0 takes an unconditional
+full step (ilqr.hh:71-73), later trips pre-check expected cost (:66-68),
+backtrack with per-lane alpha (:174-194), post-check achieved cost (:82-84).
+
+VMEM bound: ~61 KB per horizon stage per tile (in/out/best trajectories,
+gains, desired) — horizons up to ~200 fit the ~16 MB budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+from .backward import (
+    TILE,
+    _prep_cost,
+    _prep_params,
+    _riccati_stage,
+    _to_lanes,
+)
+from .rollout import _dynamics_step, _state_minus
+
+# rows of the per-lane solver-state scratch tile
+_COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC = range(7)
+_STATE_ROWS = 8  # one f32 sublane tile
+
+
+def _solve_kernel(
+    n_stages,
+    max_iters,
+    ls_max_iters,
+    continuation,
+    fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
+    q_ref,  # (N, 4, Bt) initial state quats
+    t_ref,  # (N, 3, Bt)
+    v_ref,  # (N, 6, Bt)
+    u_ref,  # (N, 4, Bt)
+    dq_ref,  # desired (broadcast tile or per-lane)
+    dtr_ref,
+    dv_ref,
+    du_ref,
+    qmat_ref,  # (12, 12, Bt) cost Q
+    rmat_ref,  # (4, 4, Bt) cost R
+    g_ref,  # (1, 1, Bt) params (broadcast or per-lane)
+    minv_ref,  # (1, 1, Bt)
+    ju_ref,  # (12, 4, Bt)
+    iinvma_ref,  # (3, 4, Bt)
+    i_ref,  # (3, 3, Bt)
+    iinv_ref,  # (3, 3, Bt)
+    oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
+    ot_ref,
+    ov_ref,
+    ou_ref,
+    ocost_ref,  # out (1, Bt)
+    oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
+    ostat_ref,  # out (1, Bt) f32 STATUS_* codes
+    ks_ref,  # scratch (N, 4, Bt)
+    bigks_ref,  # scratch (N, 4, 12, Bt)
+    bq_ref,  # scratch (N, 4, Bt): best line-search candidate
+    bt_ref,  # scratch (N, 3, Bt)
+    bv_ref,  # scratch (N, 6, Bt)
+    bu_ref,  # scratch (N, 4, Bt)
+    st_ref,  # scratch (8, Bt): per-lane solver state rows
+    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+):
+    dt = fscal_ref[0]
+    quu_reg = fscal_ref[1]
+    rtol = fscal_ref[2]
+    atol = fscal_ref[3]
+    ls_step = fscal_ref[4]
+    ls_frac = fscal_ref[5]
+    q_l = qmat_ref[:]
+    r_l = rmat_ref[:]
+    r2_l = 2.0 * r_l
+    g2 = g_ref[:]  # (1, 1, bt) for the backward pass blocks
+    g1 = g_ref[0]  # (1, bt) for the rollout dynamics
+    m_inv = minv_ref[0]
+    ju = ju_ref[:]
+    ju_t = L.transpose(ju)
+    iinv_ma = iinvma_ref[:]
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    bt = q_l.shape[-1]
+    dtype = q_l.dtype
+    zeros1 = jnp.zeros((1, bt), dtype)
+    ez = jnp.concatenate(
+        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+    )
+
+    def get(r):
+        return st_ref[r : r + 1]
+
+    def put(r, val):
+        st_ref[r : r + 1] = val
+
+    def conv(cur, new):
+        # division-free reference criterion (ilqr.hh:196-205; solver.is_converged)
+        diff = jnp.abs(cur - new)
+        return jnp.logical_or(diff < rtol * jnp.abs(cur), diff < atol)
+
+    def stage_cost(quat, trans, vel, u, n):
+        dxd = _state_minus(quat, trans, vel, dq_ref[n], dtr_ref[n], dv_ref[n])
+        duv = u - du_ref[n]
+        return L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+            duv, L.matvec(r_l, duv)
+        )
+
+    # --- init: live trajectory lives in the output refs ---
+    oq_ref[:] = q_ref[:]
+    ot_ref[:] = t_ref[:]
+    ov_ref[:] = v_ref[:]
+    ou_ref[:] = u_ref[:]
+    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+
+    if continuation or max_iters == 0:
+        # the input trajectory is feasible: its true cost seeds the loop
+        # (trip 0 of a fresh solve never compares against it — skip there)
+        def cseed(n, c):
+            return c + stage_cost(oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n], n)
+
+        put(_COST, jax.lax.fori_loop(0, n_stages, cseed, zeros1))
+
+    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+
+    def trip(i, tok):
+        @pl.when(flag_ref[0] < 0.5)
+        def _():
+            # ---- backward pass (ilqr.hh:97-147) ----
+            def bstage(idx, carry):
+                n = n_stages - 1 - idx
+                v_x, v_xx, qutk, ktquuk = carry
+                k, big_k, v_x2, v_xx2, qutk_inc, ktquuk_inc = _riccati_stage(
+                    dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
+                    oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
+                    dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
+                    v_x, v_xx,
+                )
+                ks_ref[n] = k
+                bigks_ref[n] = big_k
+                return (v_x2, v_xx2, qutk + qutk_inc, ktquuk + ktquuk_inc)
+
+            binit = (
+                jnp.zeros((12, bt), dtype),
+                jnp.zeros((12, 12, bt), dtype),
+                zeros1,
+                zeros1,
+            )
+            _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, bstage, binit)
+
+            current = get(_COST)
+            done = get(_DONE) > 0.5
+            # logical trip index: a continuation starts past the trip-0
+            # specials (ilqr.hh:71-73 applies only to a fresh solve)
+            li = i + (1 if continuation else 0)
+            li_pos = li > 0
+            expected = current + (qutk + 0.5 * ktquuk)
+            pre_conv = jnp.logical_and(
+                jnp.logical_and(li_pos, conv(current, expected)),
+                jnp.logical_not(done),
+            )
+            active = jnp.logical_and(
+                jnp.logical_not(done), jnp.logical_not(pre_conv)
+            )
+
+            # ---- line search (ilqr.hh:174-194; trip 0 = forced full step) ----
+            put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_BESTC, current)
+            flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            def ls_trip(j, tok2):
+                @pl.when(flag_ref[1] > 0.5)
+                def _():
+                    accepted = get(_ACCEPTED) > 0.5
+                    pending = jnp.logical_and(active, jnp.logical_not(accepted))
+                    alpha = get(_ALPHA)
+
+                    def rstage(n, carry):
+                        quat, trans, vel, c = carry
+                        dx = _state_minus(
+                            quat, trans, vel, oq_ref[n], ot_ref[n], ov_ref[n]
+                        )
+                        u = (
+                            ou_ref[n]
+                            + alpha * ks_ref[n]
+                            + L.matvec(bigks_ref[n], dx)
+                        )
+                        c = c + stage_cost(quat, trans, vel, u, n)
+                        bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
+                        bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
+                        bv_ref[n] = jnp.where(pending, vel, bv_ref[n])
+                        bu_ref[n] = jnp.where(pending, u, bu_ref[n])
+                        qn, tn, vn = _dynamics_step(
+                            dt, g1, m_inv, iinv_ma, i_l, iinv_l, ez,
+                            quat, trans, vel, u,
+                        )
+                        return (qn, tn, vn, c)
+
+                    rinit = (oq_ref[0], ot_ref[0], ov_ref[0], zeros1)
+                    _, _, _, cand_cost = jax.lax.fori_loop(
+                        0, n_stages, rstage, rinit
+                    )
+
+                    desired = ls_frac * (
+                        alpha * qutk + alpha * alpha * ktquuk * 0.5
+                    )
+                    ok = (cand_cost - current) < desired
+                    # trip 0 of a fresh solve: unconditional full step
+                    ok = jnp.logical_or(ok, li == 0)
+                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+                    accepted2 = jnp.logical_or(
+                        accepted, jnp.logical_and(pending, ok)
+                    )
+                    put(_ACCEPTED, accepted2.astype(dtype))
+                    put(
+                        _ALPHA,
+                        jnp.where(
+                            jnp.logical_or(
+                                accepted2, jnp.logical_not(active)
+                            ),
+                            alpha,
+                            alpha * ls_step,
+                        ),
+                    )
+                    flag_ref[1] = jnp.sum(
+                        jnp.logical_and(
+                            active, jnp.logical_not(accepted2)
+                        ).astype(dtype)
+                    )
+
+                return tok2
+
+            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+
+            # ---- accept / converge / fail bookkeeping (ilqr.hh:58-84) ----
+            accepted = get(_ACCEPTED) > 0.5
+            best_cost = get(_BESTC)
+            post_conv = jnp.logical_and(
+                jnp.logical_and(li_pos, conv(current, best_cost)),
+                jnp.logical_and(active, accepted),
+            )
+            ls_failed = jnp.logical_and(active, jnp.logical_not(accepted))
+
+            def mstage(n, tok3):
+                oq_ref[n] = jnp.where(active, bq_ref[n], oq_ref[n])
+                ot_ref[n] = jnp.where(active, bt_ref[n], ot_ref[n])
+                ov_ref[n] = jnp.where(active, bv_ref[n], ov_ref[n])
+                ou_ref[n] = jnp.where(active, bu_ref[n], ou_ref[n])
+                return tok3
+
+            jax.lax.fori_loop(0, n_stages, mstage, 0)
+
+            put(_COST, jnp.where(active, best_cost, current))
+            status = get(_STATUS)
+            converged = jnp.logical_or(post_conv, pre_conv)
+            status = jnp.where(
+                ls_failed,
+                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+                jnp.where(converged, jnp.asarray(1.0, dtype), status),
+            )
+            put(_STATUS, status)
+            done2 = jnp.logical_or(
+                done, jnp.logical_or(converged, ls_failed)
+            )
+            put(_DONE, done2.astype(dtype))
+            put(_ITERS, get(_ITERS) + active.astype(dtype))
+            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
+            flag_ref[0] = jnp.where(
+                n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
+
+        return tok
+
+    jax.lax.fori_loop(0, max_iters, trip, 0)
+
+    ocost_ref[:] = get(_COST)
+    oiter_ref[:] = get(_ITERS)
+    ostat_ref[:] = get(_STATUS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "batch",
+        "max_iters",
+        "ls_max_iters",
+        "continuation",
+        "cost_batched",
+        "params_batched",
+        "interpret",
+    ),
+)
+def _solve_call(
+    fscal,
+    states_q,
+    states_t,
+    states_v,
+    controls,
+    des_q,
+    des_t,
+    des_v,
+    des_u,
+    q_mat,
+    r_mat,
+    g,
+    m_inv,
+    ju,
+    iinv_ma,
+    inertia,
+    inertia_inv,
+    n,
+    batch,
+    max_iters,
+    ls_max_iters,
+    continuation,
+    cost_batched,
+    params_batched,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = states_q.dtype
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
+    kernel = functools.partial(
+        _solve_kernel, n, max_iters, ls_max_iters, continuation
+    )
+    oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, 4)),
+            cost_block((n, 4)),
+            cost_block((n, 3)),
+            cost_block((n, 6)),
+            cost_block((n, 4)),
+            cost_block((12, 12)),
+            cost_block((4, 4)),
+            param_block((1, 1)),
+            param_block((1, 1)),
+            param_block((12, 4)),
+            param_block((3, 4)),
+            param_block((3, 3)),
+            param_block((3, 3)),
+        ],
+        out_specs=[
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, 4)),
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, 3, batch), dtype),
+            jax.ShapeDtypeStruct((n, 6, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, 4, TILE), dtype),
+            pltpu.VMEM((n, 4, 12, TILE), dtype),
+            pltpu.VMEM((n, 4, TILE), dtype),
+            pltpu.VMEM((n, 3, TILE), dtype),
+            pltpu.VMEM((n, 6, TILE), dtype),
+            pltpu.VMEM((n, 4, TILE), dtype),
+            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.SMEM((2,), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        fscal,
+        states_q,
+        states_t,
+        states_v,
+        controls,
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        iinv_ma,
+        inertia,
+        inertia_inv,
+    )
+    return oq, ot, ov, ou, ocost, oiter, ostat
+
+
+def solve_fused_whole(
+    params,
+    cost,
+    traj,
+    dt_s,
+    options,
+    interpret=False,
+    continuation=False,
+):
+    """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
+    multiple of 128. Latency-optimized: use solver/batched.py for huge
+    batches (it pipelines tiles), this for small-batch / single-scenario
+    solves. Returns the same tuple layout as the batch loop:
+    (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
+    from ..lie.se3 import SE3
+    from ..models.quadrotor import State
+    from ..solver.ilqr import Trajectory
+
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    dtype = controls.dtype
+    ls = options.line_search_params
+    cc = options.convergence_criteria
+
+    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=1.0
+    )
+    g, ju, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+        params, dt_s, dtype
+    )
+    fscal = jnp.asarray(
+        [
+            dt_s,
+            options.quu_reg,
+            cc.rtol,
+            cc.atol,
+            ls.step_update,
+            ls.desired_reduction_frac,
+            0.0,
+            0.0,
+        ],
+        dtype,
+    )
+
+    oq, ot, ov, ou, ocost, oiter, ostat = _solve_call(
+        fscal,
+        _to_lanes(traj.states.pose.quat),
+        _to_lanes(traj.states.pose.trans),
+        _to_lanes(traj.states.vel),
+        _to_lanes(controls),
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        iinv_ma,
+        inertia,
+        inertia_inv,
+        n,
+        batch,
+        int(cc.max_iters),
+        int(ls.max_iters),
+        continuation,
+        cost_batched,
+        params_batched,
+        interpret,
+    )
+    new_traj = Trajectory(
+        times=traj.times,
+        states=State(
+            pose=SE3(
+                quat=jnp.moveaxis(oq, -1, 0), trans=jnp.moveaxis(ot, -1, 0)
+            ),
+            vel=jnp.moveaxis(ov, -1, 0),
+        ),
+        controls=jnp.moveaxis(ou, -1, 0),
+    )
+    return (
+        new_traj,
+        ocost[0],
+        oiter[0].astype(jnp.int32),
+        ostat[0].astype(jnp.int32),
+    )

@@ -14,9 +14,10 @@ reproducing the reference per-scenario semantics exactly (ilqr.hh:53-205):
     on the achieved cost (ilqr.hh:82-84);
   * finished lanes freeze (their state is re-selected, not recomputed).
 
-Scope matches the kernels: physical params are shared across the batch;
-cost weights / desired trajectories may be shared or per-scenario.
-populate_debug is unsupported here (use the XLA path, parallel/batch.py).
+Scope matches the kernels: physical params, cost weights, and desired
+trajectories may each be shared across the batch or per-scenario (for
+per-scenario params build a QuadrotorParams whose EVERY leaf carries the
+leading batch dim — kernels/backward._prep_params).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
     STATUS_MAX_ITERS,
+    IterDebug,
     SolveResult,
     Trajectory,
     expected_cost_reduction,
@@ -75,11 +77,13 @@ def solve_batch_fused(
     trip — pre-check enabled, line search instead of the unconditional full
     step (ilqr.hh:71-73 applies only to the very first trip of a solve).
     Used by `solve_batch_refine` to continue straggler lanes exactly.
+
+    `options.populate_debug=True` records per-iteration {trajectory, cost}
+    snapshots exactly like the XLA path (ilqr.hh:78-80 semantics: one slot
+    per EXECUTED update, `valid` marks populated slots per lane). Memory is
+    max_iters x the trajectory batch — debug is for small diagnostic
+    batches, not 65k-scenario production runs.
     """
-    if options.populate_debug:
-        raise NotImplementedError(
-            "populate_debug is only supported on the XLA path (parallel.batch)"
-        )
     ls = options.line_search_params
     max_iters = int(options.convergence_criteria.max_iters)
     batch = initial_trajs.controls.shape[0]
@@ -92,8 +96,9 @@ def solve_batch_fused(
                 [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
             )
 
+        params_batched = jnp.ndim(params.mass_kg) >= 1
         padded = solve_batch_fused(
-            params,
+            jax.tree.map(pad_lane, params) if params_batched else params,
             jax.tree.map(lambda a: pad_lane(a) if a.ndim == 3 else a, cost),
             jax.tree.map(pad_lane, initial_trajs),
             dt_s,
@@ -174,12 +179,25 @@ def solve_batch_fused(
         _, _, accepted, best, best_cost = jax.lax.while_loop(cond, body, init)
         return best, best_cost, accepted
 
+    populate_debug = options.populate_debug
+    if populate_debug:
+        debug0 = IterDebug(
+            trajectories=jax.tree.map(
+                lambda leaf: jnp.zeros((max_iters,) + leaf.shape, leaf.dtype),
+                initial_trajs,
+            ),
+            costs=jnp.zeros((max_iters, batch), dtype),
+            valid=jnp.zeros((max_iters, batch), bool),
+        )
+    else:
+        debug0 = None
+
     def outer_cond(carry):
-        i, _, _, done, _, _ = carry
+        i, _, _, done, _, _, _ = carry
         return jnp.logical_and(i < max_iters, jnp.logical_not(jnp.all(done)))
 
     def outer_body(carry):
-        i, traj, new_cost, done, status, iterations = carry
+        i, traj, new_cost, done, status, iterations, debug = carry
         ks, big_ks, qutk, ktquuk = backward(traj)
         current = new_cost
         # logical trip index: a continuation starts past the trip-0 specials
@@ -222,7 +240,26 @@ def solve_batch_fused(
             done, jnp.logical_or(pre_conv, jnp.logical_or(post_conv, ls_failed))
         )
         iterations = iterations + jnp.where(active, 1, 0).astype(jnp.int32)
-        return (i + 1, traj, new_cost, done, status, iterations)
+
+        if populate_debug:
+            # one slot per executed update (ilqr.hh:78-80); inactive lanes
+            # keep zeros in slot i so buffers match the vmapped XLA path
+            zero_traj = jax.tree.map(jnp.zeros_like, traj)
+            snap = _where_lanes(active, traj, zero_traj)
+            debug = IterDebug(
+                trajectories=jax.tree.map(
+                    lambda buf, leaf: jax.lax.dynamic_update_index_in_dim(
+                        buf, leaf, i, 0
+                    ),
+                    debug.trajectories,
+                    snap,
+                ),
+                costs=debug.costs.at[i].set(
+                    jnp.where(active, new_cost, 0.0)
+                ),
+                valid=debug.valid.at[i].set(active),
+            )
+        return (i + 1, traj, new_cost, done, status, iterations, debug)
 
     init = (
         jnp.zeros((), jnp.int32),
@@ -231,13 +268,81 @@ def solve_batch_fused(
         jnp.zeros((batch,), bool),
         jnp.full((batch,), STATUS_MAX_ITERS, jnp.int32),
         jnp.zeros((batch,), jnp.int32),
+        debug0,
     )
-    _, traj, final_cost, done, status, iterations = jax.lax.while_loop(
+    _, traj, final_cost, done, status, iterations, debug = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
+    if populate_debug:
+        # (max_iters, B, ...) buffers -> batch-leading, as vmap produces
+        debug = IterDebug(
+            trajectories=jax.tree.map(
+                lambda leaf: jnp.moveaxis(leaf, 0, 1), debug.trajectories
+            ),
+            costs=debug.costs.T,
+            valid=debug.valid.T,
+        )
     return SolveResult(
         trajectory=traj,
         cost=final_cost,
+        iterations=iterations,
+        status=status,
+        debug=debug,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation")
+)
+def solve_batch_latency(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    interpret: bool = False,
+    continuation: bool = False,
+) -> SolveResult:
+    """Latency-optimized batched solve: the ENTIRE iLQR loop in one Pallas
+    kernel per 128-lane tile (kernels/solve.py) — no per-trip kernel
+    launches or layout glue. Lane-for-lane identical to `solve_batch_fused`;
+    use this for single/small-batch solves (BASELINE.json configs 1 and 4),
+    the batch loop for throughput batches. Horizon bound: N <= ~200 (VMEM).
+    """
+    from ..kernels.solve import solve_fused_whole
+
+    if options.populate_debug:
+        raise NotImplementedError(
+            "populate_debug is unsupported on the whole-solve kernel "
+            "(use solve_batch_fused or the XLA path)"
+        )
+    batch = initial_trajs.controls.shape[0]
+    pad = (-batch) % 128
+    if pad:
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
+            )
+
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        padded = solve_batch_latency(
+            jax.tree.map(pad_lane, params) if params_batched else params,
+            jax.tree.map(lambda a: pad_lane(a) if a.ndim == 3 else a, cost),
+            jax.tree.map(pad_lane, initial_trajs),
+            dt_s,
+            options,
+            interpret=interpret,
+            continuation=continuation,
+        )
+        return jax.tree.map(lambda a: a[:batch], padded)
+
+    traj, cost_v, iterations, status = solve_fused_whole(
+        params, cost, initial_trajs, dt_s, options,
+        interpret=interpret, continuation=continuation,
+    )
+    return SolveResult(
+        trajectory=traj,
+        cost=cost_v,
         iterations=iterations,
         status=status,
         debug=None,
@@ -292,13 +397,18 @@ def solve_batch_refine(
     sub_cost = jax.tree.map(
         lambda a: a[idx] if a.ndim == 3 else a, cost
     )
+    sub_params = (
+        jax.tree.map(lambda a: a[idx], params)
+        if jnp.ndim(params.mass_kg) >= 1
+        else params
+    )
     opts2 = replace(
         options,
         convergence_criteria=replace(cc, max_iters=total_iters - phase1_iters),
     )
     r2 = solve_batch_fused(
-        params, sub_cost, sub_trajs, dt_s, opts2, interpret, continuation=True,
-        initial_cost=r1.cost[idx],
+        sub_params, sub_cost, sub_trajs, dt_s, opts2, interpret,
+        continuation=True, initial_cost=r1.cost[idx],
     )
 
     scatter_idx = jnp.asarray(pending)

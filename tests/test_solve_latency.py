@@ -1,0 +1,137 @@
+"""Whole-solve single-kernel path (kernels/solve.py) vs the batch loop.
+
+The latency kernel runs the COMPLETE iLQR loop inside one Pallas program;
+these f64 interpret-mode tests pin it lane-for-lane to solve_batch_fused
+(itself pinned to the vmapped XLA solver and the C++ oracle), extending the
+three-way parity contract to the fourth implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.solver.batched import solve_batch_fused, solve_batch_latency
+from quadrotorilqr_tpu.solver.options import (
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+from test_kernel_backward import _problem
+
+
+def _assert_same(a, b):
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_array_equal(
+        np.asarray(a.iterations), np.asarray(b.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(a.trajectory.controls),
+        np.asarray(b.trajectory.controls),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.trajectory.states.pose.quat),
+        np.asarray(b.trajectory.states.pose.quat),
+        atol=1e-12,
+    )
+
+
+def test_latency_matches_batch_loop():
+    params, cost, trajs = _problem(n=6)
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 6),
+    )
+    a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params, cost, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)
+
+
+def test_latency_continuation_and_tight_budget():
+    """continuation=True resumes past the trip-0 specials; max_iters budgets
+    are honored exactly (including the max_iters=0 cost-only degenerate)."""
+    params, cost, trajs = _problem(n=5)
+
+    def opts(iters):
+        return ILQROptions(
+            convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, iters)
+        )
+
+    a1 = solve_batch_fused(params, cost, trajs, 0.02, opts(2), interpret=True)
+    b1 = solve_batch_latency(params, cost, trajs, 0.02, opts(2), interpret=True)
+    _assert_same(a1, b1)
+
+    a2 = solve_batch_fused(
+        params, cost, a1.trajectory, 0.02, opts(3), interpret=True,
+        continuation=True,
+    )
+    b2 = solve_batch_latency(
+        params, cost, b1.trajectory, 0.02, opts(3), interpret=True,
+        continuation=True,
+    )
+    _assert_same(a2, b2)
+
+    a0 = solve_batch_fused(params, cost, trajs, 0.02, opts(0), interpret=True)
+    b0 = solve_batch_latency(params, cost, trajs, 0.02, opts(0), interpret=True)
+    _assert_same(a0, b0)
+
+
+def test_latency_per_scenario_weights_and_padding():
+    """Per-lane cost operands + non-128 batch padding on the latency path."""
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+
+    params, cost, trajs = _problem(n=4)
+    batch = trajs.controls.shape[0]
+    rng = np.random.default_rng(3)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(batch,)), jnp.float64)
+    cost_b = QuadraticTrackingCost(
+        Q=scale[:, None, None] * cost.Q,
+        R=jnp.broadcast_to(cost.R, (batch, 4, 4)),
+        desired_states=cost.desired_states,
+        desired_controls=cost.desired_controls,
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+    )
+    a = solve_batch_fused(params, cost_b, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params, cost_b, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)
+
+    # odd batch: pads to the tile and strips back
+    sub_t = jax.tree.map(lambda x: x[:70], trajs)
+    sub_c = jax.tree.map(lambda x: x[:70] if x.ndim == 3 else x, cost_b)
+    r = solve_batch_latency(params, sub_c, sub_t, 0.02, options, interpret=True)
+    assert r.cost.shape == (70,)
+    np.testing.assert_allclose(
+        np.asarray(r.cost), np.asarray(b.cost[:70]), rtol=1e-12
+    )
+
+
+def test_latency_per_scenario_params():
+    """Per-lane physical params on the whole-solve kernel."""
+    from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+
+    _, cost, trajs = _problem(n=4)
+    batch = trajs.controls.shape[0]
+    rng = np.random.default_rng(17)
+    diags = rng.uniform(0.3, 0.8, size=(batch, 3))
+    inertias = np.stack([np.diag(d) + 0.02 for d in diags])
+    params_b = QuadrotorParams(
+        mass_kg=jnp.asarray(rng.uniform(0.8, 1.6, size=(batch,)), jnp.float64),
+        inertia=jnp.asarray(inertias, jnp.float64),
+        arm_length_m=jnp.asarray(
+            rng.uniform(0.15, 0.3, size=(batch,)), jnp.float64
+        ),
+        torque_to_thrust_ratio_m=jnp.asarray(
+            rng.uniform(0.01, 0.02, size=(batch,)), jnp.float64
+        ),
+        g_mpss=jnp.asarray(rng.uniform(9.0, 10.5, size=(batch,)), jnp.float64),
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+    )
+    a = solve_batch_fused(params_b, cost, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params_b, cost, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)

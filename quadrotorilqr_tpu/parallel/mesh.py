@@ -44,9 +44,19 @@ def make_scenario_mesh(devices=None, axis_name=SCENARIO_AXIS) -> Mesh:
 
 
 def shard_scenarios(tree, mesh: Mesh, axis_name=SCENARIO_AXIS):
-    """Place a batched pytree so its leading axis is sharded over the mesh."""
+    """Place a batched pytree so its leading axis is sharded over the mesh.
+
+    Leaves already carrying the target sharding (e.g. global arrays built by
+    parallel/distributed.distribute_batch — a multi-process device_put from
+    one host would fail) pass through untouched."""
     sharding = NamedSharding(mesh, P(axis_name))
-    return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), tree)
+
+    def place(leaf):
+        if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
+            return leaf
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(place, tree)
 
 
 def replicate(tree, mesh: Mesh):

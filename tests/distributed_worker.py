@@ -1,0 +1,106 @@
+"""Worker for tests/test_distributed.py — one of two cooperating processes.
+
+Must configure the backend BEFORE importing jax-heavy modules, so it cannot
+share tests/conftest.py. Usage: distributed_worker.py <process_id> <port>.
+"""
+
+import os
+import sys
+
+PROC_ID = int(sys.argv[1])
+PORT = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quadrotorilqr_tpu.app import workloads  # noqa: E402
+from quadrotorilqr_tpu.costs import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.models import quadrotor as qm  # noqa: E402
+from quadrotorilqr_tpu.parallel import distributed  # noqa: E402
+from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
+    initial_trajectory_from_state,
+    solve_batch,
+)
+from quadrotorilqr_tpu.parallel.mesh import (  # noqa: E402
+    make_scenario_mesh,
+    solve_sharded,
+    solve_sharded_with_stats,
+)
+from quadrotorilqr_tpu.solver import ILQROptions  # noqa: E402
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria  # noqa: E402
+
+GLOBAL_B = 16
+N = 12
+DT = 0.05
+F64 = jnp.float64
+
+
+def build_problem():
+    key = jax.random.PRNGKey(0)
+    x0, desired = workloads.hover_to_waypoint(
+        key, GLOBAL_B, n=N, dt_s=DT, dtype=F64, pose_scale=0.3
+    )
+    params = qm.QuadrotorParams.create(1.0, jnp.eye(3, dtype=F64), 1.0, 0.017, 9.81)
+    q = jnp.diag(jnp.concatenate([10.0 * jnp.ones(6, F64), jnp.ones(6, F64)]))
+    r = 0.1 * jnp.eye(4, dtype=F64)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 15))
+    return params, cost, trajs, opts
+
+
+def main():
+    distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT}", num_processes=2, process_id=PROC_ID
+    )
+    assert distributed.is_distributed()
+    assert jax.process_count() == 2
+    mesh = make_scenario_mesh()
+    assert mesh.devices.size == 8, mesh.devices
+
+    params, cost, full_trajs, opts = build_problem()
+
+    # single-device process-local reference over the FULL batch
+    ref = solve_batch(params, cost, full_trajs, DT, opts)
+    ref_controls = np.asarray(ref.trajectory.controls)
+    ref_cost = np.asarray(ref.cost)
+
+    # this process builds ONLY its local half, then assembles global arrays
+    lo, n_local = distributed.local_scenario_slice(GLOBAL_B, mesh)
+    assert n_local == GLOBAL_B // 2
+    local_trajs = jax.tree.map(lambda a: a[lo : lo + n_local], full_trajs)
+    trajs = distributed.distribute_batch(local_trajs, mesh)
+
+    # GSPMD path across the process boundary
+    res = solve_sharded(params, cost, trajs, DT, opts, mesh)
+    mine = distributed.process_local_data(res.trajectory.controls)
+    np.testing.assert_allclose(
+        mine, ref_controls[lo : lo + n_local], atol=1e-8
+    )
+
+    # shard_map + psum path: collectives cross processes (gloo on CPU)
+    res2, stats = solve_sharded_with_stats(params, cost, trajs, DT, opts, mesh)
+    np.testing.assert_allclose(
+        float(stats["total_cost"]), float(ref_cost.sum()), rtol=1e-10
+    )
+    n_conv_ref = int((np.asarray(ref.status) == 1).sum())
+    assert int(float(stats["n_converged"])) == n_conv_ref
+    mine2 = distributed.process_local_data(res2.cost)
+    np.testing.assert_allclose(mine2, ref_cost[lo : lo + n_local], rtol=1e-10)
+
+    distributed.shutdown()
+    print(f"WORKER {PROC_ID} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

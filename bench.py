@@ -102,11 +102,15 @@ def time_tpu_solves(options):
             result = solve_batch_fused(p, c, t, DT_S, options)
         else:
             result = solve_batch(p, c, t, DT_S, options)
-        # reduce to tiny outputs: host sync transfers a few bytes, not MBs
-        return (
-            jnp.sum(result.cost),
-            jnp.mean((result.status == 1).astype(jnp.float32)),
-            jnp.mean(result.iterations.astype(jnp.float32)),
+        # reduce to ONE tiny packed output: each host read pays a full
+        # tunnel round trip (~28 ms), so N separate scalars would inflate
+        # the measured latency by (N-1) RTTs
+        return jnp.stack(
+            [
+                jnp.sum(result.cost),
+                jnp.mean((result.status == 1).astype(jnp.float32)),
+                jnp.mean(result.iterations.astype(jnp.float32)),
+            ]
         )
 
     t0 = time.perf_counter()
@@ -115,8 +119,7 @@ def time_tpu_solves(options):
 
     def timed_run():
         t0 = time.perf_counter()
-        out = compiled(params, cost, trajs)
-        out = tuple(float(np.asarray(x)) for x in out)  # sync
+        out = tuple(np.asarray(compiled(params, cost, trajs)))  # one sync read
         return time.perf_counter() - t0, out
 
     _, out = timed_run()  # warm-up execution

@@ -173,6 +173,7 @@ def _riccati_stage(
 def _backward_kernel(
     n_stages,
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
+    act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-active flags
     q_ref,  # (N, 4, Bt) state quats
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
@@ -191,39 +192,45 @@ def _backward_kernel(
     bigks_ref,  # out (N, 4, 12, Bt)
     red_ref,  # out (2, Bt): [QuTk, kTQuuk]
 ):
-    dt = scal_ref[0]
-    g = g_ref[:]  # (1, 1, bt): broadcasts against (r, c, bt) lane matrices
-    quu_reg = scal_ref[1]
-    q_l = qmat_ref[:]
-    r2_l = r2_ref[:]
-    ju = ju_ref[:]
-    ju_t = L.transpose(ju)
-    i_l = i_ref[:]
-    iinv_l = iinv_ref[:]
-    bt = q_l.shape[-1]
-    dtype = q_l.dtype
+    # tiles whose 128 lanes are ALL done skip the pass entirely (their stale
+    # outputs are never selected by the per-lane merge masks downstream) —
+    # with status-compacted batches this turns straggler trips into DMA-only
+    # no-ops for most of the grid.
+    @pl.when(act_ref[pl.program_id(0)] > 0)
+    def _():
+        dt = scal_ref[0]
+        g = g_ref[:]  # (1, 1, bt): broadcasts against (r, c, bt) lane matrices
+        quu_reg = scal_ref[1]
+        q_l = qmat_ref[:]
+        r2_l = r2_ref[:]
+        ju = ju_ref[:]
+        ju_t = L.transpose(ju)
+        i_l = i_ref[:]
+        iinv_l = iinv_ref[:]
+        bt = q_l.shape[-1]
+        dtype = q_l.dtype
 
-    def stage(idx, carry):
-        n = n_stages - 1 - idx
-        v_x, v_xx, qutk, ktquuk = carry
-        k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = _riccati_stage(
-            dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
-            q_ref[n], t_ref[n], v_ref[n], u_ref[n],
-            dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
-            v_x, v_xx,
+        def stage(idx, carry):
+            n = n_stages - 1 - idx
+            v_x, v_xx, qutk, ktquuk = carry
+            k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = _riccati_stage(
+                dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
+                q_ref[n], t_ref[n], v_ref[n], u_ref[n],
+                dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
+                v_x, v_xx,
+            )
+            ks_ref[n] = k
+            bigks_ref[n] = big_k
+            return (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc)
+
+        init = (
+            jnp.zeros((12, bt), dtype),
+            jnp.zeros((12, 12, bt), dtype),
+            jnp.zeros((1, bt), dtype),
+            jnp.zeros((1, bt), dtype),
         )
-        ks_ref[n] = k
-        bigks_ref[n] = big_k
-        return (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc)
-
-    init = (
-        jnp.zeros((12, bt), dtype),
-        jnp.zeros((12, 12, bt), dtype),
-        jnp.zeros((1, bt), dtype),
-        jnp.zeros((1, bt), dtype),
-    )
-    _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, stage, init)
-    red_ref[:] = jnp.concatenate([qutk, ktquuk], axis=0)
+        _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, stage, init)
+        red_ref[:] = jnp.concatenate([qutk, ktquuk], axis=0)
 
 
 def _to_lanes(a):
@@ -336,6 +343,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 )
 def _backward_call(
     scal,
+    tile_act,
     states_q,
     states_t,
     states_v,
@@ -373,6 +381,7 @@ def _backward_call(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
@@ -404,6 +413,7 @@ def _backward_call(
         interpret=interpret,
     )(
         scal,
+        tile_act,
         states_q,
         states_t,
         states_v,
@@ -422,15 +432,19 @@ def _backward_call(
     return ks, big_ks, red
 
 
-def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
+def backward_pass_fused(
+    params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None
+):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
     traj leaves are (B, N, ...) with B a multiple of 128 (the lane tile).
     Cost weights / desired trajectory may be shared or carry a leading batch
     dim (per-scenario weights, BASELINE.json config 3); physical params may
     likewise be shared or per-scenario (ALL leaves with a leading B — see
-    _prep_params). Returns (ks (B,N,4), big_ks (B,N,4,12), qutk (B,),
-    ktquuk (B,)).
+    _prep_params). `tile_act` (B//128,) i32 marks tiles with any active
+    lane; all-done tiles skip computation (stale outputs must be masked by
+    the caller, as solver/batched.py does). Returns (ks (B,N,4),
+    big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
     """
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
@@ -452,9 +466,12 @@ def backward_pass_fused(params, cost, traj, dt_s, quu_reg=0.0, interpret=False):
     )
 
     scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
+    if tile_act is None:
+        tile_act = jnp.ones((batch // TILE,), jnp.int32)
 
     ks, big_ks, red = _backward_call(
         scal,
+        tile_act,
         states_q,
         states_t,
         states_v,

@@ -54,6 +54,7 @@ def _dynamics_step(dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u):
 def _rollout_kernel(
     n_stages,
     scal_ref,  # SMEM (4,): [dt, 0, 0, 0]
+    act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-pending flags
     q_ref,  # (N, 4, Bt) old state quats
     t_ref,
     v_ref,
@@ -78,53 +79,59 @@ def _rollout_kernel(
     ou_ref,
     cost_ref,  # out (1, Bt)
 ):
-    dt = scal_ref[0]
-    g = g_ref[0]  # (1, bt): broadcasts against (3, bt) lane vectors
-    m_inv = minv_ref[0]
-    alpha = alpha_ref[:]
-    q_l = qmat_ref[:]
-    r_l = rmat_ref[:]
-    iinv_ma = iinv_ma_ref[:]
-    i_l = i_ref[:]
-    iinv_l = iinv_ref[:]
-    bt = alpha.shape[-1]
-    dtype = alpha.dtype
+    # all-lanes-idle tiles (nothing pending in this line-search trip) skip
+    # the rollout — stale outputs are masked per-lane by the caller.
+    @pl.when(act_ref[pl.program_id(0)] > 0)
+    def _():
+        dt = scal_ref[0]
+        g = g_ref[0]  # (1, bt): broadcasts against (3, bt) lane vectors
+        m_inv = minv_ref[0]
+        alpha = alpha_ref[:]
+        q_l = qmat_ref[:]
+        r_l = rmat_ref[:]
+        iinv_ma = iinv_ma_ref[:]
+        i_l = i_ref[:]
+        iinv_l = iinv_ref[:]
+        bt = alpha.shape[-1]
+        dtype = alpha.dtype
 
-    ez = jnp.concatenate([jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0)
-
-    def stage(n, carry):
-        quat, trans, vel, cost = carry
-        # feedback control update (ilqr.hh:158-161)
-        dx = _state_minus(quat, trans, vel, q_ref[n], t_ref[n], v_ref[n])
-        u = u_ref[n] + alpha * ks_ref[n] + L.matvec(bigks_ref[n], dx)
-
-        # stage cost of the produced (state, control) pair
-        dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
-        du = u - du_ref[n]
-        cost = (
-            cost
-            + L.dot_lanes(dxd, L.matvec(q_l, dxd))
-            + L.dot_lanes(du, L.matvec(r_l, du))
+        ez = jnp.concatenate(
+            [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
         )
 
-        oq_ref[n] = quat
-        ot_ref[n] = trans
-        ov_ref[n] = vel
-        ou_ref[n] = u
+        def stage(n, carry):
+            quat, trans, vel, cost = carry
+            # feedback control update (ilqr.hh:158-161)
+            dx = _state_minus(quat, trans, vel, q_ref[n], t_ref[n], v_ref[n])
+            u = u_ref[n] + alpha * ks_ref[n] + L.matvec(bigks_ref[n], dx)
 
-        quat_next, trans_next, vel_next = _dynamics_step(
-            dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u
+            # stage cost of the produced (state, control) pair
+            dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
+            du = u - du_ref[n]
+            cost = (
+                cost
+                + L.dot_lanes(dxd, L.matvec(q_l, dxd))
+                + L.dot_lanes(du, L.matvec(r_l, du))
+            )
+
+            oq_ref[n] = quat
+            ot_ref[n] = trans
+            ov_ref[n] = vel
+            ou_ref[n] = u
+
+            quat_next, trans_next, vel_next = _dynamics_step(
+                dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u
+            )
+            return (quat_next, trans_next, vel_next, cost)
+
+        init = (
+            q_ref[0],
+            t_ref[0],
+            v_ref[0],
+            jnp.zeros((1, bt), dtype),
         )
-        return (quat_next, trans_next, vel_next, cost)
-
-    init = (
-        q_ref[0],
-        t_ref[0],
-        v_ref[0],
-        jnp.zeros((1, bt), dtype),
-    )
-    _, _, _, cost = jax.lax.fori_loop(0, n_stages, stage, init)
-    cost_ref[:] = cost
+        _, _, _, cost = jax.lax.fori_loop(0, n_stages, stage, init)
+        cost_ref[:] = cost
 
 
 @functools.partial(
@@ -133,6 +140,7 @@ def _rollout_kernel(
 )
 def _rollout_call(
     scal,
+    tile_act,
     states_q,
     states_t,
     states_v,
@@ -173,6 +181,7 @@ def _rollout_call(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
@@ -212,6 +221,7 @@ def _rollout_call(
         interpret=interpret,
     )(
         scal,
+        tile_act,
         states_q,
         states_t,
         states_v,
@@ -234,11 +244,15 @@ def _rollout_call(
     return oq, ot, ov, ou, cost
 
 
-def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False):
+def rollout_cost_fused(
+    params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False, tile_act=None
+):
     """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
 
     traj leaves (B, N, ...), ks (B, N, 4), big_ks (B, N, 4, 12), alpha (B,).
     Physical params may be shared or per-scenario (see backward._prep_params).
+    `tile_act` (B//128,) i32: tiles with no pending lane skip the rollout
+    (stale outputs must be masked per-lane by the caller).
     Returns (Trajectory with (B, N, ...) leaves, cost (B,)).
     """
     from ..models.quadrotor import State
@@ -258,9 +272,12 @@ def rollout_cost_fused(params, cost, traj, ks, big_ks, alpha, dt_s, interpret=Fa
         params, dt_s, dtype
     )
     scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
+    if tile_act is None:
+        tile_act = jnp.ones((batch // TILE,), jnp.int32)
 
     oq, ot, ov, ou, cost_out = _rollout_call(
         scal,
+        tile_act,
         _to_lanes(traj.states.pose.quat),
         _to_lanes(traj.states.pose.trans),
         _to_lanes(traj.states.vel),

@@ -27,7 +27,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..costs import quadratic as qc
 from ..kernels.backward import backward_pass_fused
@@ -55,7 +54,11 @@ def _where_lanes(mask, a, b):
 
 
 @partial(jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation"))
-# initial_cost is a traced operand (or None, resolved at trace time)
+# initial_cost / initial_status are traced operands (or None, resolved at
+# trace time). initial_status freezes lanes that already finished (status !=
+# STATUS_MAX_ITERS) while preserving their status — the on-device compacted
+# two-phase solve feeds the whole permuted batch back through with the done
+# lanes frozen.
 def solve_batch_fused(
     params,
     cost,
@@ -65,6 +68,7 @@ def solve_batch_fused(
     interpret: bool = False,
     continuation: bool = False,
     initial_cost=None,
+    initial_status=None,
 ) -> SolveResult:
     """Batched iLQR solve; initial_trajs leaves are (B, N, ...).
 
@@ -106,14 +110,27 @@ def solve_batch_fused(
             interpret=interpret,
             continuation=continuation,
             initial_cost=None if initial_cost is None else pad_lane(initial_cost),
+            initial_status=(
+                None if initial_status is None else pad_lane(initial_status)
+            ),
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
-    backward = lambda traj: backward_pass_fused(
-        params, cost, traj, dt_s, quu_reg=options.quu_reg, interpret=interpret
+    n_tiles = batch // 128
+
+    def tiles_any(mask):
+        """(B,) lane mask -> (n_tiles,) i32 per-tile any flags: tiles whose
+        128 lanes are all idle skip kernel compute entirely (the per-lane
+        merge masks below never select their stale outputs)."""
+        return jnp.any(mask.reshape(n_tiles, 128), axis=1).astype(jnp.int32)
+
+    backward = lambda traj, act: backward_pass_fused(
+        params, cost, traj, dt_s, quu_reg=options.quu_reg,
+        interpret=interpret, tile_act=act,
     )
-    rollout = lambda traj, ks, big_ks, alpha: rollout_cost_fused(
-        params, cost, traj, ks, big_ks, alpha, dt_s, interpret=interpret
+    rollout = lambda traj, ks, big_ks, alpha, act: rollout_cost_fused(
+        params, cost, traj, ks, big_ks, alpha, dt_s,
+        interpret=interpret, tile_act=act,
     )
 
     if initial_cost is not None:
@@ -155,12 +172,12 @@ def solve_batch_fused(
 
         def body(carry):
             j, alpha, accepted, best, best_cost = carry
-            cand, cand_cost = rollout(traj, ks, big_ks, alpha)
+            pending = jnp.logical_and(active, ~accepted)
+            cand, cand_cost = rollout(traj, ks, big_ks, alpha, tiles_any(pending))
             desired = ls.desired_reduction_frac * expected_reduction(
                 qutk, ktquuk, alpha
             )
             ok = (cand_cost - current_cost) < desired
-            pending = jnp.logical_and(active, ~accepted)
             best = _where_lanes(pending, cand, best)
             best_cost = jnp.where(pending, cand_cost, best_cost)
             accepted = jnp.logical_or(accepted, jnp.logical_and(pending, ok))
@@ -198,7 +215,7 @@ def solve_batch_fused(
 
     def outer_body(carry):
         i, traj, new_cost, done, status, iterations, debug = carry
-        ks, big_ks, qutk, ktquuk = backward(traj)
+        ks, big_ks, qutk, ktquuk = backward(traj, tiles_any(~done))
         current = new_cost
         # logical trip index: a continuation starts past the trip-0 specials
         li = i + 1 if continuation else i
@@ -212,7 +229,8 @@ def solve_batch_fused(
 
         def first_trip(_):
             cand, cand_cost = rollout(
-                traj, ks, big_ks, jnp.ones((batch,), dtype)
+                traj, ks, big_ks, jnp.ones((batch,), dtype),
+                jnp.ones((n_tiles,), jnp.int32),
             )
             return cand, cand_cost, jnp.ones((batch,), bool)
 
@@ -261,12 +279,18 @@ def solve_batch_fused(
             )
         return (i + 1, traj, new_cost, done, status, iterations, debug)
 
+    if initial_status is None:
+        done0 = jnp.zeros((batch,), bool)
+        status0 = jnp.full((batch,), STATUS_MAX_ITERS, jnp.int32)
+    else:
+        status0 = initial_status.astype(jnp.int32)
+        done0 = status0 != STATUS_MAX_ITERS
     init = (
         jnp.zeros((), jnp.int32),
         initial_trajs,
         new_cost0,
-        jnp.zeros((batch,), bool),
-        jnp.full((batch,), STATUS_MAX_ITERS, jnp.int32),
+        done0,
+        status0,
         jnp.zeros((batch,), jnp.int32),
         debug0,
     )
@@ -349,6 +373,10 @@ def solve_batch_latency(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("dt_s", "options", "phase1_iters", "interpret"),
+)
 def solve_batch_refine(
     params,
     cost,
@@ -358,72 +386,67 @@ def solve_batch_refine(
     phase1_iters: int = 4,
     interpret: bool = False,
 ) -> SolveResult:
-    """Two-phase batched solve: full batch for `phase1_iters` trips, then
-    gather the still-unconverged lanes, pad to a 128-lane tile, and continue
-    ONLY those with the remaining budget (`continuation=True` resumes the
-    reference loop exactly — same per-lane results as a single-phase solve).
+    """Two-phase compacted batched solve, ENTIRELY on-device (one compiled
+    program, zero host round trips — the r1 host-orchestrated version lost
+    its winnings to the ~28 ms dispatch floor between phases):
 
-    Why: with masked batch convergence, late outer trips run full-batch
-    kernels for a handful of straggler lanes (mean iterations ~3.5 vs a
-    budget of 10 on the hover workload) — compaction reclaims that. This is
-    host-orchestrated (one device round trip between phases), so use it for
-    throughput, not latency; per-scenario weights/targets are gathered along
-    with the lanes.
+      1. phase 1 runs the full batch for `phase1_iters` trips;
+      2. lanes still pending are PERMUTED to the front (stable argsort on
+         the done flag — an on-device sort/gather), so the straggler
+         population occupies the leading kernel tiles;
+      3. phase 2 resumes exactly (`continuation` + `initial_status` freeze
+         the finished lanes) — the per-tile activity flags turn the all-done
+         tail tiles into DMA-only no-ops;
+      4. results scatter back through the inverse permutation.
+
+    Lane-for-lane identical to a single-phase `solve_batch_fused` (tested).
+    Worth it when stragglers are rare-but-slow (mean iterations well below
+    the budget); for tight iteration spreads the permutation overhead buys
+    nothing — measure.
     """
+    if options.populate_debug:
+        raise NotImplementedError(
+            "populate_debug is unsupported on the compacted two-phase path"
+        )
     cc = options.convergence_criteria
     total_iters = int(cc.max_iters)
-    phase1_iters = min(phase1_iters, total_iters)
+    phase1 = min(phase1_iters, total_iters)
     opts1 = replace(
-        options, convergence_criteria=replace(cc, max_iters=phase1_iters)
+        options, convergence_criteria=replace(cc, max_iters=phase1)
     )
     r1 = solve_batch_fused(params, cost, initial_trajs, dt_s, opts1, interpret)
-    if phase1_iters == total_iters:
+    if phase1 == total_iters:
         return r1
 
-    status1 = np.asarray(r1.status)
-    pending = np.nonzero(status1 == STATUS_MAX_ITERS)[0]
-    if pending.size == 0:
-        return r1
+    pending = r1.status == STATUS_MAX_ITERS
+    # stable: pending lanes first, original relative order preserved both
+    # ways (perm and its inverse) so results are bit-reproducible
+    perm = jnp.argsort(jnp.logical_not(pending), stable=True)
+    inv = jnp.argsort(perm, stable=True)
 
-    # pad the gather indices to a 128-lane multiple (duplicates are solved
-    # redundantly and dropped at scatter)
-    pad = (-pending.size) % 128
-    idx = jnp.asarray(np.concatenate([pending, np.full(pad, pending[0])]))
+    def g(tree):
+        return jax.tree.map(lambda a: a[perm], tree)
 
-    def gather(tree):
-        return jax.tree.map(lambda a: a[idx], tree)
-
-    sub_trajs = gather(r1.trajectory)
-    sub_cost = jax.tree.map(
-        lambda a: a[idx] if a.ndim == 3 else a, cost
-    )
-    sub_params = (
-        jax.tree.map(lambda a: a[idx], params)
+    cost_g = jax.tree.map(lambda a: a[perm] if a.ndim == 3 else a, cost)
+    params_g = (
+        jax.tree.map(lambda a: a[perm], params)
         if jnp.ndim(params.mass_kg) >= 1
         else params
     )
     opts2 = replace(
         options,
-        convergence_criteria=replace(cc, max_iters=total_iters - phase1_iters),
+        convergence_criteria=replace(cc, max_iters=total_iters - phase1),
     )
     r2 = solve_batch_fused(
-        sub_params, sub_cost, sub_trajs, dt_s, opts2, interpret,
-        continuation=True, initial_cost=r1.cost[idx],
+        params_g, cost_g, g(r1.trajectory), dt_s, opts2, interpret,
+        continuation=True,
+        initial_cost=r1.cost[perm],
+        initial_status=r1.status[perm],
     )
-
-    scatter_idx = jnp.asarray(pending)
-
-    def scatter(full, sub):
-        return jax.tree.map(
-            lambda f, s: f.at[scatter_idx].set(s[: pending.size]), full, sub
-        )
-
     return SolveResult(
-        trajectory=scatter(r1.trajectory, r2.trajectory),
-        cost=r1.cost.at[scatter_idx].set(r2.cost[: pending.size]),
-        iterations=r1.iterations.at[scatter_idx].add(
-            r2.iterations[: pending.size]
-        ),
-        status=r1.status.at[scatter_idx].set(r2.status[: pending.size]),
+        trajectory=jax.tree.map(lambda a: a[inv], r2.trajectory),
+        cost=r2.cost[inv],
+        iterations=r1.iterations + r2.iterations[inv],
+        status=r2.status[inv],
         debug=None,
     )

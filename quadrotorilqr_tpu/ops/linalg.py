@@ -86,3 +86,60 @@ def chol_solve_small(a, b):
 def chol_solve_vec(a, b):
     """Solve a @ x = b for small SPD a (..., n, n) and vector b (..., n)."""
     return chol_solve_small(a, b[..., None])[..., 0]
+
+
+def qr_solve_small(a, b):
+    """Solve a @ x = b for a small GENERAL (non-symmetric) a (..., n, n) and
+    b (..., n, k) via Householder QR with NO pivoting.
+
+    The TPU-safe replacement for `jnp.linalg.solve` on small general
+    systems (the associative-Riccati combine's I + C J blocks,
+    solver/parallel_riccati.py): Householder is backward stable without
+    pivoting, so there is no argmax/row-swap gather chain. The column loop
+    is a `fori_loop` whose body uses one-hot contractions on whole
+    matrices — a tiny constant-size graph, safe to embed in scan /
+    associative_scan bodies (a fully unrolled variant multiplies its
+    ~10^3-node graph into every level of an associative scan and explodes
+    compile time). A structurally zero column (beta == 0) skips its
+    reflector instead of dividing by zero."""
+    import jax
+
+    n = a.shape[-1]
+    dtype = a.dtype
+    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    a = jnp.broadcast_to(a, batch + a.shape[-2:])
+    b = jnp.broadcast_to(b, batch + b.shape[-2:])
+    idx = jnp.arange(n)
+
+    def reflect(j, carry):
+        r, y = carry
+        oh = (idx == j).astype(dtype)  # (n,)
+        low = (idx >= j).astype(dtype)
+        col = jnp.einsum("...ic,c->...i", r, oh) * low  # column j, rows >= j
+        rjj = jnp.einsum("...i,i->...", col, oh)
+        norm = jnp.sqrt(jnp.sum(col * col, axis=-1))
+        alpha = jnp.where(rjj >= 0, -norm, norm)  # anti-cancellation sign
+        v = col - alpha[..., None] * oh
+        beta = jnp.sum(v * v, axis=-1)
+        scale = jnp.where(beta > 0, 2.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+        vr = jnp.einsum("...i,...ic->...c", v, r)
+        r = r - scale[..., None, None] * v[..., :, None] * vr[..., None, :]
+        vy = jnp.einsum("...i,...ic->...c", v, y)
+        y = y - scale[..., None, None] * v[..., :, None] * vy[..., None, :]
+        return r, y
+
+    r, y = jax.lax.fori_loop(0, n, reflect, (a, b))
+
+    def back_sub(step, x):
+        i = n - 1 - step
+        oh = (idx == i).astype(dtype)
+        upper = (idx > i).astype(dtype)
+        ri = jnp.einsum("...ic,i->...c", r, oh)  # row i of R
+        rii = jnp.einsum("...c,c->...", ri, oh)
+        yi = jnp.einsum("...ic,i->...c", y, oh)  # row i of the rhs block
+        rx = jnp.einsum("...c,...ck->...k", ri * upper, x)
+        xi = (yi - rx) / rii[..., None]
+        return x + oh[..., :, None] * xi[..., None, :]
+
+    x0 = jnp.zeros_like(b)
+    return jax.lax.fori_loop(0, n, back_sub, x0)

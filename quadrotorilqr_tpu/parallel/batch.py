@@ -25,7 +25,9 @@ def _batch_axes(tree, batched: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("dt_s", "options", "params_batched", "cost_batched"),
+    static_argnames=(
+        "dt_s", "options", "params_batched", "cost_batched", "associative"
+    ),
 )
 def solve_batch(
     params: QuadrotorParams,
@@ -35,6 +37,7 @@ def solve_batch(
     options: ILQROptions = ILQROptions(),
     params_batched: bool = False,
     cost_batched: bool = False,
+    associative: bool = False,
 ) -> SolveResult:
     """vmapped solve over a leading scenario axis.
 
@@ -42,6 +45,11 @@ def solve_batch(
     mark whether physical parameters / cost weights+targets also carry a
     leading B (per-scenario randomization, BASELINE.json configs 2-3);
     unbatched ones are closed over and broadcast by vmap.
+
+    `associative=True` swaps every lane's backward pass for the O(log N)
+    parallel-in-time Riccati (solver/parallel_riccati.py) — the small-batch
+    x long-horizon regime where the horizon, not the scenario count, must
+    fill the chip.
     """
     # cost leaves may be individually batched (e.g. per-scenario Q/R with a
     # shared desired trajectory): infer the vmap axis per leaf.
@@ -56,7 +64,10 @@ def solve_batch(
         _batch_axes(initial_trajs, True),
     )
     return jax.vmap(
-        lambda p, c, t: ilqr_module.solve(p, c, t, dt_s, options), in_axes=in_axes
+        lambda p, c, t: ilqr_module.solve(
+            p, c, t, dt_s, options, associative=associative
+        ),
+        in_axes=in_axes,
     )(params, cost, initial_trajs)
 
 

@@ -50,7 +50,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import chol_solve_small, chol_solve_vec
+from ..ops.linalg import chol_solve_small, chol_solve_vec, qr_solve_small
 from . import ilqr as seq
 
 
@@ -91,8 +91,12 @@ def _combine(later, earlier):
     a_j, c_j, j_j = later
     eye = jnp.eye(13, dtype=a_i.dtype)
     s = eye + c_i @ j_j
-    sa = jnp.linalg.solve(s, a_i)
-    sc = jnp.linalg.solve(s, c_i)
+    # one unrolled Householder-QR factorization, both right-hand sides
+    # (S is general/nonsymmetric — jnp.linalg.solve's pivoted LU is the
+    # pattern this project bans on TPU, ops/linalg.py)
+    sol = qr_solve_small(s, jnp.concatenate([a_i, c_i], axis=-1))
+    sa = sol[..., :13]
+    sc = sol[..., 13:]
     a = a_j @ sa
     c = a_j @ sc @ jnp.swapaxes(a_j, -1, -2) + c_j
     j = jnp.swapaxes(a_i, -1, -2) @ (j_j @ sa) + j_i

@@ -39,3 +39,26 @@ def test_broadcast_unbatched_matrix_batched_rhs():
     b = rng.normal(size=(40, 3))
     x = np.asarray(L.chol_solve_vec(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(x, np.linalg.solve(a, b.T).T, rtol=1e-10, atol=1e-12)
+
+
+def test_qr_solve_small_general_matrices():
+    """Unrolled Householder QR vs numpy solve on random NON-symmetric
+    systems (the associative-Riccati combine blocks)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from quadrotorilqr_tpu.ops.linalg import qr_solve_small
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(7, 13, 13))
+    a += 3 * np.eye(13)  # well-conditioned but generic
+    b = rng.normal(size=(7, 13, 26))
+    x = np.asarray(qr_solve_small(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.linalg.solve(a, b)
+    np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-10)
+
+    # negative-diagonal + indefinite cases (sign handling in the reflector)
+    a2 = rng.normal(size=(13, 13)) - 2 * np.eye(13)
+    b2 = rng.normal(size=(13, 4))
+    x2 = np.asarray(qr_solve_small(jnp.asarray(a2), jnp.asarray(b2)))
+    np.testing.assert_allclose(x2, np.linalg.solve(a2, b2), rtol=1e-8, atol=1e-9)

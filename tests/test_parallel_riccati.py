@@ -76,3 +76,26 @@ def test_full_solve_with_associative_backward():
         np.asarray(r_seq.trajectory.controls),
         atol=1e-7,
     )
+
+
+def test_solve_batch_associative():
+    """Batched integration: solve_batch(associative=True) == sequential."""
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
+
+    params, cost, trajs = _problem(n=8)
+    sub = jax.tree.map(lambda a: a[:6], trajs)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 5)
+    )
+    r_seq = solve_batch(params, cost, sub, 0.02, options)
+    r_par = solve_batch(params, cost, sub, 0.02, options, associative=True)
+    np.testing.assert_array_equal(np.asarray(r_par.status), np.asarray(r_seq.status))
+    np.testing.assert_allclose(
+        np.asarray(r_par.cost), np.asarray(r_seq.cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_par.trajectory.controls),
+        np.asarray(r_seq.trajectory.controls),
+        atol=1e-7,
+    )

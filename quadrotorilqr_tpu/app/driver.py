@@ -76,10 +76,38 @@ def plot_costs(costs):
     return fig
 
 
-def animate_trajectories(traj_dict, plot_3d_key):
-    """quadrotor_ilqr.py:186-253 — 3D path + oriented body-frame triad
-    animation (the STL mesh is replaced by a quadrotor cross glyph; the
-    reference's mesh asset is binary-only)."""
+# The reference renders its quadrotor mesh asset in the 3D animation
+# (quadrotor_ilqr.py:186-253, quad_simple_scaled.stl). The asset is loaded at
+# runtime when present (override with QILQR_MESH_PATH); without it the
+# animation falls back to a 4-arm glyph.
+DEFAULT_MESH_PATH = "/root/reference/quad_simple_scaled.stl"
+
+
+def load_stl_mesh(path):
+    """Minimal binary-STL reader -> (n_tri, 3, 3) float64 vertex array.
+
+    80-byte header, uint32 triangle count, then 50-byte records of
+    (normal f4x3, vertices f4x3x3, attr u2). No external STL dependency.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    n = struct.unpack("<I", data[80:84])[0]
+    rec = np.dtype(
+        [("normal", "<f4", (3,)), ("verts", "<f4", (3, 3)), ("attr", "<u2")]
+    )
+    assert rec.itemsize == 50
+    tris = np.frombuffer(data, dtype=rec, count=n, offset=84)
+    return tris["verts"].astype(np.float64)
+
+
+def animate_trajectories(traj_dict, plot_3d_key, mesh_path=None):
+    """quadrotor_ilqr.py:186-253 — 3D path + animated quadrotor body: the
+    reference's STL mesh when the asset is available (rigidly transformed
+    per frame), a 4-arm glyph otherwise."""
+    import os
+
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
@@ -94,22 +122,47 @@ def animate_trajectories(traj_dict, plot_3d_key):
         trans = np.asarray(traj.states.pose.trans)
         ax.plot3D(trans[:, 0], trans[:, 1], trans[:, 2], label=label)
 
-    # quadrotor glyph: 4 arms along +-x, +-y in body frame
-    arms = np.array(
-        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0]], dtype=np.float64
-    )
     target = traj_dict[plot_3d_key]
     quat = np.asarray(target.states.pose.quat)
     trans = np.asarray(target.states.pose.trans)
-    lines = [ax.plot3D([], [], [], "k-", lw=2)[0] for _ in range(4)]
 
-    def update(i):
-        r = np.asarray(so3.quat_to_matrix(jnp.asarray(quat[i])))
-        for j, line in enumerate(lines):
-            tip = trans[i] + r @ arms[j]
-            line.set_data([trans[i, 0], tip[0]], [trans[i, 1], tip[1]])
-            line.set_3d_properties([trans[i, 2], tip[2]])
-        return lines
+    if mesh_path is None:
+        mesh_path = os.environ.get("QILQR_MESH_PATH", DEFAULT_MESH_PATH)
+    mesh = None
+    if mesh_path and os.path.exists(mesh_path):
+        try:
+            mesh = load_stl_mesh(mesh_path)
+        except Exception:
+            mesh = None
+
+    if mesh is not None:
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        coll = Poly3DCollection(
+            np.zeros((0, 3, 3)), facecolor="dimgray", edgecolor="none"
+        )
+        ax.add_collection3d(coll)
+
+        def update(i):
+            r = np.asarray(so3.quat_to_matrix(jnp.asarray(quat[i])))
+            verts = mesh @ r.T + trans[i]
+            coll.set_verts(verts)
+            return [coll]
+
+    else:
+        # fallback glyph: 4 arms along +-x, +-y in body frame
+        arms = np.array(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0]], dtype=np.float64
+        )
+        lines = [ax.plot3D([], [], [], "k-", lw=2)[0] for _ in range(4)]
+
+        def update(i):
+            r = np.asarray(so3.quat_to_matrix(jnp.asarray(quat[i])))
+            for j, line in enumerate(lines):
+                tip = trans[i] + r @ arms[j]
+                line.set_data([trans[i, 0], tip[0]], [trans[i, 1], tip[1]])
+                line.set_3d_properties([trans[i, 2], tip[2]])
+            return lines
 
     ax.legend(bbox_to_anchor=(1.5, 0.5), loc="center right", ncol=2)
     fig.tight_layout()

@@ -119,8 +119,8 @@ def time_tpu_solves(options):
 
     def timed_run():
         t0 = time.perf_counter()
-        out = tuple(np.asarray(compiled(params, cost, trajs)))  # one sync read
-        return time.perf_counter() - t0, out
+        packed = np.asarray(compiled(params, cost, trajs))  # one sync read
+        return time.perf_counter() - t0, tuple(float(v) for v in packed)
 
     _, out = timed_run()  # warm-up execution
     times = []

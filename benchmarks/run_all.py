@@ -226,6 +226,32 @@ def config4_mpc(quick):
     compiled = run.lower().compile()
     p50, out = _time(compiled, (), repeats=3)
     per_step = p50 / steps
+
+    # host-driven single-step path: the per-dispatch latency DISTRIBUTION is
+    # what certifies a control rate (a "100 Hz" claim is about p99/max, not
+    # the amortized mean) — closed loop on host, one compiled step per tick,
+    # only u0 read back per tick.
+    from quadrotorilqr_tpu.app.mpc import mpc_step, mpc_warm_start
+
+    warm0 = mpc_warm_start(desired, x0, horizon)
+
+    def step_fn(x, warm, k):
+        return mpc_step(
+            params, q, r, desired, x, warm, k,
+            horizon=horizon, dt_s=dt, options=options,
+        )
+
+    x_c, warm_c = x0, warm0
+    x_c, warm_c, u0 = step_fn(x_c, warm_c, jnp.asarray(0, jnp.int32))
+    np.asarray(u0)  # warm-up + sync
+    tick_times = []
+    for i in range(1, steps):
+        t0 = time.perf_counter()
+        x_c, warm_c, u0 = step_fn(x_c, warm_c, jnp.asarray(i, jnp.int32))
+        np.asarray(u0)  # the plant consumes the control here
+        tick_times.append(time.perf_counter() - t0)
+    tick = np.asarray(tick_times)
+
     return {
         "config": 4,
         "name": f"warm-started MPC, fleet of {batch}, {horizon}-step solves",
@@ -233,6 +259,12 @@ def config4_mpc(quick):
         "value": round(1.0 / per_step, 1),
         "unit": "control steps/s (Hz), whole fleet",
         "mean_ilqr_iters_per_step": out[1],
+        "per_dispatch_ms": {
+            "p50": round(float(np.percentile(tick, 50)) * 1e3, 2),
+            "p99": round(float(np.percentile(tick, 99)) * 1e3, 2),
+            "max": round(float(tick.max()) * 1e3, 2),
+        },
+        "per_dispatch_hz_worst_case": round(1.0 / float(tick.max()), 1),
     }
 
 

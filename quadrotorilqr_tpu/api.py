@@ -97,19 +97,33 @@ class QuadrotorILQR:
             self.params, self.cost, initial_traj, self.dt_s, self.options
         )
 
-    def solve_batch(self, initial_trajs: Trajectory, fused: bool = True) -> SolveResult:
+    def solve_batch(
+        self,
+        initial_trajs: Trajectory,
+        fused: bool = True,
+        latency: bool = False,
+    ) -> SolveResult:
         """Batched solve over a leading scenario axis (leaves (B, N, ...)).
 
         With `fused=True` (default), uses the Pallas kernel path (~30x the
-        vmapped XLA path on TPU; batches auto-pad to the 128-lane tile; no
-        per-iteration debug records). Falls back to the vmapped XLA solver
+        vmapped XLA path on TPU; batches auto-pad to the 128-lane tile;
+        per-iteration debug via options.populate_debug works on both paths).
+        `latency=True` selects the whole-solve single-kernel variant
+        (solver/batched.solve_batch_latency) — best for single/small-batch
+        solves; no debug records there. Falls back to the vmapped XLA solver
         otherwise.
         """
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
         # parity) falls back to the vmapped XLA solver.
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
-        if fused and fusable_dtype and not self.options.populate_debug:
+        if fused and fusable_dtype:
+            if latency and not self.options.populate_debug:
+                from .solver.batched import solve_batch_latency
+
+                return solve_batch_latency(
+                    self.params, self.cost, initial_trajs, self.dt_s, self.options
+                )
             from .solver.batched import solve_batch_fused
 
             return solve_batch_fused(

@@ -55,6 +55,85 @@ def _set_first_state(states: State, x: State) -> State:
     return jax.tree.map(lambda buf, v: buf.at[:, 0, :].set(v), states, x)
 
 
+def mpc_warm_start(desired_full: Trajectory, x0: State, horizon: int) -> Trajectory:
+    """Initial warm start: the first horizon window of the desired
+    trajectory tiled over the batch, with the plant state at stage 0 (the
+    solver's trip-0 rollout makes it feasible)."""
+    batch = x0.vel.shape[0]
+    first_win = _window(
+        jax.tree.map(lambda a: a[None], desired_full), 0, horizon
+    )
+    warm0 = Trajectory(
+        times=jnp.broadcast_to(first_win.times, (batch, horizon)),
+        states=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape[1:]),
+            first_win.states,
+        ),
+        controls=jnp.broadcast_to(first_win.controls, (batch, horizon, 4)),
+    )
+    return Trajectory(
+        times=warm0.times,
+        states=_set_first_state(warm0.states, x0),
+        controls=warm0.controls,
+    )
+
+
+def _mpc_step_impl(
+    params, q_weight, r_weight, desired_full, x, warm, k,
+    horizon, dt_s, options, interpret,
+):
+    """One receding-horizon step (shared by the scanned loop and the
+    host-driven single-step path): window targets, warm-started solve,
+    apply first control, shift the solution."""
+    win = _window(desired_full, k, horizon, axis=0)
+    cost_k = QuadraticTrackingCost(
+        Q=q_weight,
+        R=r_weight,
+        desired_states=win.states,
+        desired_controls=win.controls,
+    )
+    init_traj = Trajectory(
+        times=warm.times,
+        states=_set_first_state(warm.states, x),
+        controls=warm.controls,
+    )
+    res = solve_batch_fused(
+        params, cost_k, init_traj, dt_s, options, interpret=interpret
+    )
+    u0 = res.trajectory.controls[:, 0]
+    x_next = qm.discrete_dynamics(params, x, u0, dt_s)
+    warm_next = _shift(res.trajectory)
+    return x_next, warm_next, u0, res
+
+
+@partial(
+    jax.jit, static_argnames=("horizon", "dt_s", "options", "interpret")
+)
+def mpc_step(
+    params,
+    q_weight,
+    r_weight,
+    desired_full: Trajectory,
+    x: State,
+    warm: Trajectory,
+    k,
+    horizon: int,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    interpret: bool = False,
+):
+    """One compiled MPC step for HOST-DRIVEN deployment loops, where the tail
+    of the per-dispatch latency distribution (p99/max vs the control period)
+    is the number that certifies a control rate. Returns
+    (x_next, warm_next, u0) — keep x/warm on device, read only u0 back.
+    """
+    x_next, warm_next, u0, _ = _mpc_step_impl(
+        params, q_weight, r_weight, desired_full, x, warm, k,
+        horizon, dt_s, options, interpret,
+    )
+    return x_next, warm_next, u0
+
+
 @partial(
     jax.jit,
     static_argnames=("n_steps", "horizon", "dt_s", "options", "interpret"),
@@ -91,47 +170,14 @@ def run_mpc(
             f"{n_steps} steps with horizon {horizon} needs >= {n_steps + horizon}"
         )
 
-    # initial warm start: the first horizon window of the desired trajectory,
-    # tiled over the batch (the solver's trip-0 rollout makes it feasible).
-    first_win = _window(
-        jax.tree.map(lambda a: a[None], desired_full), 0, horizon
-    )
-    warm0 = Trajectory(
-        times=jnp.broadcast_to(first_win.times, (batch, horizon)),
-        states=jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (batch,) + a.shape[1:]),
-            first_win.states,
-        ),
-        controls=jnp.broadcast_to(
-            first_win.controls, (batch, horizon, 4)
-        ),
-    )
-    warm0 = Trajectory(
-        times=warm0.times,
-        states=_set_first_state(warm0.states, x0),
-        controls=warm0.controls,
-    )
+    warm0 = mpc_warm_start(desired_full, x0, horizon)
 
     def step(carry, k):
         x, warm = carry
-        win = _window(desired_full, k, horizon, axis=0)
-        cost_k = QuadraticTrackingCost(
-            Q=q_weight,
-            R=r_weight,
-            desired_states=win.states,
-            desired_controls=win.controls,
+        x_next, warm_next, u0, res = _mpc_step_impl(
+            params, q_weight, r_weight, desired_full, x, warm, k,
+            horizon, dt_s, options, interpret,
         )
-        init_traj = Trajectory(
-            times=warm.times,
-            states=_set_first_state(warm.states, x),
-            controls=warm.controls,
-        )
-        res = solve_batch_fused(
-            params, cost_k, init_traj, dt_s, options, interpret=interpret
-        )
-        u0 = res.trajectory.controls[:, 0]
-        x_next = qm.discrete_dynamics(params, x, u0, dt_s)
-        warm_next = _shift(res.trajectory)
         out = {
             "u": u0,
             "x_trans": x.pose.trans,

@@ -1,0 +1,322 @@
+"""Speed-of-light accounting for the fused iLQR kernels.
+
+Three ingredients, combined into a roofline argument (BASELINE.json north
+star: "rollout and backward-pass kernels at speed-of-light per chip"):
+
+1. ANALYTIC work: FLOPs per solver stage, counted by walking the jaxpr of
+   the exact lane-layout stage functions the kernels execute
+   (kernels/backward._riccati_stage, kernels/rollout stage math) at lane
+   width 1 — no hand-counting drift: the count tracks the code.
+2. MEASURED machine ceilings on THIS chip: f32 VPU FMA throughput and HBM
+   copy bandwidth via micro-kernels, plus the host<->device dispatch floor
+   of the tunnel (timed empty program) so device time can be separated
+   from wall time.
+3. ACHIEVED rates from the benchmark runs: analytic FLOPs / device-seconds
+   vs the measured ceilings, and streamed HBM bytes / device-seconds vs
+   measured bandwidth — whichever ratio is higher is the binding bound.
+
+Run: python benchmarks/roofline.py  (TPU; prints a JSON report)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# per-element FLOP weights by primitive; transcendentals counted as multiple
+# flops (VPU evaluates them as polynomial sequences)
+_ELEMENTWISE = {
+    "add": 1, "sub": 1, "mul": 1, "div": 1, "neg": 1, "max": 1, "min": 1,
+    "abs": 1, "select_n": 1, "pow": 4, "integer_pow": 2, "sqrt": 1,
+    "rsqrt": 1, "sin": 8, "cos": 8, "tan": 10, "atan2": 12, "asin": 10,
+    "acos": 10, "exp": 8, "log": 8, "logistic": 8, "tanh": 8, "sign": 1,
+    "floor": 1, "round": 1, "erf": 10, "square": 1, "cbrt": 2,
+}
+
+
+def count_flops(fn, *args):
+    """FLOPs of one call of `fn(*args)` by jaxpr walk (handles nested
+    pjit/closed calls and dot_general; comparisons/layout ops are free)."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    return _count_jaxpr(jaxpr.jaxpr)
+
+
+def _count_jaxpr(jaxpr):
+    total = 0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim in ("pjit", "closed_call", "custom_jvp_call", "custom_vjp_call"):
+            inner = eqn.params.get("jaxpr")
+            if inner is not None:
+                total += _count_jaxpr(inner.jaxpr if hasattr(inner, "jaxpr") else inner)
+            continue
+        if prim in ("scan", "while", "cond"):
+            raise ValueError(f"count_flops: unroll control flow first ({prim})")
+        if prim == "dot_general":
+            a, b = eqn.invars[0].aval, eqn.invars[1].aval
+            ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
+            k = int(np.prod([a.shape[d] for d in lc])) or 1
+            bsz = int(np.prod([a.shape[d] for d in lb])) or 1
+            m = int(np.prod([a.shape[d] for d in range(a.ndim) if d not in (*lc, *lb)])) or 1
+            n = int(np.prod([b.shape[d] for d in range(b.ndim) if d not in (*rc, *rb)])) or 1
+            total += 2 * bsz * m * n * k
+            continue
+        if prim == "reduce_sum":
+            total += int(np.prod(eqn.invars[0].aval.shape))
+            continue
+        w = _ELEMENTWISE.get(prim)
+        if w:
+            out = eqn.outvars[0].aval
+            total += w * int(np.prod(out.shape)) if out.shape else w
+    return total
+
+
+# ---------------------------------------------------------------------------
+# analytic per-stage work of the fused kernels (lane width 1)
+# ---------------------------------------------------------------------------
+
+
+def backward_stage_flops(dtype=jnp.float32) -> int:
+    """FLOPs per lane per horizon stage of the Riccati backward kernel."""
+    from quadrotorilqr_tpu.kernels import lanes as L
+    from quadrotorilqr_tpu.kernels.backward import _riccati_stage
+
+    b = 1
+    z = lambda *s: jnp.zeros(s + (b,), dtype)
+
+    def stage(quat, trans, vel, u, dq, dtr, dv, du, q_l, r2_l, g, ju, i_l, iinv_l, v_x, v_xx):
+        return _riccati_stage(
+            0.1, 0.0, q_l, r2_l, g, ju, L.transpose(ju), i_l, iinv_l,
+            quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
+        )
+
+    return count_flops(
+        stage,
+        z(4), z(3), z(6), z(4), z(4), z(3), z(6), z(4),
+        z(12, 12), z(4, 4), z(1, 1), z(12, 4), z(3, 3), z(3, 3),
+        z(12), z(12, 12),
+    )
+
+
+def rollout_stage_flops(dtype=jnp.float32) -> int:
+    """FLOPs per lane per stage of the rollout+cost kernel (feedback control
+    update + stage cost + dynamics step)."""
+    from quadrotorilqr_tpu.kernels import lanes as L
+    from quadrotorilqr_tpu.kernels.rollout import _dynamics_step, _state_minus
+
+    b = 1
+    z = lambda *s: jnp.zeros(s + (b,), dtype)
+
+    def stage(quat, trans, vel, oq, ot, ov, ou, k, big_k, alpha, dq, dtr, dv, du,
+              q_l, r_l, g, m_inv, iinv_ma, i_l, iinv_l, ez):
+        dx = _state_minus(quat, trans, vel, oq, ot, ov)
+        u = ou + alpha * k + L.matvec(big_k, dx)
+        dxd = _state_minus(quat, trans, vel, dq, dtr, dv)
+        duv = u - du
+        c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(duv, L.matvec(r_l, duv))
+        nxt = _dynamics_step(0.1, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u)
+        return c, u, nxt
+
+    return count_flops(
+        stage,
+        z(4), z(3), z(6), z(4), z(3), z(6), z(4), z(4), z(4, 12), z(1),
+        z(4), z(3), z(6), z(4), z(12, 12), z(4, 4), z(1), z(1), z(3, 4),
+        z(3, 3), z(3, 3), z(3),
+    )
+
+
+def solve_flops(n, batch, trips, rollouts_per_trip=1.0) -> float:
+    """Analytic FLOPs of a batched fused solve: every global outer trip runs
+    the backward kernel plus `rollouts_per_trip` rollout kernels over the
+    FULL batch and horizon (lanes that already converged still occupy their
+    tile — that is the masked-batch cost model)."""
+    per_stage = backward_stage_flops() + rollouts_per_trip * rollout_stage_flops()
+    return float(trips) * batch * n * per_stage
+
+
+def solve_hbm_bytes(n, batch, trips, rollouts_per_trip=1.0, dtype_bytes=4) -> float:
+    """HBM bytes streamed per solve: per trip the backward kernel reads the
+    trajectory (17N) + desired (17N) and writes gains (4N + 48N); each
+    rollout reads trajectory+desired+gains and writes a trajectory."""
+    traj = 17 * n
+    gains = 52 * n
+    backward = (2 * traj + gains) * dtype_bytes
+    rollout = (2 * traj + gains + traj) * dtype_bytes
+    return float(trips) * batch * (backward + rollouts_per_trip * rollout)
+
+
+# ---------------------------------------------------------------------------
+# measured machine ceilings
+# ---------------------------------------------------------------------------
+
+
+def _time_compiled(compiled, args, repeats=5):
+    out = np.asarray(compiled(*args))  # warm-up + sync
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = np.asarray(compiled(*args))
+        ts.append(time.perf_counter() - t0)
+    del out
+    return float(np.median(ts))
+
+
+def measure_dispatch_floor_s(repeats=10) -> float:
+    """Wall time of an (almost) empty device program + one tiny host read —
+    the per-call overhead every latency number contains."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((4,), jnp.float32)
+    compiled = f.lower(x).compile()
+    return _time_compiled(compiled, (x,), repeats)
+
+
+def measure_vpu_peak_gflops(iters=400, shape=(2048, 512), chains=4) -> float:
+    """Achievable f32 VPU FMA rate: `chains` independent y = y*a+b chains
+    (hides FMA latency) over a VMEM-resident block, 2 flops/element/iter per
+    chain, timed minus dispatch floor."""
+    a = jnp.float32(1.000001)
+
+    @jax.jit
+    def burn(y):
+        ys = tuple(y + jnp.float32(i) for i in range(chains))
+
+        def body(_, ys):
+            return tuple(v * a + jnp.float32(1e-7) for v in ys)
+
+        ys = jax.lax.fori_loop(0, iters, body, ys)
+        acc = ys[0]
+        for v in ys[1:]:
+            acc = acc + v
+        return jnp.sum(acc[:1, :1])
+
+    y = jnp.ones(shape, jnp.float32)
+    compiled = burn.lower(y).compile()
+    t = _time_compiled(compiled, (y,)) - measure_dispatch_floor_s()
+    flops = 2.0 * chains * iters * shape[0] * shape[1]
+    return flops / max(t, 1e-9) / 1e9
+
+
+def measure_hbm_bw_gbs(mb=512, repeats=5) -> float:
+    """Achievable HBM stream bandwidth: y = x + 1 over an HBM-sized array.
+    An optimization_barrier forces y to materialize in HBM (read n + write n
+    bytes) — without it XLA fuses the add into the final reduction and the
+    'copy' never happens."""
+    n = mb * 1024 * 1024 // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def copy(x):
+        y = x + 1.0
+        y = jax.lax.optimization_barrier(y)
+        return jnp.sum(y[:8])
+
+    compiled = copy.lower(x).compile()
+    t = _time_compiled(compiled, (x,), repeats) - measure_dispatch_floor_s()
+    return 2.0 * n * 4 / max(t, 1e-9) / 1e9
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+
+def roofline_report(n, batch, trips, device_s, rollouts_per_trip=1.0,
+                    vpu_peak_gflops=None, hbm_bw_gbs=None) -> dict:
+    """Achieved vs ceiling rates for one measured fused solve."""
+    flops = solve_flops(n, batch, trips, rollouts_per_trip)
+    bytes_ = solve_hbm_bytes(n, batch, trips, rollouts_per_trip)
+    achieved_gflops = flops / device_s / 1e9
+    achieved_gbs = bytes_ / device_s / 1e9
+    rep = {
+        "analytic_flops_per_solve": flops / batch,
+        "analytic_hbm_bytes_per_solve": bytes_ / batch,
+        "backward_stage_flops_per_lane": backward_stage_flops(),
+        "rollout_stage_flops_per_lane": rollout_stage_flops(),
+        "achieved_gflops": round(achieved_gflops, 1),
+        "achieved_hbm_gbs": round(achieved_gbs, 1),
+    }
+    if vpu_peak_gflops:
+        rep["vpu_peak_gflops_measured"] = round(vpu_peak_gflops, 1)
+        rep["pct_vpu_peak"] = round(100 * achieved_gflops / vpu_peak_gflops, 1)
+    if hbm_bw_gbs:
+        rep["hbm_bw_gbs_measured"] = round(hbm_bw_gbs, 1)
+        rep["pct_hbm_bw"] = round(100 * achieved_gbs / hbm_bw_gbs, 1)
+    if vpu_peak_gflops and hbm_bw_gbs:
+        rep["binding_bound"] = (
+            "compute (VPU)"
+            if rep["pct_vpu_peak"] >= rep["pct_hbm_bw"]
+            else "memory (HBM)"
+        )
+    return rep
+
+
+def main():
+    from quadrotorilqr_tpu.app import workloads
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+    from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+    from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.options import (
+        ConvergenceCriteria, ILQROptions, LineSearchParams,
+    )
+
+    batch, n, iters = 4096, 100, 10
+    dt = 0.02
+    key = jax.random.PRNGKey(0)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, batch, n=n, dt_s=dt, dtype=jnp.float32, pose_scale=0.3
+    )
+    q, r = workloads.demo_weights(jnp.float32)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states, desired_controls=desired.controls
+    )
+    params = QuadrotorParams.create(1.0, jnp.eye(3, dtype=jnp.float32), 0.2, 0.016, 9.81)
+    trajs = initial_trajectory_from_state(init_states, desired)
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, iters),
+    )
+
+    @jax.jit
+    def run(p, c, t):
+        res = solve_batch_fused(p, c, t, dt, options)
+        return jnp.stack(
+            [jnp.sum(res.cost), jnp.max(res.iterations).astype(jnp.float32)]
+        )
+
+    compiled = run.lower(params, cost, trajs).compile()
+    out = np.asarray(compiled(params, cost, trajs))
+    p50 = _time_compiled(compiled, (params, cost, trajs))
+    floor = measure_dispatch_floor_s()
+    device_s = max(p50 - floor, 1e-6)
+    trips = float(out[1])  # global outer trips ~= max per-lane iterations
+
+    vpu = measure_vpu_peak_gflops()
+    bw = measure_hbm_bw_gbs()
+    rep = roofline_report(
+        n, batch, trips, device_s,
+        rollouts_per_trip=1.0, vpu_peak_gflops=vpu, hbm_bw_gbs=bw,
+    )
+    rep.update(
+        workload=f"hover batch={batch} N={n} trips={trips:.0f}",
+        p50_wall_s=round(p50, 4),
+        dispatch_floor_s=round(floor, 4),
+        device_s=round(device_s, 4),
+        solves_per_s=round(batch / p50, 1),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,8 +2,9 @@
 
 Workload (BASELINE.json metric): batch of hover-to-waypoint solves with
 randomized initial SE(3) poses, 100-step horizon, solved to 1e-6 tolerance
-within a 10-iteration budget. float32 on the compute path (fused Pallas
-kernels; QILQR_BENCH_NO_FUSED=1 for the vmapped XLA path).
+within a 10-iteration budget. float32, whole-solve Pallas kernel (the
+COMPLETE iLQR loop in one program per 128-lane tile, kernels/solve.py —
+each tile runs exactly as many trips as ITS lanes need).
 
 Baseline: the native C++ oracle (native/qilqr_oracle.cc, -O3, single
 thread) — an independent implementation of the reference C++ semantics
@@ -15,7 +16,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N, ...}
 
 Env overrides (for quick local runs): QILQR_BENCH_BATCH, QILQR_BENCH_HORIZON,
-QILQR_BENCH_ITERS, QILQR_BENCH_REPEATS, QILQR_BENCH_SKIP_ORACLE.
+QILQR_BENCH_ITERS, QILQR_BENCH_REPEATS, QILQR_BENCH_SKIP_ORACLE,
+QILQR_BENCH_PATH=whole|loop|xla (default: whole — the whole-solve kernel).
 """
 
 from __future__ import annotations
@@ -92,13 +94,22 @@ def time_tpu_solves(options):
     dtype = jnp.float32
     params, cost, trajs, _ = build_problem(dtype)
 
-    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_latency,
+    )
 
-    use_fused = not os.environ.get("QILQR_BENCH_NO_FUSED")
+    # path: "whole" (whole-solve kernel, fastest measured at every batch
+    # size) | "loop" (batch-level kernel loop) | "xla" (vmapped XLA)
+    path = os.environ.get("QILQR_BENCH_PATH", "whole")
+    if os.environ.get("QILQR_BENCH_NO_FUSED"):
+        path = "xla"
 
     @jax.jit
     def run(p, c, t):
-        if use_fused:
+        if path == "whole":
+            result = solve_batch_latency(p, c, t, DT_S, options)
+        elif path == "loop":
             result = solve_batch_fused(p, c, t, DT_S, options)
         else:
             result = solve_batch(p, c, t, DT_S, options)

@@ -33,7 +33,7 @@ from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams, State  # noqa: E
 from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
     initial_trajectory_from_state,
 )
-from quadrotorilqr_tpu.solver.batched import solve_batch_fused  # noqa: E402
+from quadrotorilqr_tpu.solver.batched import solve_batch_latency  # noqa: E402
 from quadrotorilqr_tpu.solver.ilqr import Trajectory  # noqa: E402
 from quadrotorilqr_tpu.solver.options import (  # noqa: E402
     ConvergenceCriteria,
@@ -131,7 +131,7 @@ def config2_hover(quick):
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_fused(p, c, t, 0.02, options)
+        res = solve_batch_latency(p, c, t, 0.02, options)
         return jnp.stack(
             [
                 jnp.sum(res.cost),
@@ -173,7 +173,7 @@ def config3_figure_eight(quick):
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_fused(p, c, t, 0.02, options)
+        res = solve_batch_latency(p, c, t, 0.02, options)
         return jnp.stack(
             [
                 jnp.sum(res.cost),
@@ -218,6 +218,7 @@ def config4_mpc(quick):
         out = run_mpc(
             params, q, r, desired, x0,
             n_steps=steps, horizon=horizon, dt_s=dt, options=options,
+            latency_kernel=True,
         )
         return jnp.stack(
             [jnp.sum(out["u"]), jnp.mean(out["iterations"].astype(jnp.float32))]
@@ -238,7 +239,7 @@ def config4_mpc(quick):
     def step_fn(x, warm, k):
         return mpc_step(
             params, q, r, desired, x, warm, k,
-            horizon=horizon, dt_s=dt, options=options,
+            horizon=horizon, dt_s=dt, options=options, latency_kernel=True,
         )
 
     x_c, warm_c = x0, warm0
@@ -285,7 +286,7 @@ def config5_monte_carlo(quick):
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_fused(p, c, t, 0.02, options)
+        res = solve_batch_latency(p, c, t, 0.02, options)
         # Monte-Carlo reduction (single-chip here; multi-chip via
         # parallel.mesh.solve_sharded_fused — validated on the CPU mesh)
         return jnp.stack(

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..costs.quadratic import QuadraticTrackingCost
 from ..models import quadrotor as qm
 from ..models.quadrotor import QuadrotorParams, State
-from ..solver.batched import solve_batch_fused
+from ..solver.batched import solve_batch_fused, solve_batch_latency
 from ..solver.ilqr import Trajectory
 from ..solver.options import ILQROptions
 from . import workloads  # noqa: F401  (re-exported convenience)
@@ -80,11 +80,13 @@ def mpc_warm_start(desired_full: Trajectory, x0: State, horizon: int) -> Traject
 
 def _mpc_step_impl(
     params, q_weight, r_weight, desired_full, x, warm, k,
-    horizon, dt_s, options, interpret,
+    horizon, dt_s, options, interpret, latency_kernel=False,
 ):
     """One receding-horizon step (shared by the scanned loop and the
     host-driven single-step path): window targets, warm-started solve,
-    apply first control, shift the solution."""
+    apply first control, shift the solution. `latency_kernel=True` runs the
+    solve as ONE whole-solve Pallas program (kernels/solve.py) — fewer
+    launches per step for small fleets."""
     win = _window(desired_full, k, horizon, axis=0)
     cost_k = QuadraticTrackingCost(
         Q=q_weight,
@@ -97,7 +99,8 @@ def _mpc_step_impl(
         states=_set_first_state(warm.states, x),
         controls=warm.controls,
     )
-    res = solve_batch_fused(
+    solver = solve_batch_latency if latency_kernel else solve_batch_fused
+    res = solver(
         params, cost_k, init_traj, dt_s, options, interpret=interpret
     )
     u0 = res.trajectory.controls[:, 0]
@@ -107,7 +110,8 @@ def _mpc_step_impl(
 
 
 @partial(
-    jax.jit, static_argnames=("horizon", "dt_s", "options", "interpret")
+    jax.jit,
+    static_argnames=("horizon", "dt_s", "options", "interpret", "latency_kernel"),
 )
 def mpc_step(
     params,
@@ -121,6 +125,7 @@ def mpc_step(
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
+    latency_kernel: bool = False,
 ):
     """One compiled MPC step for HOST-DRIVEN deployment loops, where the tail
     of the per-dispatch latency distribution (p99/max vs the control period)
@@ -129,14 +134,16 @@ def mpc_step(
     """
     x_next, warm_next, u0, _ = _mpc_step_impl(
         params, q_weight, r_weight, desired_full, x, warm, k,
-        horizon, dt_s, options, interpret,
+        horizon, dt_s, options, interpret, latency_kernel,
     )
     return x_next, warm_next, u0
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "horizon", "dt_s", "options", "interpret"),
+    static_argnames=(
+        "n_steps", "horizon", "dt_s", "options", "interpret", "latency_kernel"
+    ),
 )
 def run_mpc(
     params: QuadrotorParams,
@@ -149,6 +156,7 @@ def run_mpc(
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
+    latency_kernel: bool = False,
 ):
     """Run `n_steps` of warm-started receding-horizon control.
 
@@ -176,7 +184,7 @@ def run_mpc(
         x, warm = carry
         x_next, warm_next, u0, res = _mpc_step_impl(
             params, q_weight, r_weight, desired_full, x, warm, k,
-            horizon, dt_s, options, interpret,
+            horizon, dt_s, options, interpret, latency_kernel,
         )
         out = {
             "u": u0,

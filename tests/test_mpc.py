@@ -64,3 +64,33 @@ def test_mpc_regulates_to_hover():
     # warm starting pays off: later steps need fewer iLQR iterations
     iters = np.asarray(out["iterations"], np.float64)
     assert iters[:, -1].mean() <= iters[:, 0].mean()
+
+
+def test_mpc_step_matches_scanned_loop():
+    """The host-driven single-step path (mpc_step) replays the scanned fleet
+    loop exactly — same body, so same controls and plant states."""
+    from quadrotorilqr_tpu.app.mpc import mpc_step, mpc_warm_start
+
+    params, q, r, desired, x0 = _setup()
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 2)
+    )
+    n_steps = 4
+    out = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=n_steps, horizon=10, dt_s=DT, options=options, interpret=True,
+    )
+    x, warm = x0, mpc_warm_start(desired, x0, 10)
+    for k in range(n_steps):
+        x, warm, u0 = mpc_step(
+            params, q, r, desired, x, warm, jnp.asarray(k, jnp.int32),
+            horizon=10, dt_s=DT, options=options, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(u0), np.asarray(out["u"][:, k]), atol=1e-12
+        )
+    np.testing.assert_allclose(
+        np.asarray(x.pose.trans),
+        np.asarray(out["x_final"].pose.trans),
+        atol=1e-12,
+    )

@@ -284,6 +284,64 @@ def test_solve_fused_per_scenario_desired_shared_weights():
     )
 
 
+def test_solve_fused_tile_skip_multi_tile():
+    """Per-tile activity skipping with a FULLY-FROZEN tile: lanes 0..127
+    enter with status=CONVERGED (initial_status), so tile 0's backward and
+    rollout kernels are skipped on EVERY trip while tile 1 computes — the
+    skipped tile's stale outputs must never leak (frozen lanes pass through
+    unchanged; active lanes match a solo solve of their tile)."""
+    from quadrotorilqr_tpu.solver.ilqr import STATUS_CONVERGED, STATUS_MAX_ITERS
+
+    params, cost, trajs = _problem(n=4)
+    both = jax.tree.map(
+        lambda a: jnp.concatenate([a, a], axis=0), trajs
+    )
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 4),
+    )
+    status0 = jnp.concatenate(
+        [
+            jnp.full((128,), STATUS_CONVERGED, jnp.int32),
+            jnp.full((128,), STATUS_MAX_ITERS, jnp.int32),
+        ]
+    )
+    init_cost = jnp.full((256,), 123.25)  # frozen lanes carry this through
+    res = solve_batch_fused(
+        params, cost, both, 0.02, options, interpret=True,
+        continuation=True, initial_cost=init_cost, initial_status=status0,
+    )
+    # frozen tile: untouched trajectory/cost/status, zero iterations
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.controls[:128]),
+        np.asarray(both.controls[:128]),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(np.asarray(res.cost[:128]), 123.25)
+    assert (np.asarray(res.status[:128]) == STATUS_CONVERGED).all()
+    assert (np.asarray(res.iterations[:128]) == 0).all()
+    # active tile: identical to a solo continuation solve of the same lanes
+    solo = solve_batch_fused(
+        params, cost, trajs, 0.02, options, interpret=True,
+        continuation=True, initial_cost=init_cost[128:],
+        initial_status=status0[128:],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.status[128:]), np.asarray(solo.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations[128:]), np.asarray(solo.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost[128:]), np.asarray(solo.cost), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.controls[128:]),
+        np.asarray(solo.trajectory.controls),
+        atol=1e-12,
+    )
+
+
 def test_solve_fused_auto_pads_odd_batches():
     """Batches that aren't 128-multiples pad to the tile and strip back."""
     params, cost, trajs = _problem(n=4)

@@ -1,4 +1,8 @@
-"""Scratch: sequential vs associative backward pass, small-batch x long-horizon."""
+"""Sequential vs associative (O(log N)) backward pass in the regime the
+associative mode targets: small batch x long horizon, full solves.
+Measured 2026-08-17 (v5e, B=8): N=512 351 vs 249 ms; N=1024 the f32
+sequential recursion overflows to NaN while the associative pass stays
+finite at 445 ms (per-combine symmetrization)."""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")

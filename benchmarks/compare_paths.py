@@ -1,4 +1,7 @@
-"""Scratch: whole-solve kernel vs batch loop on config-3/5/MPC shapes."""
+"""Compare solver paths (whole-solve kernel vs batch-level loop) on the
+benchmark shapes. Measured 2026-08-17 (v5e): config-3 shape 213 vs 279 ms,
+config-5 shape 493 vs 894 ms — the whole-solve kernel wins at every batch
+size, which is why it is the default engine (see BENCH_LOCAL.md)."""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")

@@ -32,16 +32,21 @@ def trace(log_dir: str):
 def time_compiled(fn, args=(), repeats=5, reduce=True):
     """(p50_seconds, compile_seconds, last_output) for a jittable `fn`.
 
-    `fn`'s outputs are reduced to scalars inside the compiled program when
-    `reduce` (avoids timing multi-MB host transfers), AOT-compiled, then
-    executed `repeats` times with a host-read sync per run.
+    With `reduce` (default), `fn`'s outputs collapse to ONE stacked f32
+    vector of per-leaf sums inside the compiled program: a single tiny host
+    read syncs the device. Reading K separate outputs would both transfer
+    more and pay (K-1) extra ~27 ms tunnel round trips per sample —
+    returning a tuple of scalars is the exact timing bug this helper exists
+    to prevent.
     """
 
     @jax.jit
     def wrapped(*a):
         out = fn(*a)
         if reduce:
-            return tuple(jnp.sum(x) for x in jax.tree.leaves(out))
+            return jnp.stack(
+                [jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(out)]
+            )
         return out
 
     t0 = time.perf_counter()

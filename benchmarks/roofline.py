@@ -180,10 +180,12 @@ def measure_dispatch_floor_s(repeats=10) -> float:
     return _time_compiled(compiled, (x,), repeats)
 
 
-def measure_vpu_peak_gflops(iters=400, shape=(2048, 512), chains=4) -> float:
+def measure_vpu_peak_gflops(iters=6000, shape=(2048, 512), chains=4) -> float:
     """Achievable f32 VPU FMA rate: `chains` independent y = y*a+b chains
     (hides FMA latency) over a VMEM-resident block, 2 flops/element/iter per
-    chain, timed minus dispatch floor."""
+    chain, timed minus dispatch floor. `iters` is sized so compute time
+    (~30-60 ms) dominates the ~25 ms dispatch floor — with comparable
+    magnitudes the subtraction amplifies tunnel noise into 2x errors."""
     a = jnp.float32(1.000001)
 
     @jax.jit
@@ -206,23 +208,25 @@ def measure_vpu_peak_gflops(iters=400, shape=(2048, 512), chains=4) -> float:
     return flops / max(t, 1e-9) / 1e9
 
 
-def measure_hbm_bw_gbs(mb=512, repeats=5) -> float:
-    """Achievable HBM stream bandwidth: y = x + 1 over an HBM-sized array.
-    An optimization_barrier forces y to materialize in HBM (read n + write n
-    bytes) — without it XLA fuses the add into the final reduction and the
-    'copy' never happens."""
+def measure_hbm_bw_gbs(mb=512, sweeps=8, repeats=5) -> float:
+    """Achievable HBM stream bandwidth: `sweeps` chained y = y + 1 passes
+    over an HBM-sized array, each separated by an optimization_barrier so
+    every pass materializes (read n + write n bytes; without the barriers
+    XLA folds the adds into one pass). Total traffic ~8 GB so the transfer
+    time dwarfs the ~25 ms dispatch floor."""
     n = mb * 1024 * 1024 // 4
     x = jnp.ones((n,), jnp.float32)
 
     @jax.jit
-    def copy(x):
-        y = x + 1.0
-        y = jax.lax.optimization_barrier(y)
+    def stream(x):
+        y = x
+        for _ in range(sweeps):
+            y = jax.lax.optimization_barrier(y + 1.0)
         return jnp.sum(y[:8])
 
-    compiled = copy.lower(x).compile()
+    compiled = stream.lower(x).compile()
     t = _time_compiled(compiled, (x,), repeats) - measure_dispatch_floor_s()
-    return 2.0 * n * 4 / max(t, 1e-9) / 1e9
+    return 2.0 * sweeps * n * 4 / max(t, 1e-9) / 1e9
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +269,7 @@ def main():
     from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
     from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
     from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
-    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
     from quadrotorilqr_tpu.solver.options import (
         ConvergenceCriteria, ILQROptions, LineSearchParams,
     )
@@ -289,9 +293,12 @@ def main():
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_fused(p, c, t, dt, options)
+        res = solve_batch_latency(p, c, t, dt, options)
+        # the whole-solve kernel runs each TILE for its own max iteration
+        # count — the work model's trip count is the mean of per-tile maxima
+        tile_iters = jnp.max(res.iterations.reshape(-1, 128), axis=1)
         return jnp.stack(
-            [jnp.sum(res.cost), jnp.max(res.iterations).astype(jnp.float32)]
+            [jnp.sum(res.cost), jnp.mean(tile_iters.astype(jnp.float32))]
         )
 
     compiled = run.lower(params, cost, trajs).compile()
@@ -299,7 +306,7 @@ def main():
     p50 = _time_compiled(compiled, (params, cost, trajs))
     floor = measure_dispatch_floor_s()
     device_s = max(p50 - floor, 1e-6)
-    trips = float(out[1])  # global outer trips ~= max per-lane iterations
+    trips = float(out[1])  # mean per-tile outer trips (whole-solve kernel)
 
     vpu = measure_vpu_peak_gflops()
     bw = measure_hbm_bw_gbs()

@@ -98,6 +98,12 @@ def generate_library(
             1.0, jnp.eye(3, dtype=dtype), 0.2, 0.016, 9.81
         )
 
+    if use_mesh and randomize_params:
+        print(
+            "montecarlo: --use_mesh currently replicates params across "
+            "shards; running randomized params on the single-chip path",
+            file=sys.stderr,
+        )
     if use_mesh and not randomize_params:
         from ..parallel.mesh import make_scenario_mesh, solve_sharded_fused
 

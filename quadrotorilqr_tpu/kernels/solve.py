@@ -464,6 +464,15 @@ def solve_fused_whole(
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if n > 256:
+        # ~61 KB VMEM per stage per tile (module docstring): beyond ~256
+        # stages Mosaic runs out of VMEM with an opaque allocation error —
+        # fail early with the actionable alternative.
+        raise ValueError(
+            f"horizon {n} exceeds the whole-solve kernel's VMEM budget "
+            "(~256 stages); use solver.batched.solve_batch_fused, or the "
+            "associative XLA path for very long horizons"
+        )
     dtype = controls.dtype
     ls = options.line_search_params
     cc = options.convergence_criteria

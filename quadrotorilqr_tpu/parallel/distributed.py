@@ -72,7 +72,12 @@ def is_distributed() -> bool:
 def local_scenario_slice(global_batch: int, mesh) -> tuple[int, int]:
     """(start, length) of this process's contiguous scenario rows under a
     scenario-sharded layout on `mesh`. Requires the global batch to divide
-    evenly over processes (pad upstream otherwise)."""
+    evenly over processes (pad upstream otherwise).
+
+    Assumes the standard device enumeration (jax.devices() groups each
+    process's devices contiguously in process order), which is how
+    make_scenario_mesh builds the 1-D mesh — a custom device permutation
+    would break the contiguity this helper relies on."""
     procs = jax.process_count()
     if global_batch % procs:
         raise ValueError(

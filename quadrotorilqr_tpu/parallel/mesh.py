@@ -154,23 +154,28 @@ def solve_sharded_fused(
     mesh: Mesh,
     axis_name: str = SCENARIO_AXIS,
     interpret: bool = False,
+    engine: str = "whole",
 ):
-    """Fused-kernel multi-chip path: shard_map of the batch-level Pallas
-    solver (solver/batched.py) over the scenario mesh, with psum'd global
-    convergence statistics (BASELINE.json config 5 at kernel speed).
+    """Fused-kernel multi-chip path: shard_map of the Pallas solver over the
+    scenario mesh, with psum'd global convergence statistics (BASELINE.json
+    config 5 at kernel speed).
 
-    The per-shard batch (B / mesh size) must be a multiple of the 128-lane
-    kernel tile. `interpret=True` runs the kernels in interpreter mode
-    (CPU-mesh tests without TPU hardware).
+    `engine="whole"` (default) runs each shard through the whole-solve
+    single-kernel engine (kernels/solve.py — fastest measured at every
+    batch size); `engine="loop"` uses the batch-level kernel loop (needed
+    for options.populate_debug). The per-shard batch (B / mesh size) must
+    be a multiple of the 128-lane kernel tile. `interpret=True` runs the
+    kernels in interpreter mode (CPU-mesh tests without TPU hardware).
     """
     from jax import shard_map
 
-    from ..solver.batched import solve_batch_fused
+    from ..solver.batched import solve_batch_fused, solve_batch_latency
 
+    solver = solve_batch_latency if engine == "whole" else solve_batch_fused
     n_total = jax.tree.leaves(initial_trajs)[0].shape[0]
 
     def per_shard(t):
-        result = solve_batch_fused(
+        result = solver(
             params, cost, t, dt_s, options, interpret=interpret
         )
         local_converged = jnp.sum((result.status == STATUS_CONVERGED).astype(jnp.float32))

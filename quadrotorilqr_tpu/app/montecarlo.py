@@ -74,8 +74,8 @@ def generate_library(
     """Solve `batch` randomized scenarios; returns (SolveResult, stats dict).
 
     `use_mesh=True` shards the batch over all (global) devices with psum'd
-    statistics — the multi-chip/multi-host path. Per-scenario params only on
-    the single-chip path (the sharded helpers currently replicate params).
+    statistics — the multi-chip/multi-host path. Randomized per-scenario
+    params shard along the scenario axis with the trajectories.
     """
     key = jax.random.PRNGKey(seed)
     k_pose, k_params = jax.random.split(key)
@@ -98,13 +98,7 @@ def generate_library(
             1.0, jnp.eye(3, dtype=dtype), 0.2, 0.016, 9.81
         )
 
-    if use_mesh and randomize_params:
-        print(
-            "montecarlo: --use_mesh currently replicates params across "
-            "shards; running randomized params on the single-chip path",
-            file=sys.stderr,
-        )
-    if use_mesh and not randomize_params:
+    if use_mesh:
         from ..parallel.mesh import make_scenario_mesh, solve_sharded_fused
 
         mesh = make_scenario_mesh()

@@ -59,6 +59,11 @@ from .rollout import _dynamics_step, _state_minus
 _COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC = range(7)
 _STATE_ROWS = 8  # one f32 sublane tile
 
+# ~61 KB VMEM per horizon stage per tile (module docstring): beyond this
+# Mosaic fails allocation. solver/batched.solve_batch_latency routes longer
+# horizons to the batch-level kernel loop automatically.
+MAX_HORIZON = 256
+
 
 def _solve_kernel(
     n_stages,
@@ -464,14 +469,11 @@ def solve_fused_whole(
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
-    if n > 256:
-        # ~61 KB VMEM per stage per tile (module docstring): beyond ~256
-        # stages Mosaic runs out of VMEM with an opaque allocation error —
-        # fail early with the actionable alternative.
+    if n > MAX_HORIZON:
         raise ValueError(
             f"horizon {n} exceeds the whole-solve kernel's VMEM budget "
-            "(~256 stages); use solver.batched.solve_batch_fused, or the "
-            "associative XLA path for very long horizons"
+            f"({MAX_HORIZON} stages); use solver.batched.solve_batch_fused, "
+            "or the associative XLA path for very long horizons"
         )
     dtype = controls.dtype
     ls = options.line_search_params

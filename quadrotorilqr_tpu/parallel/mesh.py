@@ -64,6 +64,33 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), tree)
 
 
+def _batched_operands(params, cost):
+    """(params_batched, cost_axes): per-scenario detection shared by every
+    sharded helper. Params are per-scenario iff every leaf carries a leading
+    batch dim (kernels/backward._prep_params contract — mass_kg.ndim >= 1
+    is the discriminator); cost leaves are per-scenario iff ndim == 3
+    (Q (B,12,12) / R (B,4,4) / desired (B,N,d) vs shared (12,12)/(N,d))."""
+    params_batched = jnp.ndim(params.mass_kg) >= 1
+    cost_axes = jax.tree.map(lambda a: 0 if jnp.ndim(a) == 3 else None, cost)
+    return params_batched, cost_axes
+
+
+def _place_cost(cost, mesh: Mesh, axis_name):
+    """Shard per-scenario cost leaves over the mesh, leave shared leaves
+    uncommitted (jit replicates them; a multi-process device_put of a
+    replicated leaf from one host would fail)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def place(leaf):
+        if jnp.ndim(leaf) != 3:
+            return leaf
+        if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
+            return leaf
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(place, cost)
+
+
 def solve_sharded(
     params: QuadrotorParams,
     cost: QuadraticTrackingCost,
@@ -75,17 +102,35 @@ def solve_sharded(
 ) -> SolveResult:
     """GSPMD path: batched solve with the scenario axis sharded over the mesh.
 
-    `initial_trajs` leaves are (B, N, ...) with B divisible by the mesh size;
-    params/cost are replicated (shared across scenarios).
+    `initial_trajs` leaves are (B, N, ...) with B divisible by the mesh size.
+    Params/cost may be shared (replicated over the mesh) or per-scenario —
+    per-scenario leaves (every params leaf with a leading B; cost leaves of
+    ndim 3) are sharded along the scenario axis with the trajectories.
     """
     batch_sharding = NamedSharding(mesh, P(axis_name))
+    params_batched, cost_axes = _batched_operands(params, cost)
+
+    def wsc(leaf):
+        return jax.lax.with_sharding_constraint(leaf, batch_sharding)
 
     @partial(jax.jit, static_argnames=())
     def run(p, c, t):
-        t = jax.tree.map(lambda leaf: jax.lax.with_sharding_constraint(leaf, batch_sharding), t)
-        return jax.vmap(lambda tt: ilqr_module.solve(p, c, tt, dt_s, options))(t)
+        t = jax.tree.map(wsc, t)
+        if params_batched:
+            p = jax.tree.map(wsc, p)
+        c = jax.tree.map(lambda leaf: wsc(leaf) if leaf.ndim == 3 else leaf, c)
+        return jax.vmap(
+            lambda pp, cc, tt: ilqr_module.solve(pp, cc, tt, dt_s, options),
+            in_axes=(0 if params_batched else None, cost_axes, 0),
+        )(p, c, t)
 
-    return run(params, cost, shard_scenarios(initial_trajs, mesh, axis_name))
+    if params_batched:
+        params = shard_scenarios(params, mesh, axis_name)
+    return run(
+        params,
+        _place_cost(cost, mesh, axis_name),
+        shard_scenarios(initial_trajs, mesh, axis_name),
+    )
 
 
 def solve_sharded_with_stats(
@@ -100,49 +145,21 @@ def solve_sharded_with_stats(
     """shard_map path: per-shard vmapped solve, then psum'd global statistics
     over ICI (BASELINE.json config 5: collective convergence reduction).
 
-    Returns (SolveResult with sharded leaves, stats dict of replicated
-    scalars: global converged count, mean iterations, mean/total cost).
+    Params/cost may be shared or per-scenario (see `solve_sharded`). Returns
+    (SolveResult with sharded leaves, stats dict of replicated scalars:
+    global converged count, mean iterations, mean/total cost).
     """
-    from jax import shard_map
+    params_batched, cost_axes = _batched_operands(params, cost)
 
-    n_total = jax.tree.leaves(initial_trajs)[0].shape[0]
+    def per_shard_solve(p, c, t):
+        return jax.vmap(
+            lambda pp, cc, tt: ilqr_module.solve(pp, cc, tt, dt_s, options),
+            in_axes=(0 if params_batched else None, cost_axes, 0),
+        )(p, c, t)
 
-    def per_shard(t):
-        result = jax.vmap(lambda tt: ilqr_module.solve(params, cost, tt, dt_s, options))(t)
-        local_converged = jnp.sum((result.status == STATUS_CONVERGED).astype(jnp.float32))
-        local_iters = jnp.sum(result.iterations.astype(jnp.float32))
-        local_cost = jnp.sum(result.cost)
-        # ICI collectives: global Monte-Carlo reduction
-        n_converged = jax.lax.psum(local_converged, axis_name)
-        total_iters = jax.lax.psum(local_iters, axis_name)
-        total_cost = jax.lax.psum(local_cost, axis_name)
-        stats = {
-            "n_converged": n_converged,
-            "mean_iterations": total_iters / n_total,
-            "mean_cost": total_cost / n_total,
-            "total_cost": total_cost,
-        }
-        return result, stats
-
-    batch_spec = jax.tree.map(lambda _: P(axis_name), initial_trajs)
-
-    sharded = shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(batch_spec,),
-        out_specs=(
-            _result_specs(axis_name),
-            {
-                "n_converged": P(),
-                "mean_iterations": P(),
-                "mean_cost": P(),
-                "total_cost": P(),
-            },
-        ),
-        check_vma=False,
+    return _shard_map_solve(
+        per_shard_solve, params, cost, initial_trajs, mesh, axis_name
     )
-    run = jax.jit(sharded)
-    return run(shard_scenarios(initial_trajs, mesh, axis_name))
 
 
 def solve_sharded_fused(
@@ -163,24 +180,55 @@ def solve_sharded_fused(
     `engine="whole"` (default) runs each shard through the whole-solve
     single-kernel engine (kernels/solve.py — fastest measured at every
     batch size); `engine="loop"` uses the batch-level kernel loop (needed
-    for options.populate_debug). The per-shard batch (B / mesh size) must
-    be a multiple of the 128-lane kernel tile. `interpret=True` runs the
-    kernels in interpreter mode (CPU-mesh tests without TPU hardware).
+    for options.populate_debug). Params/cost may be shared or per-scenario
+    (see `solve_sharded`; the kernels take per-scenario operands as lane
+    tiles). The per-shard batch (B / mesh size) must be a multiple of the
+    128-lane kernel tile. `interpret=True` runs the kernels in interpreter
+    mode (CPU-mesh tests without TPU hardware).
     """
-    from jax import shard_map
-
     from ..solver.batched import solve_batch_fused, solve_batch_latency
 
     solver = solve_batch_latency if engine == "whole" else solve_batch_fused
+
+    def per_shard_solve(p, c, t):
+        return solver(p, c, t, dt_s, options, interpret=interpret)
+
+    return _shard_map_solve(
+        per_shard_solve, params, cost, initial_trajs, mesh, axis_name
+    )
+
+
+def _shard_map_solve(
+    per_shard_solve, params, cost, initial_trajs, mesh: Mesh, axis_name: str
+):
+    """Common shard_map plumbing for the with-stats solvers: shard the
+    scenario axis (including any per-scenario params/cost leaves), run
+    `per_shard_solve(params, cost, trajs)` on each shard, psum global
+    convergence statistics over the mesh.
+
+    Shared params/cost are closed over (compile-time constants, replicated
+    everywhere — including multi-process, where a device_put from one host
+    couldn't span non-addressable devices); per-scenario leaves become
+    explicit sharded shard_map operands."""
+    from jax import shard_map
+
+    params_batched, _ = _batched_operands(params, cost)
     n_total = jax.tree.leaves(initial_trajs)[0].shape[0]
 
-    def per_shard(t):
-        result = solver(
-            params, cost, t, dt_s, options, interpret=interpret
+    def per_shard(p, c, t):
+        # per-scenario cost leaves arrive sharded (ndim 3); shared ones rode
+        # along as scalar dummies — restore them from the closure
+        c = jax.tree.map(
+            lambda shared, local: local if jnp.ndim(local) == 3 else shared,
+            cost, c,
         )
-        local_converged = jnp.sum((result.status == STATUS_CONVERGED).astype(jnp.float32))
+        result = per_shard_solve(p if params_batched else params, c, t)
+        local_converged = jnp.sum(
+            (result.status == STATUS_CONVERGED).astype(jnp.float32)
+        )
         local_iters = jnp.sum(result.iterations.astype(jnp.float32))
         local_cost = jnp.sum(result.cost)
+        # ICI collectives: global Monte-Carlo reduction
         stats = {
             "n_converged": jax.lax.psum(local_converged, axis_name),
             "mean_iterations": jax.lax.psum(local_iters, axis_name) / n_total,
@@ -190,10 +238,27 @@ def solve_sharded_fused(
         return result, stats
 
     batch_spec = jax.tree.map(lambda _: P(axis_name), initial_trajs)
+    params_spec = jax.tree.map(
+        lambda _: P(axis_name) if params_batched else P(), params
+    )
+    # shard_map operand trees must be arrays with static specs, so shared
+    # leaves (replicated via closure) ride as zero-size scalar dummies
+    cost_in = jax.tree.map(
+        lambda leaf: leaf if jnp.ndim(leaf) == 3
+        else jnp.zeros((), jnp.asarray(leaf).dtype),
+        cost,
+    )
+    cost_spec = jax.tree.map(
+        lambda leaf: P(axis_name) if jnp.ndim(leaf) == 3 else P(), cost
+    )
+    params_in = params if params_batched else jax.tree.map(
+        lambda leaf: jnp.zeros((), jnp.asarray(leaf).dtype), params
+    )
+
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(batch_spec,),
+        in_specs=(params_spec, cost_spec, batch_spec),
         out_specs=(
             _result_specs(axis_name),
             {
@@ -206,7 +271,13 @@ def solve_sharded_fused(
         check_vma=False,
     )
     run = jax.jit(sharded)
-    return run(shard_scenarios(initial_trajs, mesh, axis_name))
+    if params_batched:
+        params_in = shard_scenarios(params_in, mesh, axis_name)
+    return run(
+        params_in,
+        _place_cost(cost_in, mesh, axis_name),
+        shard_scenarios(initial_trajs, mesh, axis_name),
+    )
 
 
 def _result_specs(axis_name):

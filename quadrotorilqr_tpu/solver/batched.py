@@ -329,16 +329,24 @@ def solve_batch_latency(
 ) -> SolveResult:
     """Latency-optimized batched solve: the ENTIRE iLQR loop in one Pallas
     kernel per 128-lane tile (kernels/solve.py) — no per-trip kernel
-    launches or layout glue. Lane-for-lane identical to `solve_batch_fused`;
-    use this for single/small-batch solves (BASELINE.json configs 1 and 4),
-    the batch loop for throughput batches. Horizon bound: N <= ~200 (VMEM).
+    launches or layout glue. Lane-for-lane identical to `solve_batch_fused`
+    (the fastest measured engine at every batch size, BENCH_LOCAL.md).
+
+    Horizons beyond the kernel's VMEM budget (kernels.solve.MAX_HORIZON
+    stages) route to `solve_batch_fused` automatically — callers get the
+    same semantics at the batch loop's per-trip launch cost.
     """
-    from ..kernels.solve import solve_fused_whole
+    from ..kernels.solve import MAX_HORIZON, solve_fused_whole
 
     if options.populate_debug:
         raise NotImplementedError(
             "populate_debug is unsupported on the whole-solve kernel "
             "(use solve_batch_fused or the XLA path)"
+        )
+    if initial_trajs.controls.shape[1] > MAX_HORIZON:
+        return solve_batch_fused(
+            params, cost, initial_trajs, dt_s, options,
+            interpret=interpret, continuation=continuation,
         )
     batch = initial_trajs.controls.shape[0]
     pad = (-batch) % 128

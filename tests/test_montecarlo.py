@@ -70,3 +70,20 @@ def test_sample_params_batched_contract():
     for leaf in jax.tree.leaves(params):
         assert leaf.shape[0] == 32
     params.validate()  # every sampled inertia is SPD
+
+
+def test_generate_use_mesh_with_randomized_params():
+    """Randomized per-scenario params sharded over the 8-device mesh (the
+    sharded fused path takes them as scenario-sharded shard_map operands)."""
+    import jax.numpy as jnp
+
+    result, stats = generate_library(
+        batch=1024, horizon=4, iters=2, pose_scale=0.1,
+        randomize_params=True, use_mesh=True, dtype=jnp.float64,
+    )
+    assert stats["randomized_params"]
+    assert "total_cost" in stats  # psum'd mesh statistics present
+    np.testing.assert_allclose(
+        stats["total_cost"], float(np.asarray(result.cost).sum()), rtol=1e-6
+    )
+    assert np.unique(np.asarray(result.cost)).size > 512

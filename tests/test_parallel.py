@@ -120,6 +120,79 @@ class TestSharded:
         )
 
 
+class TestShardedPerScenario:
+    """Per-scenario params/cost sharded along the scenario axis (instead of
+    replicated) through the mesh helpers."""
+
+    @staticmethod
+    def _batched_operands(params, cost):
+        rng = np.random.default_rng(23)
+        masses = jnp.asarray(rng.uniform(0.8, 1.5, size=(B,)), F64)
+        inertias = jnp.asarray(
+            np.stack([np.eye(3) * s for s in rng.uniform(0.5, 2.0, size=B)]),
+            F64,
+        )
+        params_b = qm.QuadrotorParams(
+            mass_kg=masses,
+            inertia=inertias,
+            arm_length_m=jnp.broadcast_to(params.arm_length_m, (B,)),
+            torque_to_thrust_ratio_m=jnp.broadcast_to(
+                params.torque_to_thrust_ratio_m, (B,)
+            ),
+            g_mpss=jnp.broadcast_to(params.g_mpss, (B,)),
+        )
+        scales = jnp.linspace(0.5, 5.0, B, dtype=F64)[:, None, None]
+        cost_b = QuadraticTrackingCost(
+            Q=scales * cost.Q,
+            R=cost.R,  # mixed: Q per-scenario, R/desired shared
+            desired_states=cost.desired_states,
+            desired_controls=cost.desired_controls,
+        )
+        return params_b, cost_b
+
+    def test_solve_sharded_per_scenario(self):
+        from quadrotorilqr_tpu.parallel.batch import solve_batch as sb
+
+        params, cost, trajs, opts = make_problem()
+        params_b, cost_b = self._batched_operands(params, cost)
+        mesh = make_scenario_mesh()
+        sharded = solve_sharded(params_b, cost_b, trajs, 0.05, opts, mesh)
+        local = sb(
+            params_b, cost_b, trajs, 0.05, opts,
+            params_batched=True, cost_batched=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.trajectory.controls),
+            np.asarray(local.trajectory.controls),
+            atol=1e-8,
+        )
+        # params really landed sharded, not replicated
+        shard_sizes = {s.data.shape[0] for s in sharded.cost.addressable_shards}
+        assert shard_sizes == {B // 8}
+
+    def test_solve_sharded_with_stats_per_scenario(self):
+        from quadrotorilqr_tpu.parallel.batch import solve_batch as sb
+
+        params, cost, trajs, opts = make_problem()
+        params_b, cost_b = self._batched_operands(params, cost)
+        mesh = make_scenario_mesh()
+        result, stats = solve_sharded_with_stats(
+            params_b, cost_b, trajs, 0.05, opts, mesh
+        )
+        local = sb(
+            params_b, cost_b, trajs, 0.05, opts,
+            params_batched=True, cost_batched=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.trajectory.controls),
+            np.asarray(local.trajectory.controls),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            float(stats["total_cost"]), float(jnp.sum(local.cost)), rtol=1e-10
+        )
+
+
 def test_solve_batch_per_scenario_params():
     """params_batched: randomized mass/inertia per scenario (domain
     randomization) through the vmapped XLA path."""

@@ -358,3 +358,68 @@ def test_solve_fused_auto_pads_odd_batches():
     np.testing.assert_array_equal(
         np.asarray(res.status), np.asarray(full.status[:100])
     )
+
+
+def test_solve_fused_sharded_per_scenario_operands():
+    """Per-scenario params + mixed per-scenario cost through the sharded
+    fused path (shard_map operands sharded along the scenario axis) vs the
+    single-device fused solve on the same global batch."""
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+    from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
+    from quadrotorilqr_tpu.parallel.mesh import (
+        make_scenario_mesh,
+        solve_sharded_fused,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    params1, cost, trajs = _problem(n=4)
+    batch = 128 * n_dev
+    trajs = jax.tree.map(lambda a: jnp.concatenate([a] * n_dev, axis=0), trajs)
+    rng = np.random.default_rng(29)
+    diags = rng.uniform(0.3, 0.8, size=(batch, 3))
+    inertias = np.stack([np.diag(d) + 0.02 for d in diags])
+    params_b = QuadrotorParams(
+        mass_kg=jnp.asarray(rng.uniform(0.8, 1.6, size=(batch,)), jnp.float64),
+        inertia=jnp.asarray(inertias, jnp.float64),
+        arm_length_m=jnp.asarray(
+            rng.uniform(0.15, 0.3, size=(batch,)), jnp.float64
+        ),
+        torque_to_thrust_ratio_m=jnp.asarray(
+            rng.uniform(0.01, 0.02, size=(batch,)), jnp.float64
+        ),
+        g_mpss=jnp.full((batch,), 9.81, jnp.float64),
+    )
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(batch,)), jnp.float64)
+    cost_b = QuadraticTrackingCost(
+        Q=scale[:, None, None] * cost.Q,
+        R=cost.R,  # mixed: Q per-scenario, R/desired shared
+        desired_states=cost.desired_states,
+        desired_controls=cost.desired_controls,
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 2),
+    )
+    mesh = make_scenario_mesh()
+    result, stats = solve_sharded_fused(
+        params_b, cost_b, trajs, 0.02, options, mesh, interpret=True
+    )
+    ref = solve_batch_fused(
+        params_b, cost_b, trajs, 0.02, options, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(result.status), np.asarray(ref.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.cost), np.asarray(ref.cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        float(stats["total_cost"]), float(jnp.sum(ref.cost)), rtol=1e-8
+    )
+    # randomized params genuinely differentiate lanes across shards
+    assert np.unique(np.asarray(result.cost)).size > batch // 2

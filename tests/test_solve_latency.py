@@ -109,6 +109,30 @@ def test_latency_per_scenario_weights_and_padding():
     )
 
 
+def test_latency_long_horizon_falls_back():
+    """Horizons beyond kernels.solve.MAX_HORIZON route to the batch loop
+    instead of raising (the whole-solve kernel is the default engine, so the
+    routed path must degrade gracefully)."""
+    from quadrotorilqr_tpu.kernels.solve import MAX_HORIZON, solve_fused_whole
+
+    n = MAX_HORIZON + 4
+    params, cost, trajs = _problem(n=n)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 1),
+    )
+    a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params, cost, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)
+
+    # the kernel entry point itself still fails fast with the actionable error
+    try:
+        solve_fused_whole(params, cost, trajs, 0.02, options, interpret=True)
+    except ValueError as e:
+        assert "VMEM budget" in str(e)
+    else:
+        raise AssertionError("expected ValueError beyond MAX_HORIZON")
+
+
 def test_latency_per_scenario_params():
     """Per-lane physical params on the whole-solve kernel."""
     from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams

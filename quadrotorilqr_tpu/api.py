@@ -109,8 +109,9 @@ class QuadrotorILQR:
         vmapped XLA path on TPU; batches auto-pad to the 128-lane tile;
         per-iteration debug via options.populate_debug works on both paths).
         `latency=True` selects the whole-solve single-kernel variant
-        (solver/batched.solve_batch_latency) — best for single/small-batch
-        solves; no debug records there. Falls back to the vmapped XLA solver
+        (solver/batched.solve_batch_latency) — the fastest engine at every
+        batch size; it routes populate_debug and over-budget horizons to
+        the batch loop itself. Falls back to the vmapped XLA solver
         otherwise.
         """
         # Mosaic TPU kernels have no float64 support — the fused path is for
@@ -118,7 +119,9 @@ class QuadrotorILQR:
         # parity) falls back to the vmapped XLA solver.
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
         if fused and fusable_dtype:
-            if latency and not self.options.populate_debug:
+            if latency:
+                # routes itself to the batch loop for populate_debug or
+                # horizons beyond the kernel's VMEM budget
                 from .solver.batched import solve_batch_latency
 
                 return solve_batch_latency(

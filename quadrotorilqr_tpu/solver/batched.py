@@ -332,18 +332,16 @@ def solve_batch_latency(
     launches or layout glue. Lane-for-lane identical to `solve_batch_fused`
     (the fastest measured engine at every batch size, BENCH_LOCAL.md).
 
-    Horizons beyond the kernel's VMEM budget (kernels.solve.MAX_HORIZON
-    stages) route to `solve_batch_fused` automatically — callers get the
-    same semantics at the batch loop's per-trip launch cost.
+    Requests the whole-solve kernel cannot serve route to
+    `solve_batch_fused` automatically with identical semantics: horizons
+    beyond the kernel's VMEM budget (kernels.solve.MAX_HORIZON stages), and
+    `options.populate_debug` (per-iteration snapshots don't fit VMEM;
+    debug is a diagnostic mode where the batch loop's per-trip launch cost
+    is irrelevant).
     """
     from ..kernels.solve import MAX_HORIZON, solve_fused_whole
 
-    if options.populate_debug:
-        raise NotImplementedError(
-            "populate_debug is unsupported on the whole-solve kernel "
-            "(use solve_batch_fused or the XLA path)"
-        )
-    if initial_trajs.controls.shape[1] > MAX_HORIZON:
+    if options.populate_debug or initial_trajs.controls.shape[1] > MAX_HORIZON:
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation,

@@ -109,6 +109,26 @@ def test_latency_per_scenario_weights_and_padding():
     )
 
 
+def test_latency_populate_debug_falls_back():
+    """populate_debug routes to the batch loop (identical IterDebug) instead
+    of raising — the default engine serves diagnostic mode too."""
+    params, cost, trajs = _problem(n=5)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3),
+        populate_debug=True,
+    )
+    a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params, cost, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)
+    assert b.debug is not None
+    np.testing.assert_array_equal(
+        np.asarray(a.debug.valid), np.asarray(b.debug.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.debug.costs), np.asarray(b.debug.costs), rtol=1e-12
+    )
+
+
 def test_latency_long_horizon_falls_back():
     """Horizons beyond kernels.solve.MAX_HORIZON route to the batch loop
     instead of raising (the whole-solve kernel is the default engine, so the

@@ -110,9 +110,9 @@ class QuadrotorILQR:
         per-iteration debug via options.populate_debug works on both paths).
         `latency=True` selects the whole-solve single-kernel variant
         (solver/batched.solve_batch_latency) — the fastest engine at every
-        batch size; it routes populate_debug and over-budget horizons to
-        the batch loop itself. Falls back to the vmapped XLA solver
-        otherwise.
+        batch size; it routes populate_debug to the batch loop and
+        over-VMEM horizons to the streamed kernel itself. Falls back to
+        the vmapped XLA solver otherwise.
         """
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
@@ -120,8 +120,8 @@ class QuadrotorILQR:
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
         if fused and fusable_dtype:
             if latency:
-                # routes itself to the batch loop for populate_debug or
-                # horizons beyond the kernel's VMEM budget
+                # routes itself: populate_debug -> batch loop; horizons
+                # beyond the VMEM budget -> streamed kernel (any N)
                 from .solver.batched import solve_batch_latency
 
                 return solve_batch_latency(

@@ -1,0 +1,633 @@
+"""Streamed whole-solve kernel: unbounded-horizon iLQR at kernel speed.
+
+The VMEM-resident whole-solve kernel (kernels/solve.py) holds every horizon
+stage of the trajectory, desired trajectory, gains, and line-search
+candidates on-chip, which caps it at MAX_HORIZON (~256) stages. Beyond that
+the only engines were the batch-level kernel loop (same per-tile VMEM bound)
+and the ~30x slower XLA paths. This kernel removes the bound: per-stage data
+stays in HBM and is DMA'd through a fixed VMEM window of `chunk` stages, so
+the horizon is limited only by HBM.
+
+Why synchronous (non-double-buffered) DMA is enough: the solve is
+compute-bound by ~30x. Per 64-stage chunk the backward pass does
+~13.2 kFLOP/lane/stage * 128 lanes * 64 = 108 MFLOP (~170 us at the engine's
+measured 640 GFLOP/s) while the chunk's DMA traffic is ~2.6 MB (~5 us at the
+measured 554 GB/s). Overlap would recover <3%; the complexity is not worth
+it (BENCH_LOCAL.md roofline numbers).
+
+Design differences vs the VMEM-resident kernel (same reference semantics,
+ilqr.hh:53-205):
+
+  * the live trajectory lives in the HBM OUTPUT buffer (initialized from
+    the input by one HBM->HBM DMA per 128-lane tile) and is re-streamed
+    each sweep;
+  * line-search candidates are never stored: the line search runs
+    cost-only rollout sweeps, and one final APPLY sweep re-rolls each lane
+    at its final per-lane alpha (accepted lanes froze their alpha at
+    acceptance, exhausted lanes keep the last tried alpha — identical to
+    the stored-candidate semantics, deterministically recomputed) and
+    merges candidate stages into the live buffer for active lanes;
+  * gains (k, K) stream to a per-tile HBM scratch buffer sized
+    (N, 56, 128) that sequential grid steps reuse (dimension_semantics
+    "arbitrary" pins the grid to sequential execution).
+
+Packed stage layouts (Mosaic requires DMA slice shapes aligned to the
+(8, 128) f32 tiling on the minor two dims, so row counts pad to multiples
+of 8):
+
+  trajectory / desired  (N, 24, B):  q 0:4 | t 4:7 | v 7:13 | u 13:17 | pad
+  gains                 (N, 56, Bt): k 0:4 | K row r at 4+12r:16+12r | pad
+
+The per-stage math is IMPORTED from kernels/backward.py (_riccati_stage)
+and kernels/rollout.py (_state_minus, _dynamics_step) — one definition
+shared with every other kernel, so the f64 interpret parity contract
+extends here automatically. Per-lane solver state rows and the trip/line-
+search predication structure mirror kernels/solve.py exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+from .backward import TILE, _prep_cost, _prep_params, _riccati_stage, _to_lanes
+from .rollout import _dynamics_step, _state_minus
+from .solve import (
+    _ACCEPTED,
+    _ALPHA,
+    _BESTC,
+    _COST,
+    _DONE,
+    _ITERS,
+    _STATE_ROWS,
+    _STATUS,
+)
+
+TRAJ_ROWS = 24
+GAIN_ROWS = 56
+DEFAULT_CHUNK = 64
+
+
+def _stream_kernel(
+    n_stages,
+    max_iters,
+    ls_max_iters,
+    continuation,
+    chunk,
+    cost_batched,
+    fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
+    tin_ref,  # HBM (N, 24, B) packed initial trajectory
+    des_ref,  # HBM (N, 24, Bd) packed desired (Bd = B batched / TILE shared)
+    qmat_ref,  # VMEM (12, 12, Bt) cost Q
+    rmat_ref,  # VMEM (4, 4, Bt) cost R
+    g_ref,  # VMEM (1, 1, Bt) params (broadcast or per-lane)
+    minv_ref,
+    ju_ref,  # (12, 4, Bt)
+    iinvma_ref,  # (3, 4, Bt)
+    i_ref,  # (3, 3, Bt)
+    iinv_ref,  # (3, 3, Bt)
+    live_ref,  # out HBM (N, 24, B): live/final packed trajectory
+    gains_ref,  # out HBM (N, 56, TILE): per-tile gains scratch (reused)
+    ocost_ref,  # out VMEM (1, Bt)
+    oiter_ref,  # out VMEM (1, Bt) f32 (cast by the wrapper)
+    ostat_ref,  # out VMEM (1, Bt) f32 STATUS_* codes
+    tbuf,  # scratch VMEM (W, 24, TILE): trajectory window
+    dbuf,  # scratch VMEM (W, 24, TILE): desired window
+    gbuf,  # scratch VMEM (W, 56, TILE): gains window
+    st_ref,  # scratch VMEM (8, TILE): per-lane solver state rows
+    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+    sems,  # DMA semaphores (4,)
+):
+    tile = pl.program_id(0)
+    lane0 = tile * TILE
+    dlane0 = lane0 if cost_batched else 0
+
+    dt = fscal_ref[0]
+    quu_reg = fscal_ref[1]
+    rtol = fscal_ref[2]
+    atol = fscal_ref[3]
+    ls_step = fscal_ref[4]
+    ls_frac = fscal_ref[5]
+    q_l = qmat_ref[:]
+    r_l = rmat_ref[:]
+    r2_l = 2.0 * r_l
+    g2 = g_ref[:]
+    g1 = g_ref[0]
+    m_inv = minv_ref[0]
+    ju = ju_ref[:]
+    ju_t = L.transpose(ju)
+    iinv_ma = iinvma_ref[:]
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    bt = q_l.shape[-1]
+    dtype = q_l.dtype
+    zeros1 = jnp.zeros((1, bt), dtype)
+    ez = jnp.concatenate(
+        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+    )
+    n_full = n_stages // chunk
+    rem = n_stages % chunk
+
+    def get(r):
+        return st_ref[r : r + 1]
+
+    def put(r, val):
+        st_ref[r : r + 1] = val
+
+    def conv(cur, new):
+        diff = jnp.abs(cur - new)
+        return jnp.logical_or(diff < rtol * jnp.abs(cur), diff < atol)
+
+    # ---- DMA plumbing (sync: start + wait; see module docstring) ---------
+    def copy(src, dst, slot):
+        cp = pltpu.make_async_copy(src, dst, sems.at[slot])
+        cp.start()
+        return cp
+
+    def load_stages(s, w, with_gains):
+        cps = [
+            copy(
+                live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
+                tbuf.at[pl.ds(0, w)],
+                0,
+            ),
+            copy(
+                des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)],
+                dbuf.at[pl.ds(0, w)],
+                1,
+            ),
+        ]
+        if with_gains:
+            cps.append(
+                copy(gains_ref.at[pl.ds(s, w)], gbuf.at[pl.ds(0, w)], 2)
+            )
+        for cp in cps:
+            cp.wait()
+
+    def store_gains(s, w):
+        copy(gbuf.at[pl.ds(0, w)], gains_ref.at[pl.ds(s, w)], 2).wait()
+
+    def store_traj(s, w):
+        copy(
+            tbuf.at[pl.ds(0, w)],
+            live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
+            3,
+        ).wait()
+
+    def sweep(process, carry0, reverse=False):
+        """Run `process(start, width, carry)` over every horizon chunk.
+        `width` is Python-static (chunk for full chunks, rem for the tail),
+        `start` is traced."""
+        if reverse:
+            carry = process(n_full * chunk, rem, carry0) if rem else carry0
+            return jax.lax.fori_loop(
+                0,
+                n_full,
+                lambda c, cr: process((n_full - 1 - c) * chunk, chunk, cr),
+                carry,
+            )
+        carry = jax.lax.fori_loop(
+            0, n_full, lambda c, cr: process(c * chunk, chunk, cr), carry0
+        )
+        return process(n_full * chunk, rem, carry) if rem else carry
+
+    # ---- packed-row helpers ---------------------------------------------
+    def unpack(row):
+        return row[0:4], row[4:7], row[7:13], row[13:17]
+
+    def feedback(grow, dx):
+        """K @ dx from a packed gains row: (56, bt), (12, bt) -> (4, bt)."""
+        return jnp.concatenate(
+            [
+                L.dot_lanes(grow[4 + 12 * r : 16 + 12 * r], dx)
+                for r in range(4)
+            ],
+            axis=0,
+        )
+
+    def stage_cost(quat, trans, vel, u, drow):
+        dq, dtr, dv, du = unpack(drow)
+        dxd = _state_minus(quat, trans, vel, dq, dtr, dv)
+        duv = u - du
+        return L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+            duv, L.matvec(r_l, duv)
+        )
+
+    # ---- init: live trajectory := input (one HBM->HBM DMA per tile) ------
+    copy(
+        tin_ref.at[:, :, pl.ds(lane0, TILE)],
+        live_ref.at[:, :, pl.ds(lane0, TILE)],
+        0,
+    ).wait()
+    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+
+    if continuation or max_iters == 0:
+        # the input trajectory is feasible: its true cost seeds the loop
+        def cchunk(s, w, c):
+            load_stages(s, w, with_gains=False)
+
+            def cstage(i, cc):
+                row = tbuf[i]
+                quat, trans, vel, u = unpack(row)
+                return cc + stage_cost(quat, trans, vel, u, dbuf[i])
+
+            return jax.lax.fori_loop(0, w, cstage, c)
+
+        put(_COST, sweep(cchunk, zeros1))
+
+    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+
+    def trip(i, tok):
+        @pl.when(flag_ref[0] < 0.5)
+        def _():
+            # ---- backward sweep (ilqr.hh:97-147), reverse chunks ----
+            def bchunk(s, w, carry):
+                load_stages(s, w, with_gains=False)
+
+                def bstage(j, cr):
+                    idx = w - 1 - j
+                    v_x, v_xx, qutk, ktquuk = cr
+                    row = tbuf[idx]
+                    drow = dbuf[idx]
+                    quat, trans, vel, u = unpack(row)
+                    dq, dtr, dv, du = unpack(drow)
+                    k, big_k, v_x2, v_xx2, qi, ki = _riccati_stage(
+                        dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
+                        quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
+                    )
+                    gbuf[idx, 0:4] = k
+                    for r in range(4):
+                        gbuf[idx, 4 + 12 * r : 16 + 12 * r] = big_k[r]
+                    return (v_x2, v_xx2, qutk + qi, ktquuk + ki)
+
+                carry = jax.lax.fori_loop(0, w, bstage, carry)
+                store_gains(s, w)
+                return carry
+
+            binit = (
+                jnp.zeros((12, bt), dtype),
+                jnp.zeros((12, 12, bt), dtype),
+                zeros1,
+                zeros1,
+            )
+            _, _, qutk, ktquuk = sweep(bchunk, binit, reverse=True)
+
+            current = get(_COST)
+            done = get(_DONE) > 0.5
+            li = i + (1 if continuation else 0)
+            li_pos = li > 0
+            expected = current + (qutk + 0.5 * ktquuk)
+            pre_conv = jnp.logical_and(
+                jnp.logical_and(li_pos, conv(current, expected)),
+                jnp.logical_not(done),
+            )
+            active = jnp.logical_and(
+                jnp.logical_not(done), jnp.logical_not(pre_conv)
+            )
+
+            # ---- rollout sweep (shared by line search and apply) ----
+            def rollout_sweep(alpha, write_mask):
+                """Roll every lane at its per-lane alpha. write_mask=None:
+                cost-only (line-search probe). Otherwise merge candidate
+                stages into the live buffer for write_mask lanes."""
+
+                def rchunk(s, w, carry):
+                    load_stages(s, w, with_gains=True)
+
+                    def rstage(j, cr):
+                        quat, trans, vel, c = cr
+                        row = tbuf[j]
+                        oq, ot, ov, ou = unpack(row)
+                        first = (s + j) == 0
+                        quat = jnp.where(first, oq, quat)
+                        trans = jnp.where(first, ot, trans)
+                        vel = jnp.where(first, ov, vel)
+                        dx = _state_minus(quat, trans, vel, oq, ot, ov)
+                        grow = gbuf[j]
+                        u = ou + alpha * grow[0:4] + feedback(grow, dx)
+                        c = c + stage_cost(quat, trans, vel, u, dbuf[j])
+                        if write_mask is not None:
+                            tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
+                            tbuf[j, 4:7] = jnp.where(write_mask, trans, ot)
+                            tbuf[j, 7:13] = jnp.where(write_mask, vel, ov)
+                            tbuf[j, 13:17] = jnp.where(write_mask, u, ou)
+                        return _dynamics_step(
+                            dt, g1, m_inv, iinv_ma, i_l, iinv_l, ez,
+                            quat, trans, vel, u,
+                        ) + (c,)
+
+                    carry = jax.lax.fori_loop(0, w, rstage, carry)
+                    if write_mask is not None:
+                        store_traj(s, w)
+                    return carry
+
+                rinit = (
+                    jnp.zeros((4, bt), dtype),
+                    jnp.zeros((3, bt), dtype),
+                    jnp.zeros((6, bt), dtype),
+                    zeros1,
+                )
+                return sweep(rchunk, rinit)[3]
+
+            # ---- line search (ilqr.hh:174-194): cost-only probes ----
+            put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_BESTC, current)
+            flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            def ls_trip(j, tok2):
+                @pl.when(flag_ref[1] > 0.5)
+                def _():
+                    accepted = get(_ACCEPTED) > 0.5
+                    pending = jnp.logical_and(active, jnp.logical_not(accepted))
+                    alpha = get(_ALPHA)
+                    cand_cost = rollout_sweep(alpha, None)
+                    desired = ls_frac * (
+                        alpha * qutk + alpha * alpha * ktquuk * 0.5
+                    )
+                    ok = (cand_cost - current) < desired
+                    ok = jnp.logical_or(ok, li == 0)
+                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+                    accepted2 = jnp.logical_or(
+                        accepted, jnp.logical_and(pending, ok)
+                    )
+                    put(_ACCEPTED, accepted2.astype(dtype))
+                    put(
+                        _ALPHA,
+                        jnp.where(
+                            jnp.logical_or(accepted2, jnp.logical_not(active)),
+                            alpha,
+                            alpha * ls_step,
+                        ),
+                    )
+                    flag_ref[1] = jnp.sum(
+                        jnp.logical_and(
+                            active, jnp.logical_not(accepted2)
+                        ).astype(dtype)
+                    )
+
+                return tok2
+
+            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+
+            # ---- apply sweep: re-roll at the final per-lane alpha and
+            # merge candidates for active lanes (see module docstring) ----
+            rollout_sweep(get(_ALPHA), active)
+
+            # ---- accept / converge / fail bookkeeping (ilqr.hh:58-84) ----
+            accepted = get(_ACCEPTED) > 0.5
+            best_cost = get(_BESTC)
+            post_conv = jnp.logical_and(
+                jnp.logical_and(li_pos, conv(current, best_cost)),
+                jnp.logical_and(active, accepted),
+            )
+            ls_failed = jnp.logical_and(active, jnp.logical_not(accepted))
+            put(_COST, jnp.where(active, best_cost, current))
+            status = get(_STATUS)
+            converged = jnp.logical_or(post_conv, pre_conv)
+            status = jnp.where(
+                ls_failed,
+                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+                jnp.where(converged, jnp.asarray(1.0, dtype), status),
+            )
+            put(_STATUS, status)
+            done2 = jnp.logical_or(
+                done, jnp.logical_or(converged, ls_failed)
+            )
+            put(_DONE, done2.astype(dtype))
+            put(_ITERS, get(_ITERS) + active.astype(dtype))
+            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
+            flag_ref[0] = jnp.where(
+                n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
+
+        return tok
+
+    jax.lax.fori_loop(0, max_iters, trip, 0)
+
+    ocost_ref[:] = get(_COST)
+    oiter_ref[:] = get(_ITERS)
+    ostat_ref[:] = get(_STATUS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "batch",
+        "max_iters",
+        "ls_max_iters",
+        "continuation",
+        "chunk",
+        "cost_batched",
+        "params_batched",
+        "interpret",
+    ),
+)
+def _stream_call(
+    fscal,
+    traj_packed,
+    des_packed,
+    q_mat,
+    r_mat,
+    g,
+    m_inv,
+    ju,
+    iinv_ma,
+    inertia,
+    inertia_inv,
+    n,
+    batch,
+    max_iters,
+    ls_max_iters,
+    continuation,
+    chunk,
+    cost_batched,
+    params_batched,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = traj_packed.dtype
+    w = min(chunk, n)
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,),
+        lambda i: (0,) * len(shape) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = functools.partial(
+        _stream_kernel,
+        n,
+        max_iters,
+        ls_max_iters,
+        continuation,
+        w,
+        cost_batched,
+    )
+    live, _, ocost, oiter, ostat = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            hbm,
+            hbm,
+            cost_block((12, 12)),
+            cost_block((4, 4)),
+            param_block((1, 1)),
+            param_block((1, 1)),
+            param_block((12, 4)),
+            param_block((3, 4)),
+            param_block((3, 3)),
+            param_block((3, 3)),
+        ],
+        out_specs=[
+            hbm,
+            hbm,
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, TRAJ_ROWS, batch), dtype),
+            jax.ShapeDtypeStruct((n, GAIN_ROWS, TILE), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w, TRAJ_ROWS, TILE), dtype),
+            pltpu.VMEM((w, TRAJ_ROWS, TILE), dtype),
+            pltpu.VMEM((w, GAIN_ROWS, TILE), dtype),
+            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.SMEM((2,), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        fscal,
+        traj_packed,
+        des_packed,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        iinv_ma,
+        inertia,
+        inertia_inv,
+    )
+    return live, ocost, oiter, ostat
+
+
+def _pack_stages(q, t, v, u):
+    """Lane-layout stage arrays -> packed (N, 24, B) (see module docstring)."""
+    n, _, b = q.shape
+    pad = jnp.zeros((n, TRAJ_ROWS - 17, b), q.dtype)
+    return jnp.concatenate([q, t, v, u, pad], axis=1)
+
+
+def solve_fused_streamed(
+    params,
+    cost,
+    traj,
+    dt_s,
+    options,
+    interpret=False,
+    continuation=False,
+    chunk=DEFAULT_CHUNK,
+):
+    """Streamed whole-solve iLQR for (B, N, ...) trajectories, B a multiple
+    of 128, any horizon (HBM-bound rather than VMEM-bound). Lane-for-lane
+    identical to solve_fused_whole / solve_batch_fused; returns the same
+    tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
+    i32)."""
+    from ..lie.se3 import SE3
+    from ..models.quadrotor import State
+    from ..solver.ilqr import Trajectory
+
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    dtype = controls.dtype
+    ls = options.line_search_params
+    cc = options.convergence_criteria
+
+    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=1.0
+    )
+    g, ju, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+        params, dt_s, dtype
+    )
+    fscal = jnp.asarray(
+        [
+            dt_s,
+            options.quu_reg,
+            cc.rtol,
+            cc.atol,
+            ls.step_update,
+            ls.desired_reduction_frac,
+            0.0,
+            0.0,
+        ],
+        dtype,
+    )
+    traj_packed = _pack_stages(
+        _to_lanes(traj.states.pose.quat),
+        _to_lanes(traj.states.pose.trans),
+        _to_lanes(traj.states.vel),
+        _to_lanes(controls),
+    )
+    des_packed = _pack_stages(des_q, des_t, des_v, des_u)
+
+    live, ocost, oiter, ostat = _stream_call(
+        fscal,
+        traj_packed,
+        des_packed,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        iinv_ma,
+        inertia,
+        inertia_inv,
+        n,
+        batch,
+        int(cc.max_iters),
+        int(ls.max_iters),
+        continuation,
+        chunk,
+        cost_batched,
+        params_batched,
+        interpret,
+    )
+    unpack = lambda lo, hi: jnp.moveaxis(live[:, lo:hi, :], -1, 0)
+    new_traj = Trajectory(
+        times=traj.times,
+        states=State(
+            pose=SE3(quat=unpack(0, 4), trans=unpack(4, 7)),
+            vel=unpack(7, 13),
+        ),
+        controls=unpack(13, 17),
+    )
+    return (
+        new_traj,
+        ocost[0],
+        oiter[0].astype(jnp.int32),
+        ostat[0].astype(jnp.int32),
+    )

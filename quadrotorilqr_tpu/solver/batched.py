@@ -332,16 +332,18 @@ def solve_batch_latency(
     launches or layout glue. Lane-for-lane identical to `solve_batch_fused`
     (the fastest measured engine at every batch size, BENCH_LOCAL.md).
 
-    Requests the whole-solve kernel cannot serve route to
-    `solve_batch_fused` automatically with identical semantics: horizons
-    beyond the kernel's VMEM budget (kernels.solve.MAX_HORIZON stages), and
-    `options.populate_debug` (per-iteration snapshots don't fit VMEM;
-    debug is a diagnostic mode where the batch loop's per-trip launch cost
-    is irrelevant).
+    Requests the VMEM-resident kernel cannot serve route automatically with
+    identical semantics: horizons beyond its VMEM budget
+    (kernels.solve.MAX_HORIZON stages) go to the STREAMED whole-solve kernel
+    (kernels/stream.py — same single-program structure, per-stage data DMA'd
+    through a fixed VMEM window, any horizon), and `options.populate_debug`
+    goes to the batch loop (per-iteration snapshots don't fit VMEM; debug is
+    a diagnostic mode where the per-trip launch cost is irrelevant).
     """
     from ..kernels.solve import MAX_HORIZON, solve_fused_whole
+    from ..kernels.stream import solve_fused_streamed
 
-    if options.populate_debug or initial_trajs.controls.shape[1] > MAX_HORIZON:
+    if options.populate_debug:
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation,
@@ -366,7 +368,12 @@ def solve_batch_latency(
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
-    traj, cost_v, iterations, status = solve_fused_whole(
+    engine = (
+        solve_fused_streamed
+        if initial_trajs.controls.shape[1] > MAX_HORIZON
+        else solve_fused_whole
+    )
+    traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         interpret=interpret, continuation=continuation,
     )

@@ -129,10 +129,10 @@ def test_latency_populate_debug_falls_back():
     )
 
 
-def test_latency_long_horizon_falls_back():
-    """Horizons beyond kernels.solve.MAX_HORIZON route to the batch loop
-    instead of raising (the whole-solve kernel is the default engine, so the
-    routed path must degrade gracefully)."""
+def test_latency_long_horizon_routes_to_streamed():
+    """Horizons beyond kernels.solve.MAX_HORIZON route to the streamed
+    whole-solve kernel (kernels/stream.py) instead of raising — identical
+    results, any horizon; ragged batches pad through the same route."""
     from quadrotorilqr_tpu.kernels.solve import MAX_HORIZON, solve_fused_whole
 
     n = MAX_HORIZON + 4
@@ -143,6 +143,13 @@ def test_latency_long_horizon_falls_back():
     a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
     b = solve_batch_latency(params, cost, trajs, 0.02, options, interpret=True)
     _assert_same(a, b)
+
+    sub_t = jax.tree.map(lambda x: x[:70], trajs)
+    r = solve_batch_latency(params, cost, sub_t, 0.02, options, interpret=True)
+    assert r.cost.shape == (70,)
+    np.testing.assert_allclose(
+        np.asarray(r.cost), np.asarray(a.cost[:70]), rtol=1e-12
+    )
 
     # the kernel entry point itself still fails fast with the actionable error
     try:

@@ -68,6 +68,15 @@ from .solve import (
     _STATUS,
 )
 
+# Spare state row: the alpha of the LAST TRIED probe per lane. The VMEM
+# kernel keeps the last probe's rollout in its candidate buffers, so a
+# lane whose line search exhausts still merges that trajectory; here
+# candidates are recomputed, and _ALPHA has already been backtracked once
+# more after the final failed probe — the apply sweep must re-roll at the
+# tried value, not the backtracked one.
+_TRIED = 7
+assert _TRIED < _STATE_ROWS
+
 TRAJ_ROWS = 24
 GAIN_ROWS = 56
 DEFAULT_CHUNK = 64
@@ -336,6 +345,7 @@ def _stream_kernel(
 
             # ---- line search (ilqr.hh:174-194): cost-only probes ----
             put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_TRIED, jnp.ones((1, bt), dtype))
             put(_ACCEPTED, jnp.zeros((1, bt), dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
@@ -352,6 +362,7 @@ def _stream_kernel(
                     )
                     ok = (cand_cost - current) < desired
                     ok = jnp.logical_or(ok, li == 0)
+                    put(_TRIED, jnp.where(pending, alpha, get(_TRIED)))
                     put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
                     accepted2 = jnp.logical_or(
                         accepted, jnp.logical_and(pending, ok)
@@ -375,9 +386,10 @@ def _stream_kernel(
 
             jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
 
-            # ---- apply sweep: re-roll at the final per-lane alpha and
+            # ---- apply sweep: re-roll each lane at the alpha of its LAST
+            # TRIED probe (== the accepted alpha for accepted lanes) and
             # merge candidates for active lanes (see module docstring) ----
-            rollout_sweep(get(_ALPHA), active)
+            rollout_sweep(get(_TRIED), active)
 
             # ---- accept / converge / fail bookkeeping (ilqr.hh:58-84) ----
             accepted = get(_ACCEPTED) > 0.5

@@ -178,6 +178,28 @@ def test_streamed_per_scenario_params():
     _assert_same(a, b)
 
 
+def test_streamed_line_search_failure_lanes():
+    """A starved line search (1 probe, near-1.0 required reduction) drives
+    lanes to STATUS_LINE_SEARCH_FAILED; the streamed kernel must freeze and
+    report them exactly like the batch loop (the reference throws here,
+    ilqr.hh:191-193 — batched engines surface a per-lane status instead)."""
+    params, cost, trajs = _problem(n=5)
+    # demand 2x the model-predicted reduction with a single probe: trip 0
+    # always applies (ilqr.hh:71-73), trip 1's line search then fails
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 2.0, 1),
+        convergence_criteria=ConvergenceCriteria(1e-12, 1e-12, 4),
+    )
+    a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    b = solve_fused_streamed(
+        params, cost, trajs, 0.02, options, interpret=True, chunk=3
+    )
+    _assert_same(a, b)
+    assert (np.asarray(a.status) == 2).any(), (
+        "fixture no longer produces line-search failures; tighten it"
+    )
+
+
 def test_streamed_rejects_ragged_batch():
     params, cost, trajs = _problem(n=4)
     sub_t = jax.tree.map(lambda x: x[:70], trajs)

@@ -151,11 +151,17 @@ def _riccati_stage(
 
     blocks = (p_blk, t_blk, g_blk, m_blk)
     q_x = c_x + _jxt_vec(v_x, *blocks)
-    q_u = c_u + L.matvec(ju_t, v_x)
+    # j_u is block-sparse too: only rows 8:12 (body-z thrust + angular
+    # accel, _prep_params) are nonzero, so every j_u contraction runs over
+    # those 4 rows only — bit-exact (the dropped products are exact zeros)
+    # and ~8% fewer FLOPs per stage.
+    ju_lo = ju[8:12]  # (4, 4, B)
+    jut_lo = ju_t[:, 8:12]
+    q_u = c_u + L.matvec(jut_lo, v_x[8:12])
     vxx_jx = _mat_jx(v_xx, *blocks)
     q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
-    vxx_ju = L.matmul(v_xx, ju)
-    q_uu = r2_l + L.matmul(ju_t, vxx_ju) + quu_reg * L.eye(4, q_l)
+    vxx_ju = L.matmul(v_xx[:, 8:12], ju_lo)
+    q_uu = r2_l + L.matmul(jut_lo, vxx_ju[8:12]) + quu_reg * L.eye(4, q_l)
     q_xu = _jxt_mat(vxx_ju, *blocks)
 
     rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)

@@ -472,8 +472,9 @@ def solve_fused_whole(
     if n > MAX_HORIZON:
         raise ValueError(
             f"horizon {n} exceeds the whole-solve kernel's VMEM budget "
-            f"({MAX_HORIZON} stages); use solver.batched.solve_batch_fused, "
-            "or the associative XLA path for very long horizons"
+            f"({MAX_HORIZON} stages); use kernels.stream.solve_fused_streamed "
+            "(any horizon) or solver.batched.solve_batch_latency, which "
+            "routes there automatically"
         )
     dtype = controls.dtype
     ls = options.line_search_params

@@ -10,6 +10,7 @@ Plotting imports are lazy so headless/bench environments never pay for them.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax.numpy as jnp
@@ -76,11 +77,16 @@ def plot_costs(costs):
     return fig
 
 
-# The reference renders its quadrotor mesh asset in the 3D animation
-# (quadrotor_ilqr.py:186-253, quad_simple_scaled.stl). The asset is loaded at
-# runtime when present (override with QILQR_MESH_PATH); without it the
-# animation falls back to a 4-arm glyph.
-DEFAULT_MESH_PATH = "/root/reference/quad_simple_scaled.stl"
+# The reference renders a quadrotor mesh asset in the 3D animation
+# (quadrotor_ilqr.py:186-253, quad_simple_scaled.stl). We ship our OWN
+# procedurally-generated mesh (tools/gen_mesh.py -> assets/quadrotor.stl);
+# QILQR_MESH_PATH overrides it (e.g. to point at the reference's STL);
+# if neither loads, the animation falls back to a 4-arm glyph.
+DEFAULT_MESH_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets",
+    "quadrotor.stl",
+)
 
 
 def load_stl_mesh(path):
@@ -248,7 +254,15 @@ def parse_args(args):
 
 
 def cli():
-    """Console entry point (pyproject `quadrotor-ilqr`)."""
+    """Console entry point (pyproject `quadrotor-ilqr`).
+
+    Self-configures float64 (the reference demo solves at rtol=atol=1e-12,
+    quadrotor_ilqr.py:272-284 — unreachable in float32, where the demo
+    stalls with a line-search failure around 1 f32 ulp of the cost).
+    Library callers (tests, notebooks) configure JAX themselves."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
     parsed = parse_args(sys.argv[1:])
     main(parsed.show_plots, parsed.plot_iters, parsed.save_anim_path)
 

@@ -1,0 +1,113 @@
+"""Long-horizon regime: streamed whole-solve kernel vs the batch loop.
+
+The reference's horizon loop is strictly sequential (ilqr.hh:109-141,
+157-169) and its demo uses N=40; nothing in it bounds N except time. On
+TPU the VMEM-resident kernels cap at MAX_HORIZON (kernels/solve.py) and
+the batch-loop kernels fail to compile past N~1024 (per-tile VMEM), so
+the streamed kernel (kernels/stream.py) is the only kernel engine in this
+regime. This bench pins the crossover table recorded in BENCH_LOCAL.md.
+
+Run: python benchmarks/long_horizon.py [--batch 128] [--horizons 512,1024,2048,4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quadrotorilqr_tpu.app import workloads  # noqa: E402
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed  # noqa: E402
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams  # noqa: E402
+from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
+    initial_trajectory_from_state,
+)
+from quadrotorilqr_tpu.solver.batched import solve_batch_fused  # noqa: E402
+from quadrotorilqr_tpu.solver.options import (  # noqa: E402
+    ConvergenceCriteria,
+    ILQROptions,
+)
+from quadrotorilqr_tpu.utils.profiling import time_compiled  # noqa: E402
+
+DTYPE = jnp.float32
+
+
+def _problem(batch, n):
+    key = jax.random.PRNGKey(0)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, batch, n=n, dt_s=0.02, dtype=DTYPE, pose_scale=0.4
+    )
+    q, r = workloads.demo_weights(DTYPE)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    params = QuadrotorParams.create(
+        mass_kg=1.3,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, DTYPE),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    trajs = initial_trajectory_from_state(init_states, desired)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 10)
+    )
+    return params, cost, trajs, options
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--horizons", default="512,1024,2048,4096")
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    rows = []
+    for n in (int(x) for x in args.horizons.split(",")):
+        params, cost, trajs, options = _problem(args.batch, n)
+        row = {"n": n, "batch": args.batch}
+
+        p50, comp, _ = time_compiled(
+            lambda t: solve_fused_streamed(params, cost, t, 0.02, options),
+            (trajs,), repeats=args.repeats,
+        )
+        row["streamed_p50_ms"] = round(p50 * 1e3, 1)
+        row["streamed_solves_per_s"] = round(args.batch / p50, 1)
+
+        try:
+            p50b, _, _ = time_compiled(
+                lambda t: solve_batch_fused(params, cost, t, 0.02, options),
+                (trajs,), repeats=args.repeats,
+            )
+            row["batch_loop_p50_ms"] = round(p50b * 1e3, 1)
+        except Exception as e:  # VMEM compile failure past N~1024
+            row["batch_loop_p50_ms"] = None
+            row["batch_loop_error"] = f"{type(e).__name__}"
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    print("\n| N | streamed p50 | batch loop p50 |")
+    print("|---|---|---|")
+    for r in rows:
+        bl = (
+            f"{r['batch_loop_p50_ms']} ms"
+            if r["batch_loop_p50_ms"] is not None
+            else "compile FAIL (VMEM)"
+        )
+        print(f"| {r['n']} | {r['streamed_p50_ms']} ms | {bl} |")
+
+
+if __name__ == "__main__":
+    main()

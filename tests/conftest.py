@@ -16,8 +16,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles several hundred distinct XLA:CPU programs in
+    one process; past ~134 accumulated compilations the NEXT backend
+    compile segfaults inside XLA (deterministic position, independent of
+    which tests ran — any ~half of the suite is fine, the union is not).
+    Dropping executables between modules keeps the per-process compile
+    population bounded. Costs nothing across modules (programs are not
+    shared between test files) and keeps `pytest tests/ -q` green."""
+    yield
+    jax.clear_caches()

@@ -172,7 +172,15 @@ def _riccati_stage(
     quu_k = L.matvec(q_uu, k)
     big_kt = L.transpose(big_k)
     v_x_new = q_x - L.matvec(big_kt, quu_k)
-    v_xx_new = q_xx - L.matmul(big_kt, L.matmul(q_uu, big_k))
+    # Per-stage symmetrization: in f32 the recursion AMPLIFIES v_xx's
+    # roundoff asymmetry exponentially (rel asym 9e-8 in f64 vs 1.9 in raw
+    # f32 at N=512 on the hover workload), exploding v_xx ~20,000x and
+    # driving Quu indefinite (Cholesky NaN). Projecting back onto symmetry
+    # each stage keeps f32 exactly as conditioned as f64 out to N=8192
+    # (measured); in f64 it changes results at the 1e-16 level only. Same
+    # cure as the associative path's per-combine symmetrization.
+    s = q_xx - L.matmul(big_kt, L.matmul(q_uu, big_k))
+    v_xx_new = 0.5 * (s + L.transpose(s))
     return k, big_k, v_x_new, v_xx_new, L.dot_lanes(q_u, k), L.dot_lanes(k, quu_k)
 
 

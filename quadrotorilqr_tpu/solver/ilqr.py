@@ -149,7 +149,11 @@ def _backward_pass_hp(params, cost, traj, dt_s, quu_reg):
         quu_k = jnp.einsum("...ij,...j->...i", q_uu, k)
         big_kt = jnp.swapaxes(big_k, -1, -2)
         v_x_new = q_x - jnp.einsum("...ij,...j->...i", big_kt, quu_k)
-        v_xx_new = q_xx - big_kt @ q_uu @ big_k
+        # symmetrize per stage: f32 otherwise amplifies v_xx's roundoff
+        # asymmetry exponentially and NaNs past N~500 (see the same fix in
+        # kernels/backward._riccati_stage); f64 changes only at ~1e-16
+        s = q_xx - big_kt @ q_uu @ big_k
+        v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
         qutk = qutk + jnp.einsum("...i,...i->...", q_u, k)
         ktquuk = ktquuk + jnp.einsum("...i,...i->...", k, quu_k)
         return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)

@@ -1,0 +1,116 @@
+"""Real-TPU validation sweep: finiteness + cross-engine parity by shape.
+
+The interpret-mode parity tests (tests/) pin every kernel lane-for-lane on
+CPU, but Mosaic-compiled behavior and f32-at-depth behavior only show up on
+hardware — this sweep caught both a tail-chunk DMA regression and the f32
+long-horizon NaN (see BENCH_LOCAL.md "f32 long-horizon stability"). Run it
+after any kernel change, BEFORE trusting new benchmark numbers:
+
+    python benchmarks/tpu_validate.py
+
+Exits nonzero on any nonfinite cost or streamed-vs-batch-loop mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quadrotorilqr_tpu.app import workloads  # noqa: E402
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed  # noqa: E402
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams  # noqa: E402
+from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
+    initial_trajectory_from_state,
+)
+from quadrotorilqr_tpu.solver.batched import solve_batch_fused  # noqa: E402
+from quadrotorilqr_tpu.solver.options import (  # noqa: E402
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+DTYPE = jnp.float32
+
+# (batch, horizon, chunk): exercises the VMEM kernel range, tail chunks of
+# width 1, odd batches of >1 tile, and horizons past every VMEM bound.
+SHAPES = [
+    (128, 40, 64),
+    (256, 97, 32),
+    (128, 260, 64),
+    (256, 300, 128),
+    (128, 513, 64),
+    (128, 1024, 128),
+]
+
+
+def _problem(batch, n):
+    key = jax.random.PRNGKey(0)
+    init_states, desired = workloads.hover_to_waypoint(
+        key, batch, n=n, dt_s=0.02, dtype=DTYPE, pose_scale=0.4
+    )
+    q, r = workloads.demo_weights(DTYPE)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    params = QuadrotorParams.create(
+        mass_kg=1.3,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, DTYPE),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    return params, cost, initial_trajectory_from_state(init_states, desired)
+
+
+def main():
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 6),
+    )
+    failures = 0
+    for batch, n, chunk in SHAPES:
+        params, cost, trajs = _problem(batch, n)
+        traj_s, cost_s, it_s, st_s = solve_fused_streamed(
+            params, cost, trajs, 0.02, options, chunk=chunk
+        )
+        c = np.asarray(cost_s)
+        st = np.asarray(st_s)
+        line = (
+            f"n={n:5d} b={batch} chunk={chunk:3d}: "
+            f"finite={np.isfinite(c).mean():.3f} conv={(st == 1).mean():.3f}"
+        )
+        ok = np.isfinite(c).all()
+        try:
+            ref = solve_batch_fused(params, cost, trajs, 0.02, options)
+            cr = np.asarray(ref.cost)
+            rel = np.abs(c - cr) / np.maximum(1e-6, np.abs(cr))
+            du = np.abs(
+                np.asarray(traj_s.controls)
+                - np.asarray(ref.trajectory.controls)
+            ).max()
+            line += f" | vs batch-loop: relcost={rel.max():.2e} |du|={du:.2e}"
+            # f32 engines share the stage math but not the op schedule;
+            # borderline lanes may flip a convergence trip — bound the bulk.
+            ok = ok and np.isfinite(cr).all() and np.median(rel) < 1e-4
+        except Exception as e:  # VMEM compile failure at very long N
+            line += f" | batch-loop: {type(e).__name__} (expected at long N)"
+        print(("OK   " if ok else "FAIL ") + line, flush=True)
+        failures += 0 if ok else 1
+    if failures:
+        sys.exit(f"{failures} shape(s) failed")
+    print("SWEEP OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -164,3 +164,69 @@ def test_random_fused_solves_match_cpp_oracle():
             np.asarray(res.trajectory.controls[0]), out["controls"], atol=1e-6,
             err_msg=f"case {case}",
         )
+
+
+def test_random_streamed_solves_match_cpp_oracle():
+    """The STREAMED whole-solve kernel (interpret mode, f64, tail chunks)
+    against the C++ oracle on random problems — the fifth independent
+    implementation tied directly to the native reference semantics."""
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+    from quadrotorilqr_tpu.solver.ilqr import Trajectory
+
+    rng = np.random.default_rng(21)
+    for case in range(2):
+        mass, inertia, arm, kappa, q, r, tau, vel0, hover = _random_problem(rng)
+        dtype = jnp.float64
+        desired = Trajectory(
+            times=jnp.arange(HORIZON, dtype=dtype) * DT,
+            states=State(
+                pose=se3.identity((HORIZON,), dtype),
+                vel=jnp.zeros((HORIZON, 6), dtype),
+            ),
+            controls=jnp.full((HORIZON, 4), hover, dtype),
+        )
+        x0 = State(pose=se3.exp(jnp.asarray(tau, dtype)), vel=jnp.asarray(vel0, dtype))
+        init_1 = initial_trajectory_from_state(x0, desired)  # batch of 1
+        # the streamed kernel takes whole 128-lane tiles: replicate the lane
+        init_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (128,) + a.shape[1:]), init_1
+        )
+
+        params = QuadrotorParams.create(mass, jnp.asarray(inertia, dtype), arm, kappa, 9.81)
+        cost = QuadraticTrackingCost(
+            Q=jnp.asarray(q, dtype), R=jnp.asarray(r, dtype),
+            desired_states=desired.states, desired_controls=desired.controls,
+        )
+        options = ILQROptions(
+            convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 10)
+        )
+        traj, cost_v, iters, status = solve_fused_streamed(
+            params, cost, init_b, DT, options, interpret=True, chunk=5
+        )
+
+        init = jax.tree.map(lambda a: a[0], init_1)
+        out = native.solve(
+            mass_kg=mass, inertia=inertia, arm_length_m=arm,
+            torque_to_thrust_ratio_m=kappa, g_mpss=9.81, q_mat=q, r_mat=r,
+            desired_quat=desired.states.pose.quat,
+            desired_trans=desired.states.pose.trans,
+            desired_vel=desired.states.vel,
+            desired_controls=desired.controls,
+            init_quat=init.states.pose.quat,
+            init_trans=init.states.pose.trans,
+            init_vel=init.states.vel,
+            init_controls=init.controls,
+            dt_s=DT, rtol=1e-10, atol=1e-10, max_iters=10,
+        )
+        assert int(iters[0]) == out["iterations"], f"case {case}"
+        np.testing.assert_allclose(
+            float(cost_v[0]), out["cost"], rtol=1e-8, err_msg=f"case {case}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(traj.controls[0]), out["controls"], atol=1e-6,
+            err_msg=f"case {case}",
+        )
+        # every replicated lane must agree exactly with lane 0
+        np.testing.assert_array_equal(
+            np.asarray(cost_v), np.broadcast_to(np.asarray(cost_v[0]), (128,))
+        )

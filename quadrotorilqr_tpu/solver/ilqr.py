@@ -81,16 +81,20 @@ class SolveResult:
     debug: IterDebug | None
 
 
-def quadratize(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Trajectory, dt_s):
+def quadratize(params, cost: qc.QuadraticTrackingCost, traj: Trajectory, dt_s, model=qm):
     """Stage-parallel quadratization for ALL N stages at once.
 
-    Returns (j_x (N,12,12), j_u (N,12,4), c_x (N,12), c_u (N,4),
-    c_xx (N,12,12), c_uu (N,4,4)). This is the hot math (Lie Jacobians,
+    Returns (j_x (N,12,12), j_u (N,12,m), c_x (N,12), c_u (N,m),
+    c_xx (N,12,12), c_uu (N,m,m)). This is the hot math (Lie Jacobians,
     trig, 3x3 solves) — hoisted out of the sequential recursion so it runs
     across the whole horizon in parallel (the C++ does it stage-by-stage
     inside the reverse loop, ilqr.hh:110-116).
+
+    `model` is any module satisfying the model protocol over `State`
+    (the reference's `template <class ModelT>`, ilqr.hh:25): it sets the
+    control dimension m (quadrotor: 4; models/se3_wrench: 6).
     """
-    _, j_x, j_u = qm.discrete_dynamics_jacobians(params, traj.states, traj.controls, dt_s)
+    _, j_x, j_u = model.discrete_dynamics_jacobians(params, traj.states, traj.controls, dt_s)
     _, c_x, c_u, c_xx, c_uu = qc.stage_cost_with_diffs(
         cost, traj.states, traj.controls, cost.desired_states, cost.desired_controls
     )
@@ -100,15 +104,16 @@ def quadratize(params: QuadrotorParams, cost: qc.QuadraticTrackingCost, traj: Tr
 
 
 def backward_pass(
-    params: QuadrotorParams,
+    params,
     cost: qc.QuadraticTrackingCost,
     traj: Trajectory,
     dt_s,
     quu_reg=0.0,
+    model=qm,
 ):
     """Riccati recursion (ilqr.hh:97-147).
 
-    Returns (ks (N,4), Ks (N,4,12), QuTk, kTQuuk). With quu_reg == 0 the Quu
+    Returns (ks (N,m), Ks (N,m,12), QuTk, kTQuuk). With quu_reg == 0 the Quu
     solve is plain, matching ilqr.hh:126-128 (reference parity); quu_reg > 0
     adds Levenberg-style damping (robust mode, SURVEY.md hard-part 4).
     """
@@ -116,11 +121,11 @@ def backward_pass(
     # passes, which wrecks the unregularized Quu (NaNs on the demo workload)
     # — force full-f32 accumulation for the whole pass.
     with jax.default_matmul_precision("highest"):
-        return _backward_pass_hp(params, cost, traj, dt_s, quu_reg)
+        return _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model)
 
 
-def _backward_pass_hp(params, cost, traj, dt_s, quu_reg):
-    j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s)
+def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
+    j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
 
     def stage(carry, inputs):
         v_x, v_xx, qutk, ktquuk = carry
@@ -182,20 +187,21 @@ def expected_cost_reduction(qutk, ktquuk, step=1.0):
 
 
 def forward_sim(
-    params: QuadrotorParams,
+    params,
     traj: Trajectory,
     ks,
     big_ks,
     alpha,
     dt_s,
+    model=qm,
 ):
     """Closed-loop rollout (ilqr.hh:149-172):
     u_i = u_old_i + alpha*k_i + K_i (x (-) x_old_i); x_{i+1} = f(x_i, u_i)."""
     with jax.default_matmul_precision("highest"):
-        return _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s)
+        return _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s, model)
 
 
-def _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s):
+def _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s, model=qm):
     x0 = jax.tree.map(lambda leaf: leaf[..., 0, :], traj.states)
     n_axis = traj.controls.ndim - 2
 
@@ -211,9 +217,9 @@ def _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s):
 
     def stage(state, inputs):
         x_old, u_old, k, big_k = inputs
-        dx = qm.minus(state, x_old)
+        dx = model.minus(state, x_old)
         u = u_old + alpha[..., None] * k + jnp.einsum("...ij,...j->...i", big_k, dx)
-        next_state = qm.discrete_dynamics(params, state, u, dt_s)
+        next_state = model.discrete_dynamics(params, state, u, dt_s)
         return next_state, (state, u)
 
     _, (states, controls) = jax.lax.scan(stage, x0, xs)
@@ -223,7 +229,7 @@ def _forward_sim_hp(params, traj, ks, big_ks, alpha, dt_s):
 
 
 def line_search(
-    params: QuadrotorParams,
+    params,
     cost: qc.QuadraticTrackingCost,
     traj: Trajectory,
     current_cost,
@@ -233,6 +239,7 @@ def line_search(
     ktquuk,
     dt_s,
     options: ILQROptions,
+    model=qm,
 ):
     """Backtracking line search (ilqr.hh:174-194).
 
@@ -245,7 +252,7 @@ def line_search(
     one = jnp.asarray(1.0, dtype)
 
     def try_step(step):
-        new_traj = forward_sim(params, traj, ks, big_ks, step, dt_s)
+        new_traj = forward_sim(params, traj, ks, big_ks, step, dt_s, model)
         new_cost = qc.trajectory_cost(cost, new_traj.states, new_traj.controls)
         desired = ls.desired_reduction_frac * expected_cost_reduction(qutk, ktquuk, step)
         accept = (new_cost - current_cost) < desired
@@ -306,20 +313,28 @@ def _write_debug(debug: IterDebug, i, traj: Trajectory, cost):
     )
 
 
-@partial(jax.jit, static_argnames=("options", "dt_s", "associative"))
+@partial(jax.jit, static_argnames=("options", "dt_s", "associative", "model"))
 def solve(
-    params: QuadrotorParams,
+    params,
     cost: qc.QuadraticTrackingCost,
     initial_traj: Trajectory,
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     associative: bool = False,
+    model=qm,
 ) -> SolveResult:
     """Full iLQR solve (ilqr.hh:53-87) for ONE scenario (vmap for batches).
 
     `associative=True` swaps the sequential Riccati scan for the O(log N)
     parallel-in-time backward pass (solver/parallel_riccati.py) — same
     results (f64 parity ~1e-8), lower latency for long horizons.
+
+    `model` is the model module (the reference's `template <class ModelT>`
+    type parameter, ilqr.hh:25): any module exposing `discrete_dynamics`,
+    `discrete_dynamics_jacobians`, and `minus` over the shared `State`
+    works — models/quadrotor (default, 4 controls), models/se3_wrench
+    (fully-actuated body wrench, 6 controls). `params` is whatever params
+    pytree that module expects.
 
     Exact reference semantics:
       i == 0: unconditionally forward-simulate the initial control sequence
@@ -343,7 +358,7 @@ def solve(
     def body(carry):
         i, traj, new_cost, done, status, debug = carry
         ks, big_ks, qutk, ktquuk = _backward(
-            params, cost, traj, dt_s, options.quu_reg
+            params, cost, traj, dt_s, options.quu_reg, model
         )
         current = new_cost
 
@@ -353,14 +368,15 @@ def solve(
         def do_update(_):
             def first_iter(_):
                 t = forward_sim(
-                    params, traj, ks, big_ks, jnp.asarray(1.0, current.dtype), dt_s
+                    params, traj, ks, big_ks, jnp.asarray(1.0, current.dtype), dt_s, model
                 )
                 c = qc.trajectory_cost(cost, t.states, t.controls)
                 return t, c, jnp.ones((), bool)
 
             def later_iter(_):
                 return line_search(
-                    params, cost, traj, current, ks, big_ks, qutk, ktquuk, dt_s, options
+                    params, cost, traj, current, ks, big_ks, qutk, ktquuk, dt_s,
+                    options, model,
                 )
 
             t, c, ls_ok = jax.lax.cond(i == 0, first_iter, later_iter, None)

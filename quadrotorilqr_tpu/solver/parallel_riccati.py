@@ -106,14 +106,17 @@ def _combine(later, earlier):
     return a, c, j
 
 
-def backward_pass_assoc(params, cost, traj, dt_s, quu_reg=0.0):
+def backward_pass_assoc(params, cost, traj, dt_s, quu_reg=0.0, model=None):
     """Drop-in replacement for solver.ilqr.backward_pass with O(log N) depth.
 
-    Same signature/returns: (ks (N,4), big_ks (N,4,12), qutk, ktquuk).
-    Single scenario (leading axis = horizon); vmap for batches.
+    Same signature/returns: (ks (N,m), big_ks (N,m,12), qutk, ktquuk).
+    Single scenario (leading axis = horizon); vmap for batches. `model`
+    defaults to the quadrotor module (like solver.ilqr).
     """
     with jax.default_matmul_precision("highest"):
-        j_x, j_u, c_x, c_u, c_xx, c_uu = seq.quadratize(params, cost, traj, dt_s)
+        if model is None:
+            from ..models import quadrotor as model
+        j_x, j_u, c_x, c_u, c_xx, c_uu = seq.quadratize(params, cost, traj, dt_s, model)
         elems = _stage_elements(j_x, j_u, c_x, c_u, c_xx, c_uu, quu_reg)
         suffix = jax.lax.associative_scan(_combine, elems, reverse=True, axis=0)
         j_suffix = suffix[2]  # (N, 13, 13); j_suffix[k] = augmented V_k

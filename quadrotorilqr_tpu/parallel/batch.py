@@ -26,7 +26,8 @@ def _batch_axes(tree, batched: bool):
 @partial(
     jax.jit,
     static_argnames=(
-        "dt_s", "options", "params_batched", "cost_batched", "associative"
+        "dt_s", "options", "params_batched", "cost_batched", "associative",
+        "model",
     ),
 )
 def solve_batch(
@@ -38,6 +39,7 @@ def solve_batch(
     params_batched: bool = False,
     cost_batched: bool = False,
     associative: bool = False,
+    model=None,
 ) -> SolveResult:
     """vmapped solve over a leading scenario axis.
 
@@ -63,9 +65,11 @@ def solve_batch(
         cost_axes,
         _batch_axes(initial_trajs, True),
     )
+    if model is None:
+        from ..models import quadrotor as model
     return jax.vmap(
         lambda p, c, t: ilqr_module.solve(
-            p, c, t, dt_s, options, associative=associative
+            p, c, t, dt_s, options, associative=associative, model=model
         ),
         in_axes=in_axes,
     )(params, cost, initial_trajs)

@@ -149,3 +149,15 @@ def test_generic_solve_converges_on_waypoint():
     )
     assert float(jnp.abs(err[0:6]).max()) < 0.2
     assert res.trajectory.controls.shape == (n, 6)
+
+    # the vmapped batch path is generic too
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+
+    x0b = State(
+        pose=se3.exp(jnp.asarray(0.2 * rng.normal(size=(3, 6)), dtype)),
+        vel=jnp.asarray(0.1 * rng.normal(size=(3, 6)), dtype),
+    )
+    init_b = initial_trajectory_from_state(x0b, desired)
+    res_b = solve_batch(params, cost, init_b, DT, options, model=wm)
+    assert res_b.trajectory.controls.shape == (3, n, 6)
+    assert (np.asarray(res_b.status) == 1).all()

@@ -21,17 +21,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from quadrotorilqr_tpu.app import workloads  # noqa: E402
-from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.app.workloads import long_horizon_problem  # noqa: E402
 from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed  # noqa: E402
-from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams  # noqa: E402
-from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
-    initial_trajectory_from_state,
-)
 from quadrotorilqr_tpu.solver.batched import solve_batch_fused  # noqa: E402
 from quadrotorilqr_tpu.solver.options import (  # noqa: E402
     ConvergenceCriteria,
@@ -54,23 +48,7 @@ SHAPES = [
 
 
 def _problem(batch, n):
-    key = jax.random.PRNGKey(0)
-    init_states, desired = workloads.hover_to_waypoint(
-        key, batch, n=n, dt_s=0.02, dtype=DTYPE, pose_scale=0.4
-    )
-    q, r = workloads.demo_weights(DTYPE)
-    cost = QuadraticTrackingCost(
-        Q=q, R=r, desired_states=desired.states,
-        desired_controls=desired.controls,
-    )
-    params = QuadrotorParams.create(
-        mass_kg=1.3,
-        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, DTYPE),
-        arm_length_m=0.2,
-        torque_to_thrust_ratio_m=0.016,
-        g_mpss=9.81,
-    )
-    return params, cost, initial_trajectory_from_state(init_states, desired)
+    return long_horizon_problem(batch, n, DTYPE)
 
 
 def main():

@@ -138,3 +138,37 @@ def figure_eight(n=200, dt_s=0.02, radius=2.0, dtype=jnp.float32):
         states=states,
         controls=jnp.full((n, 4), 9.81 / 4.0, dtype),
     )
+
+
+def long_horizon_problem(batch, n, dtype=jnp.float32, dt_s=0.02, seed=0):
+    """The canonical long-horizon benchmark/stability problem: randomized
+    hover-to-waypoint scenarios with a non-trivial inertia. ONE definition
+    shared by benchmarks/long_horizon.py, benchmarks/tpu_validate.py, and
+    tests/test_long_horizon_f32.py so they all measure the same workload.
+
+    Returns (params, cost, initial_trajs) with (B, N, ...) leaves.
+    """
+    import jax
+    import numpy as np
+
+    from ..costs.quadratic import QuadraticTrackingCost
+    from ..models.quadrotor import QuadrotorParams
+    from ..parallel.batch import initial_trajectory_from_state
+
+    key = jax.random.PRNGKey(seed)
+    init_states, desired = hover_to_waypoint(
+        key, batch, n=n, dt_s=dt_s, dtype=dtype, pose_scale=0.4
+    )
+    q, r = demo_weights(dtype)
+    cost = QuadraticTrackingCost(
+        Q=q, R=r, desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    params = QuadrotorParams.create(
+        mass_kg=1.3,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, dtype),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    return params, cost, initial_trajectory_from_state(init_states, desired)

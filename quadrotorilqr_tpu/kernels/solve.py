@@ -65,6 +65,87 @@ _STATE_ROWS = 8  # one f32 sublane tile
 MAX_HORIZON = 256
 
 
+# ---------------------------------------------------------------------------
+# Trip / line-search state machine, shared with the STREAMED whole-solve
+# kernel (kernels/stream.py). Like the per-stage math (_riccati_stage,
+# _dynamics_step), the bookkeeping has ONE definition: the two kernels must
+# stay lane-for-lane identical, so any semantic change lands in both by
+# construction. `get`/`put` are the per-lane solver-state row accessors.
+# ---------------------------------------------------------------------------
+
+
+def _trip_gate(get, conv, i, continuation, qutk, ktquuk):
+    """Pre-trip convergence gate (ilqr.hh:58-68).
+
+    Returns (current, done, li, li_pos, pre_conv, active). `li` is the
+    logical trip index: a continuation starts past the trip-0 specials
+    (ilqr.hh:71-73 applies only to a fresh solve).
+    """
+    current = get(_COST)
+    done = get(_DONE) > 0.5
+    li = i + (1 if continuation else 0)
+    li_pos = li > 0
+    expected = current + (qutk + 0.5 * ktquuk)
+    pre_conv = jnp.logical_and(
+        jnp.logical_and(li_pos, conv(current, expected)),
+        jnp.logical_not(done),
+    )
+    active = jnp.logical_and(
+        jnp.logical_not(done), jnp.logical_not(pre_conv)
+    )
+    return current, done, li, li_pos, pre_conv, active
+
+
+def _ls_probe_commit(
+    get, put, ls_frac, ls_step, li, active, current, qutk, ktquuk,
+    cand_cost, pending, accepted, alpha,
+):
+    """Accept/backtrack bookkeeping for one line-search probe
+    (ilqr.hh:174-194; trip 0 of a fresh solve force-accepts, :71-73).
+    Returns the still-pending mask for the caller's SMEM probe counter."""
+    desired = ls_frac * (alpha * qutk + alpha * alpha * ktquuk * 0.5)
+    ok = (cand_cost - current) < desired
+    ok = jnp.logical_or(ok, li == 0)
+    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+    accepted2 = jnp.logical_or(accepted, jnp.logical_and(pending, ok))
+    put(_ACCEPTED, accepted2.astype(cand_cost.dtype))
+    put(
+        _ALPHA,
+        jnp.where(
+            jnp.logical_or(accepted2, jnp.logical_not(active)),
+            alpha,
+            alpha * ls_step,
+        ),
+    )
+    return jnp.logical_and(active, jnp.logical_not(accepted2))
+
+
+def _trip_close(get, put, conv, dtype, li_pos, pre_conv, active, done, current):
+    """Post-line-search accept / converge / fail bookkeeping
+    (ilqr.hh:58-84). Returns the count of still-open lanes for the caller's
+    all-done SMEM flag."""
+    accepted = get(_ACCEPTED) > 0.5
+    best_cost = get(_BESTC)
+    post_conv = jnp.logical_and(
+        jnp.logical_and(li_pos, conv(current, best_cost)),
+        jnp.logical_and(active, accepted),
+    )
+    ls_failed = jnp.logical_and(active, jnp.logical_not(accepted))
+    put(_COST, jnp.where(active, best_cost, current))
+    status = get(_STATUS)
+    converged = jnp.logical_or(post_conv, pre_conv)
+    status = jnp.where(
+        ls_failed,
+        jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+        jnp.where(converged, jnp.asarray(1.0, dtype), status),
+    )
+    put(_STATUS, status)
+    done2 = jnp.logical_or(done, jnp.logical_or(converged, ls_failed))
+    put(_DONE, done2.astype(dtype))
+    put(_ITERS, get(_ITERS) + active.astype(dtype))
+    return jnp.sum(jnp.logical_not(done2).astype(dtype))
+
+
 def _solve_kernel(
     n_stages,
     max_iters,
@@ -187,19 +268,8 @@ def _solve_kernel(
             )
             _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, bstage, binit)
 
-            current = get(_COST)
-            done = get(_DONE) > 0.5
-            # logical trip index: a continuation starts past the trip-0
-            # specials (ilqr.hh:71-73 applies only to a fresh solve)
-            li = i + (1 if continuation else 0)
-            li_pos = li > 0
-            expected = current + (qutk + 0.5 * ktquuk)
-            pre_conv = jnp.logical_and(
-                jnp.logical_and(li_pos, conv(current, expected)),
-                jnp.logical_not(done),
-            )
-            active = jnp.logical_and(
-                jnp.logical_not(done), jnp.logical_not(pre_conv)
+            current, done, li, li_pos, pre_conv, active = _trip_gate(
+                get, conv, i, continuation, qutk, ktquuk
             )
 
             # ---- line search (ilqr.hh:174-194; trip 0 = forced full step) ----
@@ -241,46 +311,17 @@ def _solve_kernel(
                         0, n_stages, rstage, rinit
                     )
 
-                    desired = ls_frac * (
-                        alpha * qutk + alpha * alpha * ktquuk * 0.5
+                    still_pending = _ls_probe_commit(
+                        get, put, ls_frac, ls_step, li, active, current,
+                        qutk, ktquuk, cand_cost, pending, accepted, alpha,
                     )
-                    ok = (cand_cost - current) < desired
-                    # trip 0 of a fresh solve: unconditional full step
-                    ok = jnp.logical_or(ok, li == 0)
-                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
-                    accepted2 = jnp.logical_or(
-                        accepted, jnp.logical_and(pending, ok)
-                    )
-                    put(_ACCEPTED, accepted2.astype(dtype))
-                    put(
-                        _ALPHA,
-                        jnp.where(
-                            jnp.logical_or(
-                                accepted2, jnp.logical_not(active)
-                            ),
-                            alpha,
-                            alpha * ls_step,
-                        ),
-                    )
-                    flag_ref[1] = jnp.sum(
-                        jnp.logical_and(
-                            active, jnp.logical_not(accepted2)
-                        ).astype(dtype)
-                    )
+                    flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
                 return tok2
 
             jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
 
-            # ---- accept / converge / fail bookkeeping (ilqr.hh:58-84) ----
-            accepted = get(_ACCEPTED) > 0.5
-            best_cost = get(_BESTC)
-            post_conv = jnp.logical_and(
-                jnp.logical_and(li_pos, conv(current, best_cost)),
-                jnp.logical_and(active, accepted),
-            )
-            ls_failed = jnp.logical_and(active, jnp.logical_not(accepted))
-
+            # ---- merge accepted candidates into the live trajectory ----
             def mstage(n, tok3):
                 oq_ref[n] = jnp.where(active, bq_ref[n], oq_ref[n])
                 ot_ref[n] = jnp.where(active, bt_ref[n], ot_ref[n])
@@ -290,21 +331,9 @@ def _solve_kernel(
 
             jax.lax.fori_loop(0, n_stages, mstage, 0)
 
-            put(_COST, jnp.where(active, best_cost, current))
-            status = get(_STATUS)
-            converged = jnp.logical_or(post_conv, pre_conv)
-            status = jnp.where(
-                ls_failed,
-                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
-                jnp.where(converged, jnp.asarray(1.0, dtype), status),
+            n_open = _trip_close(
+                get, put, conv, dtype, li_pos, pre_conv, active, done, current
             )
-            put(_STATUS, status)
-            done2 = jnp.logical_or(
-                done, jnp.logical_or(converged, ls_failed)
-            )
-            put(_DONE, done2.astype(dtype))
-            put(_ITERS, get(_ITERS) + active.astype(dtype))
-            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )
@@ -478,6 +507,15 @@ def solve_fused_whole(
         )
     dtype = controls.dtype
     ls = options.line_search_params
+    if int(ls.max_iters) < 1:
+        # the trip-0 forced full step (ilqr.hh:71-73) is implemented as a
+        # forced-accept probe inside the line-search loop: zero probes would
+        # silently skip it (and never record _BESTC/_COST)
+        raise ValueError(
+            "line_search_params.max_iters must be >= 1 on the whole-solve "
+            "kernel; use solver.batched.solve_batch_fused (or "
+            "solve_batch_latency, which routes there) for zero-probe runs"
+        )
     cc = options.convergence_criteria
 
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(

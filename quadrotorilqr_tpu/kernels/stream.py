@@ -66,6 +66,9 @@ from .solve import (
     _ITERS,
     _STATE_ROWS,
     _STATUS,
+    _ls_probe_commit,
+    _trip_close,
+    _trip_gate,
 )
 
 # Spare state row: the alpha of the LAST TRIED probe per lane. The VMEM
@@ -286,17 +289,8 @@ def _stream_kernel(
             )
             _, _, qutk, ktquuk = sweep(bchunk, binit, reverse=True)
 
-            current = get(_COST)
-            done = get(_DONE) > 0.5
-            li = i + (1 if continuation else 0)
-            li_pos = li > 0
-            expected = current + (qutk + 0.5 * ktquuk)
-            pre_conv = jnp.logical_and(
-                jnp.logical_and(li_pos, conv(current, expected)),
-                jnp.logical_not(done),
-            )
-            active = jnp.logical_and(
-                jnp.logical_not(done), jnp.logical_not(pre_conv)
+            current, done, li, li_pos, pre_conv, active = _trip_gate(
+                get, conv, i, continuation, qutk, ktquuk
             )
 
             # ---- rollout sweep (shared by line search and apply) ----
@@ -357,30 +351,14 @@ def _stream_kernel(
                     pending = jnp.logical_and(active, jnp.logical_not(accepted))
                     alpha = get(_ALPHA)
                     cand_cost = rollout_sweep(alpha, None)
-                    desired = ls_frac * (
-                        alpha * qutk + alpha * alpha * ktquuk * 0.5
-                    )
-                    ok = (cand_cost - current) < desired
-                    ok = jnp.logical_or(ok, li == 0)
+                    # candidates are recomputed, not stored: remember the
+                    # alpha actually probed (the apply sweep re-rolls at it)
                     put(_TRIED, jnp.where(pending, alpha, get(_TRIED)))
-                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
-                    accepted2 = jnp.logical_or(
-                        accepted, jnp.logical_and(pending, ok)
+                    still_pending = _ls_probe_commit(
+                        get, put, ls_frac, ls_step, li, active, current,
+                        qutk, ktquuk, cand_cost, pending, accepted, alpha,
                     )
-                    put(_ACCEPTED, accepted2.astype(dtype))
-                    put(
-                        _ALPHA,
-                        jnp.where(
-                            jnp.logical_or(accepted2, jnp.logical_not(active)),
-                            alpha,
-                            alpha * ls_step,
-                        ),
-                    )
-                    flag_ref[1] = jnp.sum(
-                        jnp.logical_and(
-                            active, jnp.logical_not(accepted2)
-                        ).astype(dtype)
-                    )
+                    flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
                 return tok2
 
@@ -391,29 +369,9 @@ def _stream_kernel(
             # merge candidates for active lanes (see module docstring) ----
             rollout_sweep(get(_TRIED), active)
 
-            # ---- accept / converge / fail bookkeeping (ilqr.hh:58-84) ----
-            accepted = get(_ACCEPTED) > 0.5
-            best_cost = get(_BESTC)
-            post_conv = jnp.logical_and(
-                jnp.logical_and(li_pos, conv(current, best_cost)),
-                jnp.logical_and(active, accepted),
+            n_open = _trip_close(
+                get, put, conv, dtype, li_pos, pre_conv, active, done, current
             )
-            ls_failed = jnp.logical_and(active, jnp.logical_not(accepted))
-            put(_COST, jnp.where(active, best_cost, current))
-            status = get(_STATUS)
-            converged = jnp.logical_or(post_conv, pre_conv)
-            status = jnp.where(
-                ls_failed,
-                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
-                jnp.where(converged, jnp.asarray(1.0, dtype), status),
-            )
-            put(_STATUS, status)
-            done2 = jnp.logical_or(
-                done, jnp.logical_or(converged, ls_failed)
-            )
-            put(_DONE, done2.astype(dtype))
-            put(_ITERS, get(_ITERS) + active.astype(dtype))
-            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )
@@ -577,6 +535,14 @@ def solve_fused_streamed(
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     dtype = controls.dtype
     ls = options.line_search_params
+    if int(ls.max_iters) < 1:
+        # same constraint as kernels/solve.py: trip 0's forced full step is
+        # a forced-accept probe; zero probes would silently skip it
+        raise ValueError(
+            "line_search_params.max_iters must be >= 1 on the streamed "
+            "whole-solve kernel; use solver.batched.solve_batch_fused (or "
+            "solve_batch_latency, which routes there) for zero-probe runs"
+        )
     cc = options.convergence_criteria
 
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(

@@ -337,13 +337,14 @@ def solve_batch_latency(
     (kernels.solve.MAX_HORIZON stages) go to the STREAMED whole-solve kernel
     (kernels/stream.py — same single-program structure, per-stage data DMA'd
     through a fixed VMEM window, any horizon), and `options.populate_debug`
-    goes to the batch loop (per-iteration snapshots don't fit VMEM; debug is
-    a diagnostic mode where the per-trip launch cost is irrelevant).
+    or a zero-probe line search (ls max_iters < 1: the whole-solve kernels
+    implement the trip-0 forced step AS a forced-accept probe, so zero
+    probes would skip it) go to the batch loop.
     """
     from ..kernels.solve import MAX_HORIZON, solve_fused_whole
     from ..kernels.stream import solve_fused_streamed
 
-    if options.populate_debug:
+    if options.populate_debug or options.line_search_params.max_iters < 1:
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation,

@@ -58,7 +58,7 @@ def _stage_elements(j_x, j_u, c_x, c_u, c_xx, c_uu, quu_reg):
     """Per-stage (A~, C~, X~) with leading horizon axis N."""
     n = j_x.shape[0]
     dtype = j_x.dtype
-    reg_eye = quu_reg * jnp.eye(4, dtype=dtype)
+    reg_eye = quu_reg * jnp.eye(c_uu.shape[-1], dtype=dtype)
     cuu = c_uu + reg_eye
     cuu_inv_cu = chol_solve_vec(cuu, c_u)  # (N, 4)
     cuu_inv_jut = chol_solve_small(cuu, jnp.swapaxes(j_u, -1, -2))  # (N, 4, 12)
@@ -135,7 +135,7 @@ def backward_pass_assoc(params, cost, traj, dt_s, quu_reg=0.0, model=None):
         q_uu = (
             c_uu
             + jut @ vxx_ju
-            + quu_reg * jnp.eye(4, dtype=j_x.dtype)
+            + quu_reg * jnp.eye(c_uu.shape[-1], dtype=j_x.dtype)
         )
         q_xu = jxt @ vxx_ju
         rhs = jnp.concatenate([q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1)

@@ -12,10 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quadrotorilqr_tpu.app import workloads
-from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
-from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams
-from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+from quadrotorilqr_tpu.app.workloads import long_horizon_problem
 from quadrotorilqr_tpu.solver.options import (
     ConvergenceCriteria,
     ILQROptions,
@@ -26,24 +23,7 @@ N = 512
 
 
 def _problem_f32(batch):
-    dtype = jnp.float32
-    key = jax.random.PRNGKey(0)
-    init_states, desired = workloads.hover_to_waypoint(
-        key, batch, n=N, dt_s=0.02, dtype=dtype, pose_scale=0.4
-    )
-    q, r = workloads.demo_weights(dtype)
-    cost = QuadraticTrackingCost(
-        Q=q, R=r, desired_states=desired.states,
-        desired_controls=desired.controls,
-    )
-    params = QuadrotorParams.create(
-        mass_kg=1.3,
-        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, dtype),
-        arm_length_m=0.2,
-        torque_to_thrust_ratio_m=0.016,
-        g_mpss=9.81,
-    )
-    return params, cost, initial_trajectory_from_state(init_states, desired)
+    return long_horizon_problem(batch, N, jnp.float32)
 
 
 def test_xla_f32_backward_finite_at_512():

@@ -161,3 +161,13 @@ def test_generic_solve_converges_on_waypoint():
     res_b = solve_batch(params, cost, init_b, DT, options, model=wm)
     assert res_b.trajectory.controls.shape == (3, n, 6)
     assert (np.asarray(res_b.status) == 1).all()
+
+    # the associative backward pass is model-generic too (was hardcoded to
+    # the quadrotor's 4 controls via jnp.eye(4))
+    res_a = solve(params, cost, init, DT, options, associative=True, model=wm)
+    assert int(res_a.status) == 1
+    np.testing.assert_allclose(
+        np.asarray(res_a.trajectory.controls),
+        np.asarray(res.trajectory.controls),
+        atol=1e-6,
+    )

@@ -160,6 +160,34 @@ def test_latency_long_horizon_routes_to_streamed():
         raise AssertionError("expected ValueError beyond MAX_HORIZON")
 
 
+def test_latency_zero_probe_line_search_falls_back():
+    """ls max_iters=0 routes to the batch loop (the whole-solve kernels
+    implement the trip-0 forced step as a forced-accept probe, so zero
+    probes would silently skip it — once returned cost 0.0); the kernel
+    entry points themselves fail fast."""
+    from quadrotorilqr_tpu.kernels.solve import solve_fused_whole
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+
+    params, cost, trajs = _problem(n=4)
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 0),
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 2),
+    )
+    a = solve_batch_fused(params, cost, trajs, 0.02, options, interpret=True)
+    b = solve_batch_latency(params, cost, trajs, 0.02, options, interpret=True)
+    _assert_same(a, b)
+    assert np.isfinite(np.asarray(b.cost)).all()
+    assert (np.asarray(b.cost) > 0).all()  # real costs, not skipped probes
+
+    for entry in (solve_fused_whole, solve_fused_streamed):
+        try:
+            entry(params, cost, trajs, 0.02, options, interpret=True)
+        except ValueError as e:
+            assert "max_iters" in str(e)
+        else:
+            raise AssertionError("expected ValueError for zero-probe runs")
+
+
 def test_latency_per_scenario_params():
     """Per-lane physical params on the whole-solve kernel."""
     from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams

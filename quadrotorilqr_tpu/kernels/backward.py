@@ -140,32 +140,39 @@ def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
 def _riccati_stage(
     dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
     quat, trans, vel, u, dq, dtr, dv, du_d, v_x, v_xx,
+    ju_lo_row=8,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
     update. Returns (k, big_k, v_x', v_xx', qutk_inc, ktquuk_inc). Shared by
-    the per-pass kernel below and the whole-solve kernel (kernels/solve.py)."""
+    the per-pass kernel below and the whole-solve kernels (kernels/solve.py,
+    kernels/stream.py), and model-generic: the control dimension comes from
+    `ju` (12, u_dim, B) and `ju_lo_row` is its first nonzero state row
+    (kernels/models.py — 8 for the quadrotor, 6 for the SE(3) wrench)."""
     p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
     _, c_x, c_xx, du = _stage_cost_diffs(quat, trans, vel, u, dq, dtr, dv, du_d, q_l)
     c_u = L.matvec(r2_l, du)
 
     blocks = (p_blk, t_blk, g_blk, m_blk)
     q_x = c_x + _jxt_vec(v_x, *blocks)
-    # j_u is block-sparse too: only rows 8:12 (body-z thrust + angular
-    # accel, _prep_params) are nonzero, so every j_u contraction runs over
-    # those 4 rows only — bit-exact (the dropped products are exact zeros)
-    # and ~8% fewer FLOPs per stage.
-    ju_lo = ju[8:12]  # (4, 4, B)
-    jut_lo = ju_t[:, 8:12]
-    q_u = c_u + L.matvec(jut_lo, v_x[8:12])
+    # j_u is block-sparse too: only state rows ju_lo_row:12 are nonzero
+    # (quadrotor: body-z thrust + angular accel; wrench: full actuation), so
+    # every j_u contraction runs over those rows only — bit-exact (the
+    # dropped products are exact zeros) and ~8% fewer FLOPs per stage for
+    # the quadrotor.
+    lo = ju_lo_row
+    m = ju.shape[1]
+    ju_lo = ju[lo:12]  # (12-lo, u_dim, B)
+    jut_lo = ju_t[:, lo:12]
+    q_u = c_u + L.matvec(jut_lo, v_x[lo:12])
     vxx_jx = _mat_jx(v_xx, *blocks)
     q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
-    vxx_ju = L.matmul(v_xx[:, 8:12], ju_lo)
-    q_uu = r2_l + L.matmul(jut_lo, vxx_ju[8:12]) + quu_reg * L.eye(4, q_l)
+    vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
+    q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
     q_xu = _jxt_mat(vxx_ju, *blocks)
 
     rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
-    sol = -L.chol_solve4(q_uu, rhs)
+    sol = -L.chol_solve(q_uu, rhs)
     k = jax.lax.index_in_dim(sol, 0, 1, keepdims=False)
     big_k = sol[:, 1:, :]
 

@@ -98,13 +98,17 @@ def hat(v):
 
 
 # ---------------------------------------------------------------------------
-# 4x4 SPD Cholesky solve, unrolled (mirrors ops/linalg.py in lane layout)
+# small SPD Cholesky solve, unrolled (mirrors ops/linalg.py in lane layout)
 # ---------------------------------------------------------------------------
 
 
-def chol_solve4(a, b):
-    """Solve a @ x = b with a (4, 4, B) SPD, b (4, k, B) -> (4, k, B)."""
-    n = 4
+def chol_solve(a, b):
+    """Solve a @ x = b with a (n, n, B) SPD, b (n, k, B) -> (n, k, B).
+
+    n is read from the operands and the elimination unrolls at trace time
+    into straight-line VPU code — used at n=4 (quadrotor Quu) and n=6
+    (SE(3)-wrench Quu, kernels/models.py)."""
+    n = a.shape[0]
     l = [[None] * n for _ in range(n)]
     for j in range(n):
         s = a[j, j][None]  # (1, B)
@@ -133,6 +137,9 @@ def chol_solve4(a, b):
             s = s - l[j][i] * xs[j]
         xs[i] = s / l[i][i]
     return jnp.stack(xs, axis=0)
+
+
+chol_solve4 = chol_solve  # historical alias (original 4x4-only form)
 
 
 # ---------------------------------------------------------------------------

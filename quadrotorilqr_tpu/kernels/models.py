@@ -1,0 +1,187 @@
+"""Lane-model descriptors: the model protocol of the fused Pallas kernels.
+
+The XLA solver layer is model-generic via Python modules implementing
+(discrete_dynamics, discrete_dynamics_jacobians, minus) — the TPU-native
+equivalent of the reference's `template <class ModelT>` (ilqr.hh:25-32).
+This module gives the KERNEL engines the same genericity in lane layout.
+
+Every supported model is an SE(3) rigid body with an affine
+control-to-acceleration map:
+
+    accel(x, u) = [-g R^T e_z ; -I^-1 (w x I w)] + B_u(params) @ u
+
+so the discrete dynamics Jacobian j_x has the SAME block structure for every
+model (backward._stage_jx_blocks — the state coupling is the rigid body, not
+the actuation; compare quadrotor_model.cc:84-111 with models/se3_wrench.py),
+and the whole backward Riccati stage (backward._riccati_stage) is shared.
+Models differ only in:
+
+  * ``u_dim`` — control dimension (quadrotor 4 rotors, wrench 6 DoF);
+  * ``ju`` + ``ju_lo`` — the stage-constant discrete control Jacobian
+    j_u = dt * j_cont_u as a (12, u_dim) lane tile and the index of its
+    first nonzero state row (8 for the quadrotor: body-z thrust + angular
+    accel; 6 for the wrench: full actuation). Riccati contractions run over
+    rows ju_lo:12 only — bit-exact, the dropped products are structural
+    zeros;
+  * ``dynamics_step`` — the lane-layout Lie-Euler step, evaluating the
+    control->accel map the same way the model's XLA module does.
+
+Kernel param operands are a FIXED six-tuple of lane tiles
+(g, m_inv, ju, extra, inertia, inertia_inv) so every kernel keeps a fixed
+arity; ``extra`` is a per-model slot (quadrotor: I^-1 @ moment_arms for the
+rollout's rotor map; wrench: an unused (1, 1) placeholder). Shared params
+are single broadcast tiles the kernel grid re-reads; per-scenario params
+(ALL leaves carrying a leading batch dim) are per-lane (d..., B) tensors —
+the same contract as backward._prep_params.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class LaneModel:
+    """Static kernel-model descriptor (hashable module-level singleton, so
+    it can thread through jit/pallas as a static argument)."""
+
+    def __init__(self, name, u_dim, ju_lo, prep_params, dynamics_step):
+        self.name = name
+        self.u_dim = u_dim
+        self.ju_lo = ju_lo
+        self.prep_params = prep_params
+        self.dynamics_step = dynamics_step
+
+    def __repr__(self):
+        return f"LaneModel({self.name})"
+
+
+# ---------------------------------------------------------------------------
+# quadrotor (models/quadrotor.py in lane layout)
+# ---------------------------------------------------------------------------
+
+
+def _quadrotor_prep_params(params, dt_s, dtype):
+    """(g, m_inv, ju, extra=iinv_ma, inertia, inertia_inv, batched)."""
+    from .backward import _prep_params
+
+    g, ju, iinv_ma, inertia, inertia_inv, m_inv, batched = _prep_params(
+        params, dt_s, dtype
+    )
+    return g, m_inv, ju, iinv_ma, inertia, inertia_inv, batched
+
+
+def _quadrotor_dynamics_step(
+    dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+):
+    from .rollout import _dynamics_step
+
+    return _dynamics_step(
+        dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+    )
+
+
+QUADROTOR = LaneModel(
+    name="quadrotor",
+    u_dim=4,
+    ju_lo=8,
+    prep_params=_quadrotor_prep_params,
+    dynamics_step=_quadrotor_dynamics_step,
+)
+
+
+# ---------------------------------------------------------------------------
+# fully-actuated SE(3) body wrench (models/se3_wrench.py in lane layout)
+# ---------------------------------------------------------------------------
+
+
+def _wrench_prep_params(params, dt_s, dtype):
+    """(g, m_inv, ju, extra=(1,1) placeholder, inertia, inertia_inv,
+    batched). j_u = dt * j_cont_u: rows 6:9 = (dt/m) I3 into force columns
+    0:3, rows 9:12 = dt I^-1 into torque columns 3:6
+    (models/se3_wrench.py continuous_dynamics_jacobians; the Euler chain
+    rule keeps pose rows zero exactly as for the quadrotor)."""
+    from ..ops.linalg import chol_solve_small
+    from .backward import _bcast_tile, _to_lanes
+
+    batched = jnp.ndim(params.mass_kg) >= 1
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    mass = jnp.asarray(params.mass_kg, dtype)
+    g = jnp.asarray(params.g_mpss, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    ju = jnp.zeros(jnp.shape(mass) + (12, 6), dtype)
+    ju = ju.at[..., 6:9, 0:3].set(
+        (dt_s / mass)[..., None, None] * eye3 if batched else (dt_s / mass) * eye3
+    )
+    ju = ju.at[..., 9:12, 3:6].set(dt_s * inertia_inv)
+    if batched:
+        b = mass.shape[0]
+        return (
+            _to_lanes(g.reshape(-1, 1, 1)),
+            _to_lanes((1.0 / mass).reshape(-1, 1, 1)),
+            _to_lanes(ju),
+            _to_lanes(jnp.zeros((b, 1, 1), dtype)),
+            _to_lanes(jnp.broadcast_to(inertia, (b, 3, 3))),
+            _to_lanes(jnp.broadcast_to(inertia_inv, (b, 3, 3))),
+            True,
+        )
+    return (
+        _bcast_tile(g.reshape(1, 1), dtype),
+        _bcast_tile((1.0 / mass).reshape(1, 1), dtype),
+        _bcast_tile(ju, dtype),
+        _bcast_tile(jnp.zeros((1, 1), dtype), dtype),
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        False,
+    )
+
+
+def _wrench_dynamics_step(
+    dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+):
+    """Lie-Euler step of the wrench dynamics in lane layout
+    (models/se3_wrench.py continuous_dynamics + the shared Euler step):
+    u = [f_body (3), tau_body (3)]."""
+    from . import lanes as L
+
+    r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+    acc_lin = -g * r_t_ez + m_inv * u[0:3]
+    omega = vel[3:6]
+    i_omega = L.matvec(i_l, omega)
+    acc_ang = L.matvec(iinv_l, u[3:6] - L.cross(omega, i_omega))
+    tau = dt * vel
+    qe, te = L.se3_exp(tau)
+    quat_next, trans_next = L.se3_multiply(quat, trans, qe, te)
+    vel_next = vel + dt * jnp.concatenate([acc_lin, acc_ang], axis=0)
+    return quat_next, trans_next, vel_next
+
+
+SE3_WRENCH = LaneModel(
+    name="se3_wrench",
+    u_dim=6,
+    ju_lo=6,
+    prep_params=_wrench_prep_params,
+    dynamics_step=_wrench_dynamics_step,
+)
+
+
+def lane_model_for(params, model=None):
+    """Resolve the LaneModel for a params pytree (or an explicit XLA model
+    module / LaneModel passed as `model=`)."""
+    if isinstance(model, LaneModel):
+        return model
+    if model is not None:
+        name = getattr(model, "__name__", "")
+        if name.endswith("se3_wrench"):
+            return SE3_WRENCH
+        if name.endswith("quadrotor"):
+            return QUADROTOR
+        raise TypeError(f"no lane model for model module {name!r}")
+    from ..models.quadrotor import QuadrotorParams
+    from ..models.se3_wrench import WrenchParams
+
+    if isinstance(params, QuadrotorParams):
+        return QUADROTOR
+    if isinstance(params, WrenchParams):
+        return SE3_WRENCH
+    raise TypeError(f"no lane model for params type {type(params).__name__}")

@@ -193,24 +193,25 @@ def _riccati_stage(
 
 def _backward_kernel(
     n_stages,
+    ju_lo,  # first nonzero j_u state row (kernels/models.py)
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-active flags
     q_ref,  # (N, 4, Bt) state quats
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
-    u_ref,  # (N, 4, Bt)
+    u_ref,  # (N, u, Bt)
     dq_ref,  # (N, 4, Bt) desired quats (broadcast tile or per-lane)
     dt_ref,  # (N, 3, Bt)
     dv_ref,  # (N, 6, Bt)
-    du_ref,  # (N, 4, Bt)
+    du_ref,  # (N, u, Bt)
     qmat_ref,  # (12, 12, Bt) cost Q (broadcast or per-lane)
-    r2_ref,  # (4, 4, Bt) 2R (broadcast or per-lane)
+    r2_ref,  # (u, u, Bt) 2R (broadcast or per-lane)
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
-    ju_ref,  # (12, 4, Bt) stage-constant j_u (broadcast or per-lane)
+    ju_ref,  # (12, u, Bt) stage-constant j_u (broadcast or per-lane)
     i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
     iinv_ref,  # (3, 3, Bt)
-    ks_ref,  # out (N, 4, Bt)
-    bigks_ref,  # out (N, 4, 12, Bt)
+    ks_ref,  # out (N, u, Bt)
+    bigks_ref,  # out (N, u, 12, Bt)
     red_ref,  # out (2, Bt): [QuTk, kTQuuk]
 ):
     # tiles whose 128 lanes are ALL done skip the pass entirely (their stale
@@ -239,6 +240,7 @@ def _backward_kernel(
                 q_ref[n], t_ref[n], v_ref[n], u_ref[n],
                 dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
                 v_x, v_xx,
+                ju_lo_row=ju_lo,
             )
             ks_ref[n] = k
             bigks_ref[n] = big_k
@@ -359,7 +361,8 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dt_s", "n", "batch", "cost_batched", "params_batched", "interpret"
+        "dt_s", "n", "batch", "ju_lo", "cost_batched", "params_batched",
+        "interpret",
     ),
 )
 def _backward_call(
@@ -382,12 +385,14 @@ def _backward_call(
     dt_s,
     n,
     batch,
+    ju_lo,
     cost_batched,
     params_batched,
     interpret,
 ):
     n_tiles = batch // TILE
     dtype = states_q.dtype
+    u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
     )
@@ -396,7 +401,7 @@ def _backward_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    kernel = functools.partial(_backward_kernel, n)
+    kernel = functools.partial(_backward_kernel, n, ju_lo)
     ks, big_ks, red = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -406,26 +411,26 @@ def _backward_call(
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
-            lane_block((n, 4)),
+            lane_block((n, u)),
             cost_block((n, 4)),
             cost_block((n, 3)),
             cost_block((n, 6)),
-            cost_block((n, 4)),
+            cost_block((n, u)),
             cost_block((12, 12)),
-            cost_block((4, 4)),
+            cost_block((u, u)),
             param_block((1, 1)),
-            param_block((12, 4)),
+            param_block((12, u)),
             param_block((3, 3)),
             param_block((3, 3)),
         ],
         out_specs=[
-            lane_block((n, 4)),
-            lane_block((n, 4, 12)),
+            lane_block((n, u)),
+            lane_block((n, u, 12)),
             lane_block((2,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
-            jax.ShapeDtypeStruct((n, 4, 12, batch), dtype),
+            jax.ShapeDtypeStruct((n, u, batch), dtype),
+            jax.ShapeDtypeStruct((n, u, 12, batch), dtype),
             jax.ShapeDtypeStruct((2, batch), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -454,7 +459,8 @@ def _backward_call(
 
 
 def backward_pass_fused(
-    params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None
+    params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None,
+    model=None,
 ):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
@@ -464,9 +470,13 @@ def backward_pass_fused(
     likewise be shared or per-scenario (ALL leaves with a leading B — see
     _prep_params). `tile_act` (B//128,) i32 marks tiles with any active
     lane; all-done tiles skip computation (stale outputs must be masked by
-    the caller, as solver/batched.py does). Returns (ks (B,N,4),
-    big_ks (B,N,4,12), qutk (B,), ktquuk (B,)).
+    the caller, as solver/batched.py does). `model` selects the model family
+    (kernels/models.py lane_model_for; default inferred from the params
+    type). Returns (ks (B,N,u), big_ks (B,N,u,12), qutk (B,), ktquuk (B,)).
     """
+    from .models import lane_model_for
+
+    lm = lane_model_for(params, model)
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
@@ -482,7 +492,7 @@ def backward_pass_fused(
     des_q, des_t, des_v, des_u, q_mat, r2, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=2.0
     )
-    g, ju, _, inertia, inertia_inv, _, params_batched = _prep_params(
+    g, _, ju, _, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
 
@@ -510,10 +520,11 @@ def backward_pass_fused(
         dt_s,
         n,
         batch,
+        lm.ju_lo,
         cost_batched,
         params_batched,
         interpret,
     )
-    ks = jnp.moveaxis(ks, -1, 0)  # (B, N, 4)
-    big_ks = jnp.moveaxis(big_ks, -1, 0)  # (B, N, 4, 12)
+    ks = jnp.moveaxis(ks, -1, 0)  # (B, N, u)
+    big_ks = jnp.moveaxis(big_ks, -1, 0)  # (B, N, u, 12)
     return ks, big_ks, red[0], red[1]

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
-from .backward import TILE, _prep_cost, _prep_params, _to_lanes
+from .backward import TILE, _prep_cost, _to_lanes
 
 
 def _state_minus(q1, t1, v1, q2, t2, v2):
@@ -53,24 +53,25 @@ def _dynamics_step(dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u):
 
 def _rollout_kernel(
     n_stages,
+    dynamics_step,  # lane-layout model step (kernels/models.py)
     scal_ref,  # SMEM (4,): [dt, 0, 0, 0]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-pending flags
     q_ref,  # (N, 4, Bt) old state quats
     t_ref,
     v_ref,
-    u_ref,
-    ks_ref,  # (N, 4, Bt)
-    bigks_ref,  # (N, 4, 12, Bt)
+    u_ref,  # (N, u, Bt)
+    ks_ref,  # (N, u, Bt)
+    bigks_ref,  # (N, u, 12, Bt)
     alpha_ref,  # (1, Bt) per-lane step size
     dq_ref,  # desired (broadcast tile or per-lane)
     dt_ref,
     dv_ref,
     du_ref,
     qmat_ref,  # (12, 12, Bt) cost Q
-    rmat_ref,  # (4, 4, Bt) cost R
+    rmat_ref,  # (u, u, Bt) cost R
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
     minv_ref,  # (1, 1, Bt) 1/mass
-    iinv_ma_ref,  # (3, 4, Bt) I^-1 @ moment_arms
+    extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
     oq_ref,  # out (N, 4, Bt) new state quats
@@ -89,7 +90,7 @@ def _rollout_kernel(
         alpha = alpha_ref[:]
         q_l = qmat_ref[:]
         r_l = rmat_ref[:]
-        iinv_ma = iinv_ma_ref[:]
+        extra = extra_ref[:]
         i_l = i_ref[:]
         iinv_l = iinv_ref[:]
         bt = alpha.shape[-1]
@@ -119,8 +120,8 @@ def _rollout_kernel(
             ov_ref[n] = vel
             ou_ref[n] = u
 
-            quat_next, trans_next, vel_next = _dynamics_step(
-                dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u
+            quat_next, trans_next, vel_next = dynamics_step(
+                dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
             )
             return (quat_next, trans_next, vel_next, cost)
 
@@ -136,7 +137,10 @@ def _rollout_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "batch", "cost_batched", "params_batched", "interpret"),
+    static_argnames=(
+        "n", "batch", "lane_model", "cost_batched", "params_batched",
+        "interpret",
+    ),
 )
 def _rollout_call(
     scal,
@@ -156,17 +160,20 @@ def _rollout_call(
     r_mat,
     g,
     m_inv,
-    iinv_ma,
+    extra,
     inertia,
     inertia_inv,
     n,
     batch,
+    lane_model,
     cost_batched,
     params_batched,
     interpret,
 ):
     n_tiles = batch // TILE
     dtype = states_q.dtype
+    u = controls.shape[1]  # control dimension (lane layout (N, u, B))
+    extra_core = extra.shape[:-1]  # per-model operand core dims
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
     )
@@ -175,7 +182,7 @@ def _rollout_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    kernel = functools.partial(_rollout_kernel, n)
+    kernel = functools.partial(_rollout_kernel, n, lane_model.dynamics_step)
     oq, ot, ov, ou, cost = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -185,19 +192,19 @@ def _rollout_call(
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
-            lane_block((n, 4)),
-            lane_block((n, 4)),
-            lane_block((n, 4, 12)),
+            lane_block((n, u)),
+            lane_block((n, u)),
+            lane_block((n, u, 12)),
             lane_block((1,)),
             cost_block((n, 4)),
             cost_block((n, 3)),
             cost_block((n, 6)),
-            cost_block((n, 4)),
+            cost_block((n, u)),
             cost_block((12, 12)),
-            cost_block((4, 4)),
+            cost_block((u, u)),
             param_block((1, 1)),
             param_block((1, 1)),
-            param_block((3, 4)),
+            param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
         ],
@@ -205,14 +212,14 @@ def _rollout_call(
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
-            lane_block((n, 4)),
+            lane_block((n, u)),
             lane_block((1,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
             jax.ShapeDtypeStruct((n, 3, batch), dtype),
             jax.ShapeDtypeStruct((n, 6, batch), dtype),
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, u, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -237,7 +244,7 @@ def _rollout_call(
         r_mat,
         g,
         m_inv,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
     )
@@ -245,20 +252,24 @@ def _rollout_call(
 
 
 def rollout_cost_fused(
-    params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False, tile_act=None
+    params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False,
+    tile_act=None, model=None,
 ):
     """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
 
-    traj leaves (B, N, ...), ks (B, N, 4), big_ks (B, N, 4, 12), alpha (B,).
+    traj leaves (B, N, ...), ks (B, N, u), big_ks (B, N, u, 12), alpha (B,).
     Physical params may be shared or per-scenario (see backward._prep_params).
     `tile_act` (B//128,) i32: tiles with no pending lane skip the rollout
-    (stale outputs must be masked per-lane by the caller).
+    (stale outputs must be masked per-lane by the caller). `model` selects
+    the model family (kernels/models.py lane_model_for).
     Returns (Trajectory with (B, N, ...) leaves, cost (B,)).
     """
     from ..models.quadrotor import State
     from ..lie.se3 import SE3
     from ..solver.ilqr import Trajectory
+    from .models import lane_model_for
 
+    lm = lane_model_for(params, model)
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
@@ -268,7 +279,7 @@ def rollout_cost_fused(
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
-    g, _, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+    g, m_inv, _, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
     scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
@@ -293,11 +304,12 @@ def rollout_cost_fused(
         r_mat,
         g,
         m_inv,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
         n,
         batch,
+        lm,
         cost_batched,
         params_batched,
         interpret,

@@ -49,20 +49,27 @@ from . import lanes as L
 from .backward import (
     TILE,
     _prep_cost,
-    _prep_params,
     _riccati_stage,
     _to_lanes,
 )
-from .rollout import _dynamics_step, _state_minus
+from .rollout import _state_minus
 
 # rows of the per-lane solver-state scratch tile
 _COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC = range(7)
 _STATE_ROWS = 8  # one f32 sublane tile
 
-# ~61 KB VMEM per horizon stage per tile (module docstring): beyond this
-# Mosaic fails allocation. solver/batched.solve_batch_latency routes longer
-# horizons to the batch-level kernel loop automatically.
+# ~61 KB VMEM per horizon stage per tile at u=4 (module docstring): beyond
+# this Mosaic fails allocation. solver/batched.solve_batch_latency routes
+# longer horizons to the streamed kernel automatically.
 MAX_HORIZON = 256
+
+
+def max_horizon_for(u_dim):
+    """Model-aware VMEM horizon bound. Per-stage VMEM is ~(48 + 16*u) rows
+    of (1, TILE) f32 across the in/out/desired/candidate/gain buffers
+    (u appears in controls x4, k, and the 12-row K block), so the budget
+    that holds 256 stages at u=4 (112 rows/stage) shrinks accordingly."""
+    return (MAX_HORIZON * 112) // (48 + 16 * u_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -151,21 +158,22 @@ def _solve_kernel(
     max_iters,
     ls_max_iters,
     continuation,
+    lane_model,  # model family descriptor (kernels/models.py)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     q_ref,  # (N, 4, Bt) initial state quats
     t_ref,  # (N, 3, Bt)
     v_ref,  # (N, 6, Bt)
-    u_ref,  # (N, 4, Bt)
+    u_ref,  # (N, u, Bt)
     dq_ref,  # desired (broadcast tile or per-lane)
     dtr_ref,
     dv_ref,
     du_ref,
     qmat_ref,  # (12, 12, Bt) cost Q
-    rmat_ref,  # (4, 4, Bt) cost R
+    rmat_ref,  # (u, u, Bt) cost R
     g_ref,  # (1, 1, Bt) params (broadcast or per-lane)
     minv_ref,  # (1, 1, Bt)
-    ju_ref,  # (12, 4, Bt)
-    iinvma_ref,  # (3, 4, Bt)
+    ju_ref,  # (12, u, Bt)
+    extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
     oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
@@ -175,12 +183,12 @@ def _solve_kernel(
     ocost_ref,  # out (1, Bt)
     oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
     ostat_ref,  # out (1, Bt) f32 STATUS_* codes
-    ks_ref,  # scratch (N, 4, Bt)
-    bigks_ref,  # scratch (N, 4, 12, Bt)
+    ks_ref,  # scratch (N, u, Bt)
+    bigks_ref,  # scratch (N, u, 12, Bt)
     bq_ref,  # scratch (N, 4, Bt): best line-search candidate
     bt_ref,  # scratch (N, 3, Bt)
     bv_ref,  # scratch (N, 6, Bt)
-    bu_ref,  # scratch (N, 4, Bt)
+    bu_ref,  # scratch (N, u, Bt)
     st_ref,  # scratch (8, Bt): per-lane solver state rows
     flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
 ):
@@ -198,7 +206,7 @@ def _solve_kernel(
     m_inv = minv_ref[0]
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
-    iinv_ma = iinvma_ref[:]
+    extra = extra_ref[:]
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     bt = q_l.shape[-1]
@@ -255,6 +263,7 @@ def _solve_kernel(
                     oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
                     v_x, v_xx,
+                    ju_lo_row=lane_model.ju_lo,
                 )
                 ks_ref[n] = k
                 bigks_ref[n] = big_k
@@ -300,8 +309,8 @@ def _solve_kernel(
                         bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
                         bv_ref[n] = jnp.where(pending, vel, bv_ref[n])
                         bu_ref[n] = jnp.where(pending, u, bu_ref[n])
-                        qn, tn, vn = _dynamics_step(
-                            dt, g1, m_inv, iinv_ma, i_l, iinv_l, ez,
+                        qn, tn, vn = lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
                             quat, trans, vel, u,
                         )
                         return (qn, tn, vn, c)
@@ -355,6 +364,7 @@ def _solve_kernel(
         "max_iters",
         "ls_max_iters",
         "continuation",
+        "lane_model",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -375,7 +385,7 @@ def _solve_call(
     g,
     m_inv,
     ju,
-    iinv_ma,
+    extra,
     inertia,
     inertia_inv,
     n,
@@ -383,12 +393,15 @@ def _solve_call(
     max_iters,
     ls_max_iters,
     continuation,
+    lane_model,
     cost_batched,
     params_batched,
     interpret,
 ):
     n_tiles = batch // TILE
     dtype = states_q.dtype
+    u = controls.shape[1]  # control dimension (lane layout (N, u, B))
+    extra_core = extra.shape[:-1]  # per-model operand core dims
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
     )
@@ -398,7 +411,7 @@ def _solve_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     kernel = functools.partial(
-        _solve_kernel, n, max_iters, ls_max_iters, continuation
+        _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model
     )
     oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -408,17 +421,17 @@ def _solve_call(
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
-            lane_block((n, 4)),
+            lane_block((n, u)),
             cost_block((n, 4)),
             cost_block((n, 3)),
             cost_block((n, 6)),
-            cost_block((n, 4)),
+            cost_block((n, u)),
             cost_block((12, 12)),
-            cost_block((4, 4)),
+            cost_block((u, u)),
             param_block((1, 1)),
             param_block((1, 1)),
-            param_block((12, 4)),
-            param_block((3, 4)),
+            param_block((12, u)),
+            param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
         ],
@@ -426,7 +439,7 @@ def _solve_call(
             lane_block((n, 4)),
             lane_block((n, 3)),
             lane_block((n, 6)),
-            lane_block((n, 4)),
+            lane_block((n, u)),
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
@@ -435,18 +448,18 @@ def _solve_call(
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
             jax.ShapeDtypeStruct((n, 3, batch), dtype),
             jax.ShapeDtypeStruct((n, 6, batch), dtype),
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, u, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, 4, TILE), dtype),
-            pltpu.VMEM((n, 4, 12, TILE), dtype),
+            pltpu.VMEM((n, u, TILE), dtype),
+            pltpu.VMEM((n, u, 12, TILE), dtype),
             pltpu.VMEM((n, 4, TILE), dtype),
             pltpu.VMEM((n, 3, TILE), dtype),
             pltpu.VMEM((n, 6, TILE), dtype),
-            pltpu.VMEM((n, 4, TILE), dtype),
+            pltpu.VMEM((n, u, TILE), dtype),
             pltpu.VMEM((_STATE_ROWS, TILE), dtype),
             pltpu.SMEM((2,), dtype),
         ],
@@ -469,7 +482,7 @@ def _solve_call(
         g,
         m_inv,
         ju,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
     )
@@ -484,26 +497,32 @@ def solve_fused_whole(
     options,
     interpret=False,
     continuation=False,
+    model=None,
 ):
     """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
     multiple of 128. Latency-optimized: use solver/batched.py for huge
     batches (it pipelines tiles), this for small-batch / single-scenario
-    solves. Returns the same tuple layout as the batch loop:
+    solves. `model` selects the model family (kernels/models.py
+    lane_model_for; default inferred from the params type). Returns the
+    same tuple layout as the batch loop:
     (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
+    from .models import lane_model_for
 
+    lm = lane_model_for(params, model)
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
-    if n > MAX_HORIZON:
+    if n > max_horizon_for(lm.u_dim):
         raise ValueError(
             f"horizon {n} exceeds the whole-solve kernel's VMEM budget "
-            f"({MAX_HORIZON} stages); use kernels.stream.solve_fused_streamed "
-            "(any horizon) or solver.batched.solve_batch_latency, which "
-            "routes there automatically"
+            f"({max_horizon_for(lm.u_dim)} stages at u={lm.u_dim}); use "
+            "kernels.stream.solve_fused_streamed (any horizon) or "
+            "solver.batched.solve_batch_latency, which routes there "
+            "automatically"
         )
     dtype = controls.dtype
     ls = options.line_search_params
@@ -521,7 +540,7 @@ def solve_fused_whole(
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
-    g, ju, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+    g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
     fscal = jnp.asarray(
@@ -553,7 +572,7 @@ def solve_fused_whole(
         g,
         m_inv,
         ju,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
         n,
@@ -561,6 +580,7 @@ def solve_fused_whole(
         int(cc.max_iters),
         int(ls.max_iters),
         continuation,
+        lm,
         cost_batched,
         params_batched,
         interpret,

@@ -33,10 +33,13 @@ ilqr.hh:53-205):
 
 Packed stage layouts (Mosaic requires DMA slice shapes aligned to the
 (8, 128) f32 tiling on the minor two dims, so row counts pad to multiples
-of 8):
+of 8; `u` is the model's control dimension — 4 for the quadrotor, giving
+the historical 24/56-row layouts):
 
-  trajectory / desired  (N, 24, B):  q 0:4 | t 4:7 | v 7:13 | u 13:17 | pad
-  gains                 (N, 56, Bt): k 0:4 | K row r at 4+12r:16+12r | pad
+  trajectory / desired  (N, ceil8(13+u), B):  q 0:4 | t 4:7 | v 7:13 |
+                                              u 13:13+u | pad
+  gains                 (N, ceil8(13u), Bt):  k 0:u | K row r at
+                                              u+12r:u+12r+12 | pad
 
 The per-stage math is IMPORTED from kernels/backward.py (_riccati_stage)
 and kernels/rollout.py (_state_minus, _dynamics_step) — one definition
@@ -55,8 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
-from .backward import TILE, _prep_cost, _prep_params, _riccati_stage, _to_lanes
-from .rollout import _dynamics_step, _state_minus
+from .backward import TILE, _prep_cost, _riccati_stage, _to_lanes
+from .rollout import _state_minus
 from .solve import (
     _ACCEPTED,
     _ALPHA,
@@ -80,9 +83,22 @@ from .solve import (
 _TRIED = 7
 assert _TRIED < _STATE_ROWS
 
-TRAJ_ROWS = 24
-GAIN_ROWS = 56
 DEFAULT_CHUNK = 64
+
+
+def _ceil8(x):
+    """Round up to the f32 sublane tile (Mosaic DMA row alignment)."""
+    return -(-x // 8) * 8
+
+
+def traj_rows(u_dim):
+    """Packed trajectory rows: q(4) + t(3) + v(6) + u, padded to 8."""
+    return _ceil8(13 + u_dim)
+
+
+def gain_rows(u_dim):
+    """Packed gain rows: k(u) + K(u x 12), padded to 8."""
+    return _ceil8(13 * u_dim)
 
 
 def _stream_kernel(
@@ -92,25 +108,26 @@ def _stream_kernel(
     continuation,
     chunk,
     cost_batched,
+    lane_model,  # model family descriptor (kernels/models.py)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
-    tin_ref,  # HBM (N, 24, B) packed initial trajectory
-    des_ref,  # HBM (N, 24, Bd) packed desired (Bd = B batched / TILE shared)
+    tin_ref,  # HBM (N, TR, B) packed initial trajectory (TR = traj_rows(u))
+    des_ref,  # HBM (N, TR, Bd) packed desired (Bd = B batched / TILE shared)
     qmat_ref,  # VMEM (12, 12, Bt) cost Q
-    rmat_ref,  # VMEM (4, 4, Bt) cost R
+    rmat_ref,  # VMEM (u, u, Bt) cost R
     g_ref,  # VMEM (1, 1, Bt) params (broadcast or per-lane)
     minv_ref,
-    ju_ref,  # (12, 4, Bt)
-    iinvma_ref,  # (3, 4, Bt)
+    ju_ref,  # (12, u, Bt)
+    extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
-    live_ref,  # out HBM (N, 24, B): live/final packed trajectory
-    gains_ref,  # out HBM (N, 56, TILE): per-tile gains scratch (reused)
+    live_ref,  # out HBM (N, TR, B): live/final packed trajectory
+    gains_ref,  # out HBM (N, GR, TILE): per-tile gains scratch (reused)
     ocost_ref,  # out VMEM (1, Bt)
     oiter_ref,  # out VMEM (1, Bt) f32 (cast by the wrapper)
     ostat_ref,  # out VMEM (1, Bt) f32 STATUS_* codes
-    tbuf,  # scratch VMEM (W, 24, TILE): trajectory window
-    dbuf,  # scratch VMEM (W, 24, TILE): desired window
-    gbuf,  # scratch VMEM (W, 56, TILE): gains window
+    tbuf,  # scratch VMEM (W, TR, TILE): trajectory window
+    dbuf,  # scratch VMEM (W, TR, TILE): desired window
+    gbuf,  # scratch VMEM (W, GR, TILE): gains window
     st_ref,  # scratch VMEM (8, TILE): per-lane solver state rows
     flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
     sems,  # DMA semaphores (4,)
@@ -133,9 +150,10 @@ def _stream_kernel(
     m_inv = minv_ref[0]
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
-    iinv_ma = iinvma_ref[:]
+    extra = extra_ref[:]
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
+    u_dim = ju.shape[1]  # control dimension (static)
     bt = q_l.shape[-1]
     dtype = q_l.dtype
     zeros1 = jnp.zeros((1, bt), dtype)
@@ -210,14 +228,14 @@ def _stream_kernel(
 
     # ---- packed-row helpers ---------------------------------------------
     def unpack(row):
-        return row[0:4], row[4:7], row[7:13], row[13:17]
+        return row[0:4], row[4:7], row[7:13], row[13 : 13 + u_dim]
 
     def feedback(grow, dx):
-        """K @ dx from a packed gains row: (56, bt), (12, bt) -> (4, bt)."""
+        """K @ dx from a packed gains row: (GR, bt), (12, bt) -> (u, bt)."""
         return jnp.concatenate(
             [
-                L.dot_lanes(grow[4 + 12 * r : 16 + 12 * r], dx)
-                for r in range(4)
+                L.dot_lanes(grow[u_dim + 12 * r : u_dim + 12 * r + 12], dx)
+                for r in range(u_dim)
             ],
             axis=0,
         )
@@ -271,10 +289,11 @@ def _stream_kernel(
                     k, big_k, v_x2, v_xx2, qi, ki = _riccati_stage(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
                         quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
+                        ju_lo_row=lane_model.ju_lo,
                     )
-                    gbuf[idx, 0:4] = k
-                    for r in range(4):
-                        gbuf[idx, 4 + 12 * r : 16 + 12 * r] = big_k[r]
+                    gbuf[idx, 0:u_dim] = k
+                    for r in range(u_dim):
+                        gbuf[idx, u_dim + 12 * r : u_dim + 12 * r + 12] = big_k[r]
                     return (v_x2, v_xx2, qutk + qi, ktquuk + ki)
 
                 carry = jax.lax.fori_loop(0, w, bstage, carry)
@@ -312,15 +331,17 @@ def _stream_kernel(
                         vel = jnp.where(first, ov, vel)
                         dx = _state_minus(quat, trans, vel, oq, ot, ov)
                         grow = gbuf[j]
-                        u = ou + alpha * grow[0:4] + feedback(grow, dx)
+                        u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
                         c = c + stage_cost(quat, trans, vel, u, dbuf[j])
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
                             tbuf[j, 4:7] = jnp.where(write_mask, trans, ot)
                             tbuf[j, 7:13] = jnp.where(write_mask, vel, ov)
-                            tbuf[j, 13:17] = jnp.where(write_mask, u, ou)
-                        return _dynamics_step(
-                            dt, g1, m_inv, iinv_ma, i_l, iinv_l, ez,
+                            tbuf[j, 13 : 13 + u_dim] = jnp.where(
+                                write_mask, u, ou
+                            )
+                        return lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
                             quat, trans, vel, u,
                         ) + (c,)
 
@@ -394,6 +415,7 @@ def _stream_kernel(
         "ls_max_iters",
         "continuation",
         "chunk",
+        "lane_model",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -408,7 +430,7 @@ def _stream_call(
     g,
     m_inv,
     ju,
-    iinv_ma,
+    extra,
     inertia,
     inertia_inv,
     n,
@@ -417,6 +439,7 @@ def _stream_call(
     ls_max_iters,
     continuation,
     chunk,
+    lane_model,
     cost_batched,
     params_batched,
     interpret,
@@ -424,6 +447,10 @@ def _stream_call(
     n_tiles = batch // TILE
     dtype = traj_packed.dtype
     w = min(chunk, n)
+    u = lane_model.u_dim
+    tr = traj_rows(u)
+    gr = gain_rows(u)
+    extra_core = extra.shape[:-1]  # per-model operand core dims
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,),
         lambda i: (0,) * len(shape) + (i,),
@@ -443,6 +470,7 @@ def _stream_call(
         continuation,
         w,
         cost_batched,
+        lane_model,
     )
     live, _, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -452,11 +480,11 @@ def _stream_call(
             hbm,
             hbm,
             cost_block((12, 12)),
-            cost_block((4, 4)),
+            cost_block((u, u)),
             param_block((1, 1)),
             param_block((1, 1)),
-            param_block((12, 4)),
-            param_block((3, 4)),
+            param_block((12, u)),
+            param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
         ],
@@ -468,16 +496,16 @@ def _stream_call(
             lane_block((1,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, TRAJ_ROWS, batch), dtype),
-            jax.ShapeDtypeStruct((n, GAIN_ROWS, TILE), dtype),
+            jax.ShapeDtypeStruct((n, tr, batch), dtype),
+            jax.ShapeDtypeStruct((n, gr, TILE), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w, TRAJ_ROWS, TILE), dtype),
-            pltpu.VMEM((w, TRAJ_ROWS, TILE), dtype),
-            pltpu.VMEM((w, GAIN_ROWS, TILE), dtype),
+            pltpu.VMEM((w, tr, TILE), dtype),
+            pltpu.VMEM((w, tr, TILE), dtype),
+            pltpu.VMEM((w, gr, TILE), dtype),
             pltpu.VMEM((_STATE_ROWS, TILE), dtype),
             pltpu.SMEM((2,), dtype),
             pltpu.SemaphoreType.DMA((4,)),
@@ -496,7 +524,7 @@ def _stream_call(
         g,
         m_inv,
         ju,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
     )
@@ -504,9 +532,11 @@ def _stream_call(
 
 
 def _pack_stages(q, t, v, u):
-    """Lane-layout stage arrays -> packed (N, 24, B) (see module docstring)."""
+    """Lane-layout stage arrays -> packed (N, traj_rows(u), B) (see module
+    docstring)."""
     n, _, b = q.shape
-    pad = jnp.zeros((n, TRAJ_ROWS - 17, b), q.dtype)
+    u_dim = u.shape[1]
+    pad = jnp.zeros((n, traj_rows(u_dim) - 13 - u_dim, b), q.dtype)
     return jnp.concatenate([q, t, v, u, pad], axis=1)
 
 
@@ -519,16 +549,20 @@ def solve_fused_streamed(
     interpret=False,
     continuation=False,
     chunk=DEFAULT_CHUNK,
+    model=None,
 ):
     """Streamed whole-solve iLQR for (B, N, ...) trajectories, B a multiple
     of 128, any horizon (HBM-bound rather than VMEM-bound). Lane-for-lane
-    identical to solve_fused_whole / solve_batch_fused; returns the same
+    identical to solve_fused_whole / solve_batch_fused; `model` selects the
+    model family (kernels/models.py lane_model_for); returns the same
     tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
     i32)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
+    from .models import lane_model_for
 
+    lm = lane_model_for(params, model)
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
@@ -548,7 +582,7 @@ def solve_fused_streamed(
     des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
-    g, ju, iinv_ma, inertia, inertia_inv, m_inv, params_batched = _prep_params(
+    g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
     fscal = jnp.asarray(
@@ -581,7 +615,7 @@ def solve_fused_streamed(
         g,
         m_inv,
         ju,
-        iinv_ma,
+        extra,
         inertia,
         inertia_inv,
         n,
@@ -590,6 +624,7 @@ def solve_fused_streamed(
         int(ls.max_iters),
         continuation,
         chunk,
+        lm,
         cost_batched,
         params_batched,
         interpret,
@@ -601,7 +636,7 @@ def solve_fused_streamed(
             pose=SE3(quat=unpack(0, 4), trans=unpack(4, 7)),
             vel=unpack(7, 13),
         ),
-        controls=unpack(13, 17),
+        controls=unpack(13, 13 + lm.u_dim),
     )
     return (
         new_traj,

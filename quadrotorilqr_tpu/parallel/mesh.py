@@ -99,6 +99,7 @@ def solve_sharded(
     options: ILQROptions,
     mesh: Mesh,
     axis_name: str = SCENARIO_AXIS,
+    model=None,
 ) -> SolveResult:
     """GSPMD path: batched solve with the scenario axis sharded over the mesh.
 
@@ -120,7 +121,9 @@ def solve_sharded(
             p = jax.tree.map(wsc, p)
         c = jax.tree.map(lambda leaf: wsc(leaf) if leaf.ndim == 3 else leaf, c)
         return jax.vmap(
-            lambda pp, cc, tt: ilqr_module.solve(pp, cc, tt, dt_s, options),
+            lambda pp, cc, tt: ilqr_module.solve(
+                pp, cc, tt, dt_s, options, model=model
+            ),
             in_axes=(0 if params_batched else None, cost_axes, 0),
         )(p, c, t)
 
@@ -141,6 +144,7 @@ def solve_sharded_with_stats(
     options: ILQROptions,
     mesh: Mesh,
     axis_name: str = SCENARIO_AXIS,
+    model=None,
 ):
     """shard_map path: per-shard vmapped solve, then psum'd global statistics
     over ICI (BASELINE.json config 5: collective convergence reduction).
@@ -153,7 +157,9 @@ def solve_sharded_with_stats(
 
     def per_shard_solve(p, c, t):
         return jax.vmap(
-            lambda pp, cc, tt: ilqr_module.solve(pp, cc, tt, dt_s, options),
+            lambda pp, cc, tt: ilqr_module.solve(
+                pp, cc, tt, dt_s, options, model=model
+            ),
             in_axes=(0 if params_batched else None, cost_axes, 0),
         )(p, c, t)
 
@@ -172,6 +178,7 @@ def solve_sharded_fused(
     axis_name: str = SCENARIO_AXIS,
     interpret: bool = False,
     engine: str = "whole",
+    model=None,
 ):
     """Fused-kernel multi-chip path: shard_map of the Pallas solver over the
     scenario mesh, with psum'd global convergence statistics (BASELINE.json
@@ -191,7 +198,7 @@ def solve_sharded_fused(
     solver = solve_batch_latency if engine == "whole" else solve_batch_fused
 
     def per_shard_solve(p, c, t):
-        return solver(p, c, t, dt_s, options, interpret=interpret)
+        return solver(p, c, t, dt_s, options, interpret=interpret, model=model)
 
     return _shard_map_solve(
         per_shard_solve, params, cost, initial_trajs, mesh, axis_name

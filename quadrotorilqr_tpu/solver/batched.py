@@ -53,7 +53,10 @@ def _where_lanes(mask, a, b):
     )
 
 
-@partial(jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation"))
+@partial(
+    jax.jit,
+    static_argnames=("dt_s", "options", "interpret", "continuation", "model"),
+)
 # initial_cost / initial_status are traced operands (or None, resolved at
 # trace time). initial_status freezes lanes that already finished (status !=
 # STATUS_MAX_ITERS) while preserving their status — the on-device compacted
@@ -69,6 +72,7 @@ def solve_batch_fused(
     continuation: bool = False,
     initial_cost=None,
     initial_status=None,
+    model=None,
 ) -> SolveResult:
     """Batched iLQR solve; initial_trajs leaves are (B, N, ...).
 
@@ -113,6 +117,7 @@ def solve_batch_fused(
             initial_status=(
                 None if initial_status is None else pad_lane(initial_status)
             ),
+            model=model,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -126,11 +131,11 @@ def solve_batch_fused(
 
     backward = lambda traj, act: backward_pass_fused(
         params, cost, traj, dt_s, quu_reg=options.quu_reg,
-        interpret=interpret, tile_act=act,
+        interpret=interpret, tile_act=act, model=model,
     )
     rollout = lambda traj, ks, big_ks, alpha, act: rollout_cost_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s,
-        interpret=interpret, tile_act=act,
+        interpret=interpret, tile_act=act, model=model,
     )
 
     if initial_cost is not None:
@@ -316,7 +321,8 @@ def solve_batch_fused(
 
 
 @partial(
-    jax.jit, static_argnames=("dt_s", "options", "interpret", "continuation")
+    jax.jit,
+    static_argnames=("dt_s", "options", "interpret", "continuation", "model"),
 )
 def solve_batch_latency(
     params,
@@ -326,6 +332,7 @@ def solve_batch_latency(
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
     continuation: bool = False,
+    model=None,
 ) -> SolveResult:
     """Latency-optimized batched solve: the ENTIRE iLQR loop in one Pallas
     kernel per 128-lane tile (kernels/solve.py) — no per-trip kernel
@@ -341,13 +348,14 @@ def solve_batch_latency(
     implement the trip-0 forced step AS a forced-accept probe, so zero
     probes would skip it) go to the batch loop.
     """
-    from ..kernels.solve import MAX_HORIZON, solve_fused_whole
+    from ..kernels.models import lane_model_for
+    from ..kernels.solve import max_horizon_for, solve_fused_whole
     from ..kernels.stream import solve_fused_streamed
 
     if options.populate_debug or options.line_search_params.max_iters < 1:
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
-            interpret=interpret, continuation=continuation,
+            interpret=interpret, continuation=continuation, model=model,
         )
     batch = initial_trajs.controls.shape[0]
     pad = (-batch) % 128
@@ -366,17 +374,19 @@ def solve_batch_latency(
             options,
             interpret=interpret,
             continuation=continuation,
+            model=model,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
     engine = (
         solve_fused_streamed
-        if initial_trajs.controls.shape[1] > MAX_HORIZON
+        if initial_trajs.controls.shape[1]
+        > max_horizon_for(lane_model_for(params, model).u_dim)
         else solve_fused_whole
     )
     traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
-        interpret=interpret, continuation=continuation,
+        interpret=interpret, continuation=continuation, model=model,
     )
     return SolveResult(
         trajectory=traj,
@@ -389,7 +399,7 @@ def solve_batch_latency(
 
 @partial(
     jax.jit,
-    static_argnames=("dt_s", "options", "phase1_iters", "interpret"),
+    static_argnames=("dt_s", "options", "phase1_iters", "interpret", "model"),
 )
 def solve_batch_refine(
     params,
@@ -399,6 +409,7 @@ def solve_batch_refine(
     options: ILQROptions = ILQROptions(),
     phase1_iters: int = 4,
     interpret: bool = False,
+    model=None,
 ) -> SolveResult:
     """Two-phase compacted batched solve, ENTIRELY on-device (one compiled
     program, zero host round trips — the r1 host-orchestrated version lost
@@ -428,7 +439,9 @@ def solve_batch_refine(
     opts1 = replace(
         options, convergence_criteria=replace(cc, max_iters=phase1)
     )
-    r1 = solve_batch_fused(params, cost, initial_trajs, dt_s, opts1, interpret)
+    r1 = solve_batch_fused(
+        params, cost, initial_trajs, dt_s, opts1, interpret, model=model
+    )
     if phase1 == total_iters:
         return r1
 
@@ -456,6 +469,7 @@ def solve_batch_refine(
         continuation=True,
         initial_cost=r1.cost[perm],
         initial_status=r1.status[perm],
+        model=model,
     )
     return SolveResult(
         trajectory=jax.tree.map(lambda a: a[inv], r2.trajectory),

@@ -321,7 +321,7 @@ def solve(
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     associative: bool = False,
-    model=qm,
+    model=None,
 ) -> SolveResult:
     """Full iLQR solve (ilqr.hh:53-87) for ONE scenario (vmap for batches).
 
@@ -332,7 +332,8 @@ def solve(
     `model` is the model module (the reference's `template <class ModelT>`
     type parameter, ilqr.hh:25): any module exposing `discrete_dynamics`,
     `discrete_dynamics_jacobians`, and `minus` over the shared `State`
-    works — models/quadrotor (default, 4 controls), models/se3_wrench
+    works — models/quadrotor (default; None also selects it, so callers can
+    thread an optional model straight through), models/se3_wrench
     (fully-actuated body wrench, 6 controls). `params` is whatever params
     pytree that module expects.
 
@@ -342,6 +343,7 @@ def solve(
       i > 0 : pre-check on expected cost -> return untouched trajectory;
               line search; post-check on achieved cost.
     """
+    model = qm if model is None else model
     max_iters = int(options.convergence_criteria.max_iters)
     new_cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
     debug0 = _empty_debug(initial_traj, max_iters) if options.populate_debug else None

@@ -1,6 +1,7 @@
 """iLQR solver core."""
 
 from . import ilqr as ilqr_module
+from .diff import solve_implicit
 from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
@@ -17,6 +18,7 @@ from .options import ConvergenceCriteria, ILQROptions, LineSearchParams
 __all__ = [
     "ilqr_module",
     "solve",
+    "solve_implicit",
     "backward_pass",
     "forward_sim",
     "line_search",

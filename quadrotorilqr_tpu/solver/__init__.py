@@ -1,6 +1,7 @@
 """iLQR solver core."""
 
 from . import ilqr as ilqr_module
+from .constrained import solve_box
 from .diff import solve_implicit
 from .ilqr import (
     STATUS_CONVERGED,
@@ -19,6 +20,7 @@ __all__ = [
     "ilqr_module",
     "solve",
     "solve_implicit",
+    "solve_box",
     "backward_pass",
     "forward_sim",
     "line_search",

@@ -139,7 +139,7 @@ def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
         q_xx = cxx + jxt @ vxx_jx
         q_uu = cuu + jut @ vxx_ju
         if quu_reg:
-            q_uu = q_uu + quu_reg * jnp.eye(4, dtype=q_uu.dtype)
+            q_uu = q_uu + quu_reg * jnp.eye(q_uu.shape[-1], dtype=q_uu.dtype)
         q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
         # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128). Quu is symmetric

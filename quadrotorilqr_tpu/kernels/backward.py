@@ -137,10 +137,49 @@ def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
     return dx, c_x, c_xx, du
 
 
+def _boxqp_gains_lanes(q_uu, q_u, q_xu, lo_d, hi_d, pn_iters=4):
+    """Projected-Newton box-QP gains in lane layout (the kernel counterpart
+    of solver/constrained._boxqp_gains): minimize ½δᵀQuuδ + Quᵀδ subject to
+    lo_d <= δ <= hi_d per lane. Returns (k, big_k) with feedback rows of
+    clamped dimensions zeroed. Fixed iteration count — straight-line VPU
+    code, no data-dependent control flow."""
+    m = q_u.shape[0]
+    dtype = q_u.dtype
+    eps = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
+    eye = L.eye(m, q_u)
+
+    delta = jnp.clip(
+        -L.chol_solve(q_uu, jnp.expand_dims(q_u, 1))[:, 0], lo_d, hi_d
+    )
+    free = jnp.ones_like(delta)
+    for _ in range(pn_iters):
+        grad = q_u + L.matvec(q_uu, delta)
+        clamped = jnp.logical_or(
+            jnp.logical_and(delta <= lo_d + eps, grad > 0),
+            jnp.logical_and(delta >= hi_d - eps, grad < 0),
+        ).astype(dtype)
+        free = 1.0 - clamped
+        a = (
+            q_uu * jnp.expand_dims(free, 1) * jnp.expand_dims(free, 0)
+            + eye * jnp.expand_dims(clamped, 1)
+        )
+        rhs = q_u + L.matvec(q_uu, delta * clamped)
+        step = -L.chol_solve(a, jnp.expand_dims(rhs * free, 1))[:, 0]
+        delta = jnp.clip(step + delta * clamped, lo_d, hi_d)
+
+    a = (
+        q_uu * jnp.expand_dims(free, 1) * jnp.expand_dims(free, 0)
+        + eye * jnp.expand_dims(1.0 - free, 1)
+    )
+    big_k = -L.chol_solve(a, L.transpose(q_xu) * jnp.expand_dims(free, 1))
+    return delta, big_k
+
+
 def _riccati_stage(
     dt, quu_reg, q_l, r2_l, g, ju, ju_t, i_l, iinv_l,
     quat, trans, vel, u, dq, dtr, dv, du_d, v_x, v_xx,
     ju_lo_row=8,
+    box=None,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -148,7 +187,12 @@ def _riccati_stage(
     the per-pass kernel below and the whole-solve kernels (kernels/solve.py,
     kernels/stream.py), and model-generic: the control dimension comes from
     `ju` (12, u_dim, B) and `ju_lo_row` is its first nonzero state row
-    (kernels/models.py — 8 for the quadrotor, 6 for the SE(3) wrench)."""
+    (kernels/models.py — 8 for the quadrotor, 6 for the SE(3) wrench).
+
+    `box=(lo_l, hi_l)` ((m, B) lane rows) swaps the plain gain solve for
+    the projected-Newton box-QP (control limits, solver/constrained.py
+    semantics) and the value update for its general-gain form; box=None is
+    the exact reference path, bit-identical to before."""
     p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
     _, c_x, c_xx, du = _stage_cost_diffs(quat, trans, vel, u, dq, dtr, dv, du_d, q_l)
     c_u = L.matvec(r2_l, du)
@@ -170,6 +214,31 @@ def _riccati_stage(
     vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
     q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
     q_xu = _jxt_mat(vxx_ju, *blocks)
+
+    if box is not None:
+        lo_l, hi_l = box
+        k, big_k = _boxqp_gains_lanes(q_uu, q_u, q_xu, lo_l - u, hi_l - u)
+        quu_k = L.matvec(q_uu, k)
+        big_kt = L.transpose(big_k)
+        # general-gain value update (solver/constrained.py): with clamped
+        # rows of K zeroed the unconstrained simplification no longer holds
+        v_x_new = (
+            q_x
+            + L.matvec(big_kt, quu_k)
+            + L.matvec(big_kt, q_u)
+            + L.matvec(q_xu, k)
+        )
+        s = (
+            q_xx
+            + L.matmul(q_xu, big_k)
+            + L.matmul(big_kt, L.transpose(q_xu))
+            + L.matmul(big_kt, L.matmul(q_uu, big_k))
+        )
+        v_xx_new = 0.5 * (s + L.transpose(s))
+        return (
+            k, big_k, v_x_new, v_xx_new,
+            L.dot_lanes(q_u, k), L.dot_lanes(k, quu_k),
+        )
 
     rhs = jnp.concatenate([jnp.expand_dims(q_u, 1), L.transpose(q_xu)], axis=1)
     sol = -L.chol_solve(q_uu, rhs)
@@ -194,6 +263,7 @@ def _riccati_stage(
 def _backward_kernel(
     n_stages,
     ju_lo,  # first nonzero j_u state row (kernels/models.py)
+    use_box,  # static: control limits active (lo/hi refs read)
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-active flags
     q_ref,  # (N, 4, Bt) state quats
@@ -210,6 +280,8 @@ def _backward_kernel(
     ju_ref,  # (12, u, Bt) stage-constant j_u (broadcast or per-lane)
     i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     ks_ref,  # out (N, u, Bt)
     bigks_ref,  # out (N, u, 12, Bt)
     red_ref,  # out (2, Bt): [QuTk, kTQuuk]
@@ -229,6 +301,7 @@ def _backward_kernel(
         ju_t = L.transpose(ju)
         i_l = i_ref[:]
         iinv_l = iinv_ref[:]
+        box = (lo_ref[:], hi_ref[:]) if use_box else None
         bt = q_l.shape[-1]
         dtype = q_l.dtype
 
@@ -241,6 +314,7 @@ def _backward_kernel(
                 dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
                 v_x, v_xx,
                 ju_lo_row=ju_lo,
+                box=box,
             )
             ks_ref[n] = k
             bigks_ref[n] = big_k
@@ -361,8 +435,8 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dt_s", "n", "batch", "ju_lo", "cost_batched", "params_batched",
-        "interpret",
+        "dt_s", "n", "batch", "ju_lo", "use_box", "cost_batched",
+        "params_batched", "interpret",
     ),
 )
 def _backward_call(
@@ -382,10 +456,13 @@ def _backward_call(
     ju,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     dt_s,
     n,
     batch,
     ju_lo,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -401,7 +478,8 @@ def _backward_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    kernel = functools.partial(_backward_kernel, n, ju_lo)
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    kernel = functools.partial(_backward_kernel, n, ju_lo, use_box)
     ks, big_ks, red = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -422,6 +500,8 @@ def _backward_call(
             param_block((12, u)),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             lane_block((n, u)),
@@ -454,13 +534,28 @@ def _backward_call(
         ju,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return ks, big_ks, red
 
 
+def _prep_limits(limits, u_dim, dtype):
+    """Control-bound lane tiles + static use_box flag. `limits` is None
+    (unconstrained — (1,) dummy tiles the kernel never reads) or a
+    (lo, hi) pair of scalars / (u_dim,) arrays shared across the batch."""
+    if limits is None:
+        dummy = _bcast_tile(jnp.zeros((1,), dtype), dtype)
+        return dummy, dummy, False
+    lo, hi = limits
+    lo = jnp.broadcast_to(jnp.asarray(lo, dtype), (u_dim,))
+    hi = jnp.broadcast_to(jnp.asarray(hi, dtype), (u_dim,))
+    return _bcast_tile(lo, dtype), _bcast_tile(hi, dtype), True
+
+
 def backward_pass_fused(
     params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None,
-    model=None,
+    model=None, limits=None,
 ):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
@@ -472,7 +567,10 @@ def backward_pass_fused(
     lane; all-done tiles skip computation (stale outputs must be masked by
     the caller, as solver/batched.py does). `model` selects the model family
     (kernels/models.py lane_model_for; default inferred from the params
-    type). Returns (ks (B,N,u), big_ks (B,N,u,12), qutk (B,), ktquuk (B,)).
+    type). `limits=(lo, hi)` (scalars or (u,) arrays, shared across the
+    batch) switches the stage gain solve to the projected-Newton box-QP
+    (solver/constrained.py semantics). Returns (ks (B,N,u),
+    big_ks (B,N,u,12), qutk (B,), ktquuk (B,)).
     """
     from .models import lane_model_for
 
@@ -495,6 +593,7 @@ def backward_pass_fused(
     g, _, ju, _, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
 
     scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
     if tile_act is None:
@@ -517,10 +616,13 @@ def backward_pass_fused(
         ju,
         inertia,
         inertia_inv,
+        lo,
+        hi,
         dt_s,
         n,
         batch,
         lm.ju_lo,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

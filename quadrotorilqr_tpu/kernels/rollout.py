@@ -54,6 +54,7 @@ def _dynamics_step(dt, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u):
 def _rollout_kernel(
     n_stages,
     dynamics_step,  # lane-layout model step (kernels/models.py)
+    use_box,  # static: clamp controls into [lo, hi] (control limits)
     scal_ref,  # SMEM (4,): [dt, 0, 0, 0]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-pending flags
     q_ref,  # (N, 4, Bt) old state quats
@@ -74,6 +75,8 @@ def _rollout_kernel(
     extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     oq_ref,  # out (N, 4, Bt) new state quats
     ot_ref,
     ov_ref,
@@ -105,6 +108,8 @@ def _rollout_kernel(
             # feedback control update (ilqr.hh:158-161)
             dx = _state_minus(quat, trans, vel, q_ref[n], t_ref[n], v_ref[n])
             u = u_ref[n] + alpha * ks_ref[n] + L.matvec(bigks_ref[n], dx)
+            if use_box:
+                u = jnp.clip(u, lo_ref[:], hi_ref[:])
 
             # stage cost of the produced (state, control) pair
             dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
@@ -138,8 +143,8 @@ def _rollout_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "batch", "lane_model", "cost_batched", "params_batched",
-        "interpret",
+        "n", "batch", "lane_model", "use_box", "cost_batched",
+        "params_batched", "interpret",
     ),
 )
 def _rollout_call(
@@ -163,9 +168,12 @@ def _rollout_call(
     extra,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     n,
     batch,
     lane_model,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -174,6 +182,7 @@ def _rollout_call(
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     extra_core = extra.shape[:-1]  # per-model operand core dims
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
     )
@@ -182,7 +191,9 @@ def _rollout_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    kernel = functools.partial(_rollout_kernel, n, lane_model.dynamics_step)
+    kernel = functools.partial(
+        _rollout_kernel, n, lane_model.dynamics_step, use_box
+    )
     oq, ot, ov, ou, cost = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -207,6 +218,8 @@ def _rollout_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -247,13 +260,15 @@ def _rollout_call(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return oq, ot, ov, ou, cost
 
 
 def rollout_cost_fused(
     params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False,
-    tile_act=None, model=None,
+    tile_act=None, model=None, limits=None,
 ):
     """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
 
@@ -261,12 +276,15 @@ def rollout_cost_fused(
     Physical params may be shared or per-scenario (see backward._prep_params).
     `tile_act` (B//128,) i32: tiles with no pending lane skip the rollout
     (stale outputs must be masked per-lane by the caller). `model` selects
-    the model family (kernels/models.py lane_model_for).
+    the model family (kernels/models.py lane_model_for). `limits=(lo, hi)`
+    clamps every produced control into the box (control-limited rollouts,
+    solver/constrained.py semantics).
     Returns (Trajectory with (B, N, ...) leaves, cost (B,)).
     """
     from ..models.quadrotor import State
     from ..lie.se3 import SE3
     from ..solver.ilqr import Trajectory
+    from .backward import _prep_limits
     from .models import lane_model_for
 
     lm = lane_model_for(params, model)
@@ -282,6 +300,7 @@ def rollout_cost_fused(
     g, m_inv, _, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
     scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
     if tile_act is None:
         tile_act = jnp.ones((batch // TILE,), jnp.int32)
@@ -307,9 +326,12 @@ def rollout_cost_fused(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
         n,
         batch,
         lm,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

@@ -73,6 +73,7 @@ def solve_batch_fused(
     initial_cost=None,
     initial_status=None,
     model=None,
+    limits=None,
 ) -> SolveResult:
     """Batched iLQR solve; initial_trajs leaves are (B, N, ...).
 
@@ -118,6 +119,7 @@ def solve_batch_fused(
                 None if initial_status is None else pad_lane(initial_status)
             ),
             model=model,
+            limits=limits,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -131,11 +133,11 @@ def solve_batch_fused(
 
     backward = lambda traj, act: backward_pass_fused(
         params, cost, traj, dt_s, quu_reg=options.quu_reg,
-        interpret=interpret, tile_act=act, model=model,
+        interpret=interpret, tile_act=act, model=model, limits=limits,
     )
     rollout = lambda traj, ks, big_ks, alpha, act: rollout_cost_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s,
-        interpret=interpret, tile_act=act, model=model,
+        interpret=interpret, tile_act=act, model=model, limits=limits,
     )
 
     if initial_cost is not None:
@@ -333,6 +335,7 @@ def solve_batch_latency(
     interpret: bool = False,
     continuation: bool = False,
     model=None,
+    limits=None,
 ) -> SolveResult:
     """Latency-optimized batched solve: the ENTIRE iLQR loop in one Pallas
     kernel per 128-lane tile (kernels/solve.py) — no per-trip kernel
@@ -352,10 +355,17 @@ def solve_batch_latency(
     from ..kernels.solve import max_horizon_for, solve_fused_whole
     from ..kernels.stream import solve_fused_streamed
 
-    if options.populate_debug or options.line_search_params.max_iters < 1:
+    if (
+        options.populate_debug
+        or options.line_search_params.max_iters < 1
+        or limits is not None
+    ):
+        # control limits run on the batch-level kernel loop (the box-QP
+        # stage + clamped rollouts live in the per-pass kernels)
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
+            limits=limits,
         )
     batch = initial_trajs.controls.shape[0]
     pad = (-batch) % 128
@@ -410,6 +420,7 @@ def solve_batch_refine(
     phase1_iters: int = 4,
     interpret: bool = False,
     model=None,
+    limits=None,
 ) -> SolveResult:
     """Two-phase compacted batched solve, ENTIRELY on-device (one compiled
     program, zero host round trips — the r1 host-orchestrated version lost
@@ -440,7 +451,8 @@ def solve_batch_refine(
         options, convergence_criteria=replace(cc, max_iters=phase1)
     )
     r1 = solve_batch_fused(
-        params, cost, initial_trajs, dt_s, opts1, interpret, model=model
+        params, cost, initial_trajs, dt_s, opts1, interpret, model=model,
+        limits=limits,
     )
     if phase1 == total_iters:
         return r1
@@ -470,6 +482,7 @@ def solve_batch_refine(
         initial_cost=r1.cost[perm],
         initial_status=r1.status[perm],
         model=model,
+        limits=limits,
     )
     return SolveResult(
         trajectory=jax.tree.map(lambda a: a[inv], r2.trajectory),

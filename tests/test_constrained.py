@@ -169,3 +169,49 @@ def test_box_solve_wrench_model():
         params, cost, res, np.asarray(lo), np.asarray(hi), model=wm
     )
     assert np.abs(pg).max() < 1e-5, np.abs(pg).max()
+
+
+def test_box_on_fused_kernel_path():
+    """Control limits on the batch-level kernel engine: lane-for-lane
+    parity with the vmapped XLA solve_box (f64 interpret), and
+    solve_batch_latency routes limits there automatically."""
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_latency,
+    )
+
+    params, cost, init, desired = _problem()
+    rng = np.random.default_rng(21)
+    b = 128
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.15 * rng.normal(size=(b, 6)), DTYPE)),
+        vel=jnp.asarray(0.1 * rng.normal(size=(b, 6)), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    lo, hi = 0.0, 2.8
+
+    ref = jax.vmap(
+        lambda t: solve_box(params, cost, t, DT, lo, hi, _OPTIONS)
+    )(init_b)
+    f = solve_batch_fused(
+        params, cost, init_b, DT, _OPTIONS, interpret=True, limits=(lo, hi)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f.cost), np.asarray(ref.cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(f.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+    assert (np.asarray(f.status) == np.asarray(ref.status)).all()
+    u = np.asarray(f.trajectory.controls)
+    assert u.max() <= hi + 1e-12 and u.min() >= 0.0 - 1e-12
+    assert (u >= hi - 1e-9).sum() > 0, "bounds must actually bind"
+
+    lat = solve_batch_latency(
+        params, cost, init_b, DT, _OPTIONS, interpret=True, limits=(lo, hi)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat.cost), np.asarray(f.cost), rtol=1e-12
+    )

@@ -1,6 +1,8 @@
 """iLQR solver core."""
 
+from . import constraints
 from . import ilqr as ilqr_module
+from .auglag import ALOptions, ALSolveResult, solve_auglag
 from .constrained import solve_box
 from .diff import solve_implicit
 from .ilqr import (
@@ -21,6 +23,10 @@ __all__ = [
     "solve",
     "solve_implicit",
     "solve_box",
+    "solve_auglag",
+    "ALOptions",
+    "ALSolveResult",
+    "constraints",
     "backward_pass",
     "forward_sim",
     "line_search",

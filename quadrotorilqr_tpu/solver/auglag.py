@@ -1,0 +1,392 @@
+"""Augmented-Lagrangian iLQR: general nonlinear inequality constraints.
+
+The reference solver is unconstrained (/root/reference/src/ilqr.hh has no
+constraint concept) and solver/constrained.py adds exact CONTROL boxes; real
+missions also need STATE constraints — obstacle keep-outs, velocity/altitude
+envelopes, arbitrary user inequalities mixing state and control. This module
+adds the standard augmented-Lagrangian treatment (cf. PAPERS.md: ALTRO,
+Howell, Jackson & Manchester, IROS 2019 — re-derived here, no code shared):
+
+  minimize  J(traj)   s.t.  g(x_k, u_k, k) <= 0  per stage
+
+via the PHR (Powell-Hestenes-Rockafellar) augmented cost
+
+  phi(g; lam, mu) = (||max(0, lam + mu g)||^2 - ||lam||^2) / (2 mu)
+
+whose exact gradient is Jg' z with z = max(0, lam + mu g), and whose
+Gauss-Newton Hessian is mu Jg' diag(z > 0) Jg — the same curvature
+approximation the tracking cost already uses (cost.hh:50-58 ignores the
+residual curvature), so the inner solver stays an iLQR.
+
+TPU-first structure:
+  * constraints are written for ONE stage as `g(x: State, u, k) -> (n_c,)`;
+    the module vmaps them across the horizon and `solve_auglag` itself
+    composes with vmap over scenarios (lam tiles batch with the carry).
+  * constraint Jacobians are exact autodiff lifted to the Lie tangent:
+    d/dtau g(x (+) tau, u + du) at (0, 0) via jacfwd — model-generic, no
+    hand-derived chain rules to keep in sync.
+  * the augmented term introduces a nonzero cost cross term
+    C_xu = mu Jx' diag(act) Ju, so the inner Riccati scan carries the full
+    Q_xu = C_xu + J_x' V_xx J_u (solver/ilqr.py exploits C_xu == 0; here it
+    cannot).
+  * outer multiplier loop = lax.while_loop (fixed max trips, per-lane
+    convergence under vmap); inner solve = the exact reference loop
+    semantics (trip-0 full step, pre/post checks, backtracking line search)
+    on the augmented cost, warm-started from the previous outer trip.
+
+Everything jits; nested while_loops batch to masked fixed-point iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs import quadratic as qc
+from ..models import quadrotor as qm
+from ..ops.linalg import chol_solve_small
+from .ilqr import (
+    STATUS_CONVERGED,
+    STATUS_LINE_SEARCH_FAILED,
+    STATUS_MAX_ITERS,
+    Trajectory,
+    expected_cost_reduction,
+    forward_sim,
+    is_converged,
+    quadratize,
+)
+from .options import ILQROptions
+
+# Constraint satisfied to tolerance but the last inner solve hit its
+# iteration budget (solution is feasible, optimality not certified).
+STATUS_FEASIBLE_MAX_ITERS = 3
+# Outer loop exhausted with violation above tolerance.
+STATUS_INFEASIBLE = 4
+
+
+@dataclass(frozen=True)
+class ALOptions:
+    """Outer-loop knobs (PHR multiplier method).
+
+    penalty_init/scale/max: mu schedule (mu *= scale each outer trip until
+    penalty_max). constraint_tol: max violation accepted as feasible.
+    max_outer_iters: multiplier updates before giving up.
+    """
+
+    penalty_init: float = 10.0
+    penalty_scale: float = 10.0
+    penalty_max: float = 1e8
+    constraint_tol: float = 1e-6
+    max_outer_iters: int = 10
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ALSolveResult:
+    trajectory: Trajectory
+    cost: jax.Array  # (...) TRUE (unaugmented) cost of the returned traj
+    iterations: jax.Array  # (...) int32: total inner iLQR trips
+    outer_iterations: jax.Array  # (...) int32: multiplier updates executed
+    max_violation: jax.Array  # (...) max_k max_j max(0, g_j(x_k, u_k, k))
+    status: jax.Array  # (...) int32: STATUS_*
+    multipliers: jax.Array  # (..., N, n_c) final lambda
+
+
+def _eval_constraints(constraints, model, states, controls, n):
+    """g for all N stages: (N, n_c). Single scenario (stacked leaves)."""
+
+    def one(x, u, k):
+        return constraints(x, u, k)
+
+    xs = jax.tree.map(lambda leaf: leaf, states)
+    return jax.vmap(one)(xs, controls, jnp.arange(n))
+
+
+def _constraint_diffs(constraints, model, states, controls, n):
+    """(g, jx, ju) for all N stages, Jacobians in the Lie tangent:
+    jx (N, n_c, 12) = d g(x (+) tau, u)/dtau at 0, ju (N, n_c, m)."""
+
+    def one(x, u, k):
+        dtype = u.dtype
+        tau0 = jnp.zeros((12,), dtype)
+        du0 = jnp.zeros_like(u)
+
+        def lifted(tau, du):
+            return constraints(model.add(x, tau), u + du, k)
+
+        g = lifted(tau0, du0)
+        jx = jax.jacfwd(lifted, argnums=0)(tau0, du0)
+        ju = jax.jacfwd(lifted, argnums=1)(tau0, du0)
+        return g, jx, ju
+
+    return jax.vmap(one)(states, controls, jnp.arange(n))
+
+
+def _phi(g, lam, mu):
+    """PHR penalty value per stage, summed over constraints: (N,) -> scalar."""
+    z = jnp.maximum(lam + mu * g, 0.0)
+    return jnp.sum(z * z - lam * lam) / (2.0 * mu)
+
+
+def _aug_trajectory_cost(cost, traj, constraints, model, lam, mu, n):
+    base = qc.trajectory_cost(cost, traj.states, traj.controls)
+    g = _eval_constraints(constraints, model, traj.states, traj.controls, n)
+    return base + _phi(g, lam, mu)
+
+
+def _backward_pass_aug(
+    params, cost, traj, dt_s, constraints, lam, mu, quu_reg, model
+):
+    """Riccati recursion on the augmented cost. Same return layout as
+    solver.ilqr.backward_pass, but the stage carries the nonzero cost cross
+    term C_xu from the penalty (see module docstring)."""
+    with jax.default_matmul_precision("highest"):
+        n = traj.controls.shape[-2]
+        j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(
+            params, cost, traj, dt_s, model
+        )
+        g, gx, gu = _constraint_diffs(
+            constraints, model, traj.states, traj.controls, n
+        )
+        z = jnp.maximum(lam + mu * g, 0.0)  # (N, n_c)
+        w = mu * (z > 0).astype(g.dtype)  # (N, n_c) GN weights
+        c_x = c_x + jnp.einsum("ncx,nc->nx", gx, z)
+        c_u = c_u + jnp.einsum("ncu,nc->nu", gu, z)
+        c_xx = c_xx + jnp.einsum("ncx,nc,ncy->nxy", gx, w, gx)
+        c_uu = c_uu + jnp.einsum("ncu,nc,ncv->nuv", gu, w, gu)
+        c_xu = jnp.einsum("ncx,nc,ncu->nxu", gx, w, gu)
+
+        def stage(carry, inputs):
+            v_x, v_xx, qutk, ktquuk = carry
+            jx, ju, cx, cu, cxx, cuu, cxu = inputs
+            jxt = jnp.swapaxes(jx, -1, -2)
+            jut = jnp.swapaxes(ju, -1, -2)
+            vxx_ju = v_xx @ ju
+            q_x = cx + jxt @ v_x
+            q_u = cu + jut @ v_x
+            q_xx = cxx + jxt @ (v_xx @ jx)
+            q_uu = cuu + jut @ vxx_ju
+            q_uu = q_uu + quu_reg * jnp.eye(q_uu.shape[-1], dtype=q_uu.dtype)
+            q_xu = cxu + jxt @ vxx_ju
+
+            rhs = jnp.concatenate(
+                [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+            )
+            sol = -chol_solve_small(q_uu, rhs)
+            k = sol[..., 0]
+            big_k = sol[..., 1:]
+
+            quu_k = q_uu @ k
+            big_kt = jnp.swapaxes(big_k, -1, -2)
+            v_x_new = q_x - big_kt @ quu_k
+            s = q_xx - big_kt @ q_uu @ big_k
+            v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+            qutk = qutk + q_u @ k
+            ktquuk = ktquuk + k @ quu_k
+            return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)
+
+        dtype = traj.controls.dtype
+        init = (
+            jnp.zeros((12,), dtype),
+            jnp.zeros((12, 12), dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+        )
+        (_, _, qutk, ktquuk), (ks, big_ks) = jax.lax.scan(
+            stage, init, (j_x, j_u, c_x, c_u, c_xx, c_uu, c_xu), reverse=True
+        )
+        return ks, big_ks, qutk, ktquuk
+
+
+def _inner_solve(
+    params, cost, constraints, traj0, dt_s, lam, mu, options, model, n
+):
+    """iLQR on the augmented cost — exact reference loop semantics
+    (ilqr.hh:53-87: trip-0 full step, pre/post convergence checks,
+    backtracking line search, status instead of throw)."""
+    dtype = traj0.controls.dtype
+    max_iters = int(options.convergence_criteria.max_iters)
+    ls = options.line_search_params
+
+    def total_cost(traj):
+        return _aug_trajectory_cost(cost, traj, constraints, model, lam, mu, n)
+
+    def line_search(traj, current, ks, big_ks, qutk, ktquuk):
+        def cond(carry):
+            i, _, _, _, accepted = carry
+            return jnp.logical_and(i < ls.max_iters, jnp.logical_not(accepted))
+
+        def body(carry):
+            i, step, _, _, _ = carry
+            t = forward_sim(params, traj, ks, big_ks, step, dt_s, model)
+            c = total_cost(t)
+            desired = ls.desired_reduction_frac * expected_cost_reduction(
+                qutk, ktquuk, step
+            )
+            return (i + 1, step * ls.step_update, t, c, (c - current) < desired)
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.ones((), dtype),
+            traj,
+            current,
+            jnp.zeros((), bool),
+        )
+        _, _, t, c, accepted = jax.lax.while_loop(cond, body, init)
+        return t, c, accepted
+
+    def cond(carry):
+        i, _, _, done, _ = carry
+        return jnp.logical_and(i < max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        i, traj, new_cost, done, status = carry
+        ks, big_ks, qutk, ktquuk = _backward_pass_aug(
+            params, cost, traj, dt_s, constraints, lam, mu,
+            options.quu_reg, model,
+        )
+        current = new_cost
+        expected = current + expected_cost_reduction(qutk, ktquuk)
+        pre_conv = jnp.logical_and(i > 0, is_converged(current, expected, options))
+
+        def do_update(_):
+            def first_iter(_):
+                t = forward_sim(
+                    params, traj, ks, big_ks, jnp.ones((), dtype), dt_s, model
+                )
+                return t, total_cost(t), jnp.ones((), bool)
+
+            def later_iter(_):
+                return line_search(traj, current, ks, big_ks, qutk, ktquuk)
+
+            t, c, ls_ok = jax.lax.cond(i == 0, first_iter, later_iter, None)
+            post_conv = jnp.logical_and(i > 0, is_converged(current, c, options))
+            new_status = jnp.where(
+                jnp.logical_not(ls_ok),
+                STATUS_LINE_SEARCH_FAILED,
+                jnp.where(post_conv, STATUS_CONVERGED, STATUS_MAX_ITERS),
+            )
+            return t, c, jnp.logical_or(post_conv, jnp.logical_not(ls_ok)), (
+                new_status.astype(jnp.int32)
+            )
+
+        def pre_converged(_):
+            return (
+                traj, new_cost, jnp.ones((), bool),
+                jnp.asarray(STATUS_CONVERGED, jnp.int32),
+            )
+
+        traj2, cost2, done2, status2 = jax.lax.cond(
+            pre_conv, pre_converged, do_update, None
+        )
+        i_next = jnp.where(pre_conv, i, i + 1)
+        return (i_next, traj2, cost2, done2, status2)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        traj0,
+        total_cost(traj0),
+        jnp.zeros((), bool),
+        jnp.asarray(STATUS_MAX_ITERS, jnp.int32),
+    )
+    i, traj, c, _, status = jax.lax.while_loop(cond, body, init)
+    return traj, c, i, status
+
+
+@partial(
+    jax.jit,
+    static_argnames=("constraints", "dt_s", "options", "al_options", "model"),
+)
+def solve_auglag(
+    params,
+    cost,
+    constraints,
+    initial_traj: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    al_options: ALOptions = ALOptions(),
+    model=None,
+) -> ALSolveResult:
+    """Constrained iLQR solve for ONE scenario (vmap for batches).
+
+    `constraints(x: State, u, k) -> (n_c,)` is a single-stage inequality
+    vector, FEASIBLE when <= 0 (see solver/constraints.py for ready-made
+    builders and composition). Runs the PHR multiplier loop of the module
+    docstring; returns the TRUE (unaugmented) cost and the worst remaining
+    violation. With constraints that never activate this reduces to the
+    unconstrained `solve` trajectory (tested).
+    """
+    model = qm if model is None else model
+    dtype = initial_traj.controls.dtype
+    n = initial_traj.controls.shape[-2]
+    n_c = jax.eval_shape(
+        constraints,
+        jax.tree.map(lambda leaf: leaf[..., 0, :], initial_traj.states),
+        initial_traj.controls[..., 0, :],
+        jnp.zeros((), jnp.int32),
+    ).shape[-1]
+    alo = al_options
+    ctol = jnp.asarray(alo.constraint_tol, dtype)
+
+    def violation(traj):
+        g = _eval_constraints(
+            constraints, model, traj.states, traj.controls, n
+        )
+        return jnp.max(jnp.maximum(g, 0.0)), g
+
+    def cond(carry):
+        outer, _, _, _, _, _, done, _ = carry
+        return jnp.logical_and(outer < alo.max_outer_iters, jnp.logical_not(done))
+
+    def body(carry):
+        outer, traj, lam, mu, _, total_inner, _, _ = carry
+        traj2, _, inner_i, inner_status = _inner_solve(
+            params, cost, constraints, traj, dt_s, lam, mu, options, model, n
+        )
+        viol, g = violation(traj2)
+        lam_new = jnp.maximum(lam + mu * g, 0.0)
+        feasible = viol < ctol
+        mu_new = jnp.where(
+            feasible, mu, jnp.minimum(mu * alo.penalty_scale, alo.penalty_max)
+        )
+        status = jnp.where(
+            feasible,
+            jnp.where(
+                inner_status == STATUS_CONVERGED,
+                STATUS_CONVERGED,
+                STATUS_FEASIBLE_MAX_ITERS,
+            ),
+            STATUS_INFEASIBLE,
+        ).astype(jnp.int32)
+        return (
+            outer + 1, traj2, lam_new, mu_new, viol,
+            total_inner + inner_i,
+            jnp.logical_and(feasible, inner_status == STATUS_CONVERGED),
+            status,
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        initial_traj,
+        jnp.zeros((n, n_c), dtype),
+        jnp.asarray(alo.penalty_init, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+        jnp.asarray(STATUS_INFEASIBLE, jnp.int32),
+    )
+    outer, traj, lam, _, viol, total_inner, _, status = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ALSolveResult(
+        trajectory=traj,
+        cost=qc.trajectory_cost(cost, traj.states, traj.controls),
+        iterations=total_inner,
+        outer_iterations=outer,
+        max_violation=viol,
+        status=status,
+        multipliers=lam,
+    )

@@ -1,0 +1,240 @@
+"""Augmented-Lagrangian iLQR (solver/auglag.solve_auglag).
+
+Contracts: (a) constraints that never activate reproduce the unconstrained
+solve; (b) an active obstacle keep-out yields a FEASIBLE trajectory that is
+a KKT point of the true shooting problem (Lagrangian gradient via exact
+autodiff of the rollout, multipliers from the solver, complementarity);
+(c) control boxes through the AL path agree with solver/constrained's exact
+box-QP path; (d) composes with vmap; (e) model-generic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+from quadrotorilqr_tpu.lie import se3
+from quadrotorilqr_tpu.models import quadrotor as qmod
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams, State
+from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+from quadrotorilqr_tpu.solver import constraints as C
+from quadrotorilqr_tpu.solver.auglag import (
+    ALOptions,
+    STATUS_INFEASIBLE,
+    solve_auglag,
+)
+from quadrotorilqr_tpu.solver.constrained import solve_box
+from quadrotorilqr_tpu.solver.diff import _objective
+from quadrotorilqr_tpu.solver.ilqr import Trajectory, solve
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
+
+DT = 0.1
+N = 20
+DTYPE = jnp.float64
+
+_OPTIONS = ILQROptions(
+    convergence_criteria=ConvergenceCriteria(1e-12, 1e-12, 60)
+)
+_AL = ALOptions(constraint_tol=1e-8, max_outer_iters=12)
+
+
+def _crossing_problem():
+    """Fly from the origin toward a waypoint whose straight-line path
+    crosses a keep-out sphere centered midway."""
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.eye(3, dtype=DTYPE),
+        arm_length_m=0.25,
+        torque_to_thrust_ratio_m=0.02,
+        g_mpss=9.81,
+    )
+    hover = jnp.full((N, 4), 9.81 / 4.0, DTYPE)
+    target = jnp.asarray([2.0, 0.0, 0.0], DTYPE)
+    desired = Trajectory(
+        times=jnp.arange(N, dtype=DTYPE) * DT,
+        states=State(
+            pose=se3.SE3(
+                quat=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], DTYPE), (N, 4)),
+                trans=jnp.broadcast_to(target, (N, 3)),
+            ),
+            vel=jnp.zeros((N, 6), DTYPE),
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.asarray(np.diag([60.0] * 6 + [1.0] * 6), DTYPE),
+        R=0.5 * jnp.eye(4, dtype=DTYPE),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    x0 = State(pose=se3.identity((1,), DTYPE), vel=jnp.zeros((1, 6), DTYPE))
+    init = jax.tree.map(
+        lambda a: a[0], initial_trajectory_from_state(x0, desired)
+    )
+    return params, cost, init, desired
+
+
+def test_inactive_constraints_reduce_to_unconstrained():
+    params, cost, init, _ = _crossing_problem()
+    far = C.sphere_keepout(center=[50.0, 50.0, 50.0], radius=1.0)
+    ref = solve(params, cost, init, DT, _OPTIONS)
+    res = solve_auglag(params, cost, far, init, DT, _OPTIONS, _AL)
+    assert int(res.status) == 1
+    assert int(res.outer_iterations) == 1  # feasible on the first trip
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(float(res.cost), float(ref.cost), rtol=1e-12)
+
+
+def test_obstacle_avoidance_feasible_and_kkt():
+    params, cost, init, _ = _crossing_problem()
+    center = jnp.asarray([1.0, 0.0, 0.0], DTYPE)
+    radius = 0.4
+    keepout = C.sphere_keepout(center=center, radius=radius)
+    res = solve_auglag(params, cost, keepout, init, DT, _OPTIONS, _AL)
+
+    # the unconstrained optimum must actually violate (else the test is vacuous)
+    ref = solve(params, cost, init, DT, _OPTIONS)
+    d_ref = np.linalg.norm(
+        np.asarray(ref.trajectory.states.pose.trans) - np.asarray(center),
+        axis=-1,
+    )
+    assert d_ref.min() < radius - 1e-3, "obstacle must block the nominal path"
+
+    # feasibility to tolerance
+    assert float(res.max_violation) <= _AL.constraint_tol
+    d = np.linalg.norm(
+        np.asarray(res.trajectory.states.pose.trans) - np.asarray(center),
+        axis=-1,
+    )
+    assert d.min() >= radius - 1e-3
+    assert float(res.cost) > float(ref.cost)
+
+    # KKT stationarity of the TRUE shooting Lagrangian w.r.t. controls:
+    # L(u) = J(rollout(u)) + sum_k lam_k' g(x_k(u), u_k, k), with the exact
+    # autodiff gradient of the rollout (not the solver's quadratic model).
+    lam = res.multipliers  # (N, 1)
+    x0 = jax.tree.map(lambda a: a[0], res.trajectory.states)
+
+    def lagrangian(u_seq):
+        j, states = _objective(u_seq, params, cost, x0, DT, qmod)
+        g = jax.vmap(keepout)(states, u_seq, jnp.arange(N))
+        return j + jnp.sum(lam * g)
+
+    # Residual ~1e-4: the inner loop converges on COST DECREASE (1e-12),
+    # which certifies the gradient only to ~sqrt-scale; the bound below is
+    # ~1e-4 relative to the O(2.5 N) control-gradient scale of this problem.
+    grad = np.asarray(jax.grad(lagrangian)(res.trajectory.controls))
+    assert np.abs(grad).max() < 1e-3, np.abs(grad).max()
+
+    # complementarity: multipliers only on (near-)active stages
+    g_final = np.asarray(
+        jax.vmap(keepout)(
+            res.trajectory.states, res.trajectory.controls, jnp.arange(N)
+        )
+    )
+    lam_np = np.asarray(lam)
+    assert np.all(lam_np >= 0.0)
+    comp = np.abs(lam_np * g_final)
+    assert comp.max() < 1e-4, comp.max()
+
+
+def test_control_box_matches_exact_box_path():
+    params, cost, init, _ = _crossing_problem()
+    lo, hi = 0.0, 2.9
+    box = C.control_box(lo, hi)
+    al = solve_auglag(
+        params, cost, box, init, DT, _OPTIONS,
+        ALOptions(constraint_tol=1e-10, max_outer_iters=15),
+    )
+    exact = solve_box(params, cost, init, DT, lo, hi, _OPTIONS)
+    u_al = np.asarray(al.trajectory.controls)
+    assert u_al.max() <= hi + 1e-8 and u_al.min() >= lo - 1e-8
+    assert (np.asarray(exact.trajectory.controls) >= hi - 1e-9).sum() > 0
+    np.testing.assert_allclose(
+        u_al, np.asarray(exact.trajectory.controls), atol=5e-4
+    )
+    np.testing.assert_allclose(float(al.cost), float(exact.cost), rtol=1e-6)
+
+
+def test_combined_constraints_and_vmap():
+    params, cost, init, desired = _crossing_problem()
+    con = C.combine(
+        C.sphere_keepout(center=[1.0, 0.0, 0.0], radius=0.35),
+        C.speed_limit(6.0),
+        C.halfspace(normal=[0.0, 0.0, 1.0], offset=-0.5),
+    )
+    rng = np.random.default_rng(7)
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.05 * rng.normal(size=(3, 6)), DTYPE)),
+        vel=jnp.zeros((3, 6), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    res = jax.vmap(
+        lambda t: solve_auglag(params, cost, con, t, DT, _OPTIONS, _AL)
+    )(init_b)
+    assert res.trajectory.controls.shape == (3, N, 4)
+    assert np.asarray(res.max_violation).max() <= _AL.constraint_tol
+    # every scenario individually matches its unbatched solve
+    one = solve_auglag(
+        params, cost, con,
+        jax.tree.map(lambda a: a[1], init_b), DT, _OPTIONS, _AL,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.controls)[1],
+        np.asarray(one.trajectory.controls),
+        atol=1e-9,
+    )
+
+
+def test_infeasible_reports_status():
+    params, cost, init, _ = _crossing_problem()
+    # contradictory: stay inside a ball AND outside a sphere that covers it
+    impossible = C.combine(
+        C.ball_keepin(center=[0.0, 0.0, 0.0], radius=0.5),
+        C.sphere_keepout(center=[0.0, 0.0, 0.0], radius=5.0),
+    )
+    res = solve_auglag(
+        params, cost, impossible, init, DT, _OPTIONS,
+        ALOptions(max_outer_iters=4),
+    )
+    assert int(res.status) == STATUS_INFEASIBLE
+    assert float(res.max_violation) > 1.0
+
+
+def test_model_generic_wrench():
+    from quadrotorilqr_tpu.models import se3_wrench as wm
+
+    params, cost, init, _ = _crossing_problem()
+    wparams = wm.WrenchParams.create(
+        mass_kg=1.0, inertia=jnp.eye(3, dtype=DTYPE), g_mpss=9.81
+    )
+    grav = jnp.asarray([0, 0, 9.81, 0, 0, 0], DTYPE)
+    desired = Trajectory(
+        times=init.times,
+        states=cost.desired_states,
+        controls=jnp.broadcast_to(grav, (N, 6)),
+    )
+    wcost = QuadraticTrackingCost(
+        Q=cost.Q,
+        R=0.5 * jnp.eye(6, dtype=DTYPE),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    winit = Trajectory(
+        times=init.times, states=init.states, controls=desired.controls
+    )
+    keepout = C.sphere_keepout(center=[1.0, 0.0, 0.0], radius=0.4)
+    res = solve_auglag(
+        wparams, wcost, keepout, winit, DT, _OPTIONS, _AL, model=wm
+    )
+    assert float(res.max_violation) <= _AL.constraint_tol
+    d = np.linalg.norm(
+        np.asarray(res.trajectory.states.pose.trans)
+        - np.asarray([1.0, 0.0, 0.0]),
+        axis=-1,
+    )
+    assert d.min() >= 0.4 - 1e-3

@@ -138,8 +138,13 @@ def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
         q_u = cu + jnp.einsum("...ij,...j->...i", jut, v_x)
         q_xx = cxx + jxt @ vxx_jx
         q_uu = cuu + jut @ vxx_ju
-        if quu_reg:
-            q_uu = q_uu + quu_reg * jnp.eye(q_uu.shape[-1], dtype=q_uu.dtype)
+        # static 0.0 skips the add entirely (reference parity, ilqr.hh:126);
+        # a traced quu_reg (adaptive Levenberg schedule, solver/robust.py)
+        # always adds — jnp.asarray handles both scalar kinds.
+        if not (isinstance(quu_reg, (int, float)) and quu_reg == 0.0):
+            q_uu = q_uu + jnp.asarray(quu_reg, q_uu.dtype) * jnp.eye(
+                q_uu.shape[-1], dtype=q_uu.dtype
+            )
         q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
         # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128). Quu is symmetric
@@ -313,7 +318,9 @@ def _write_debug(debug: IterDebug, i, traj: Trajectory, cost):
     )
 
 
-@partial(jax.jit, static_argnames=("options", "dt_s", "associative", "model"))
+@partial(
+    jax.jit, static_argnames=("options", "dt_s", "associative", "model", "ddp")
+)
 def solve(
     params,
     cost: qc.QuadraticTrackingCost,
@@ -322,12 +329,18 @@ def solve(
     options: ILQROptions = ILQROptions(),
     associative: bool = False,
     model=None,
+    ddp: bool = False,
 ) -> SolveResult:
     """Full iLQR solve (ilqr.hh:53-87) for ONE scenario (vmap for batches).
 
     `associative=True` swaps the sequential Riccati scan for the O(log N)
     parallel-in-time backward pass (solver/parallel_riccati.py) — same
     results (f64 parity ~1e-8), lower latency for long horizons.
+
+    `ddp=True` swaps in the full-DDP backward pass (solver/ddp.py): exact
+    second-order dynamics/cost curvature in Q_xx — same stationary points,
+    locally quadratic convergence on strongly nonlinear problems, at a
+    higher per-iteration cost (nested-autodiff curvature tensors).
 
     `model` is the model module (the reference's `template <class ModelT>`
     type parameter, ilqr.hh:25): any module exposing `discrete_dynamics`,
@@ -348,8 +361,12 @@ def solve(
     new_cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
     debug0 = _empty_debug(initial_traj, max_iters) if options.populate_debug else None
 
+    if associative and ddp:
+        raise ValueError("associative=True and ddp=True are mutually exclusive")
     if associative:
         from .parallel_riccati import backward_pass_assoc as _backward
+    elif ddp:
+        from .ddp import backward_pass_ddp as _backward
     else:
         _backward = backward_pass
 

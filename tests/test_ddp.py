@@ -1,0 +1,263 @@
+"""Full-DDP backward pass (solver/ddp.py).
+
+Verifies (a) the nested-autodiff curvature tensors against central finite
+differences of the ANALYTIC first-order quantities (the same FD methodology
+as the reference's Jacobian harness, quadrotor_model_test.cc:30-78, one
+derivative order up), (b) that DDP and iLQR find the same optimum (they
+share stationary points), (c) that the curvature term buys convergence
+speed on a strongly nonlinear (large-attitude) problem, and (d) model
+genericity (the SE(3) wrench family runs through the same DDP stage).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrotorilqr_tpu.costs import QuadraticTrackingCost
+from quadrotorilqr_tpu.lie import se3
+from quadrotorilqr_tpu.models import quadrotor as qm
+from quadrotorilqr_tpu.models import se3_wrench as wm
+from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+from quadrotorilqr_tpu.solver import (
+    STATUS_CONVERGED,
+    ILQROptions,
+    Trajectory,
+    solve,
+)
+from quadrotorilqr_tpu.solver.ddp import _stage_curvature, stage_curvatures
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, LineSearchParams
+
+F64 = jnp.float64
+DT = 0.1
+
+
+def _params():
+    return qm.QuadrotorParams.create(
+        mass_kg=1.3,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, F64),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+
+
+def _random_state(key, scale=0.7):
+    k1, k2 = jax.random.split(key)
+    tau = scale * jax.random.normal(k1, (6,), F64)
+    return qm.State(
+        pose=se3.exp(tau), vel=0.3 * jax.random.normal(k2, (6,), F64)
+    )
+
+
+def _aggressive_problem(pose_scale=1.8, n=30):
+    """Single scenario, large initial attitude error: the regime where the
+    Gauss-Newton (iLQR) model is weakest and curvature should pay."""
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    tau = jnp.concatenate(
+        [
+            1.5 * jax.random.normal(k1, (3,), F64),
+            pose_scale * jax.random.normal(k2, (3,), F64),
+        ]
+    )
+    x0 = qm.State(pose=se3.exp(tau), vel=jnp.zeros((6,), F64))
+    hover_u = jnp.full((n, 4), 1.3 * 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)),
+        controls=hover_u,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([10.0] * 3 + [10.0] * 3 + [1.0] * 6, F64)),
+        R=0.1 * jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    return _params(), cost, initial_trajectory_from_state(x0, desired)
+
+
+# ---------------------------------------------------------------------------
+# curvature tensors vs finite differences of the analytic first order
+# ---------------------------------------------------------------------------
+
+
+def test_dynamics_curvature_matches_fd_of_analytic_jacobian():
+    """f_xx[:, :, b] == d/deps of the ANALYTIC chain-ruled J_x along tangent
+    axis b (central FD) — ties the nested-jacfwd tensor to the hand-derived
+    Jacobian (quadrotor_model.cc:42-46) rather than to autodiff itself."""
+    params = _params()
+    x = _random_state(jax.random.PRNGKey(3))
+    u = jnp.asarray([3.0, 2.5, 3.5, 3.2], F64)
+
+    q_weight = jnp.eye(12, dtype=F64)
+    x_d = _random_state(jax.random.PRNGKey(4))
+    f_xx, _ = _stage_curvature(params, q_weight, x, u, x_d, DT, qm)
+
+    f0 = qm.discrete_dynamics(params, x, u, DT)
+    eps = 1e-6
+    for b in range(12):
+        e = jnp.zeros((12,), F64).at[b].set(eps)
+
+        def lifted_jac(tau):
+            # d/dtau' [ f(x (+) (tau + tau')) (-) f0 ] at tau' = 0, expressed
+            # via the analytic Jacobians: J_minus_lhs(f(x+)) @ J_x(x+) @ J_add
+            xp, _, j_add_rhs = qm.add_jacobians(x, tau)
+            fn, j_x, _ = qm.discrete_dynamics_jacobians(params, xp, u, DT)
+            _, j_min, _ = qm.minus_jacobians(fn, f0)
+            # d(x (+) tau)/dtau at tau is J_rhs of add; chain into J_x, J_minus
+            return j_min @ j_x @ j_add_rhs
+
+        fd = (lifted_jac(e) - lifted_jac(-e)) / (2 * eps)
+        got = f_xx[:, :, b]
+        err = np.abs(np.asarray(fd - got))
+        scale = np.maximum(np.abs(np.asarray(fd)), 1.0)
+        assert (err / scale).max() < 2e-6, f"axis {b}: {(err / scale).max()}"
+
+
+def test_cost_hessian_matches_fd_of_stage_cost():
+    """Exact C_xx == central second differences of the scalar stage cost."""
+    params = _params()
+    x = _random_state(jax.random.PRNGKey(11))
+    x_d = _random_state(jax.random.PRNGKey(12))
+    u = jnp.asarray([3.0, 2.5, 3.5, 3.2], F64)
+    q_weight = jnp.diag(jnp.asarray([4.0] * 6 + [2.0] * 6, F64))
+    _, c_xx = _stage_curvature(params, q_weight, x, u, x_d, DT, qm)
+
+    def c(tau):
+        dx = qm.minus(qm.add(x, tau), x_d)
+        return float(dx @ q_weight @ dx)
+
+    eps = 1e-4
+    fd = np.zeros((12, 12))
+    for a in range(12):
+        ea = np.zeros(12)
+        ea[a] = eps
+        for b in range(a, 12):
+            eb = np.zeros(12)
+            eb[b] = eps
+            val = (
+                c(jnp.asarray(ea + eb))
+                - c(jnp.asarray(ea - eb))
+                - c(jnp.asarray(eb - ea))
+                + c(jnp.asarray(-ea - eb))
+            ) / (4 * eps * eps)
+            fd[a, b] = fd[b, a] = val
+    got = np.asarray(c_xx)
+    assert np.abs(got - fd).max() < 5e-5
+
+
+def test_gauss_newton_is_ddp_at_zero_residual_zero_value_gradient():
+    """At zero tracking error the exact cost Hessian reduces to the
+    Gauss-Newton one (the residual-curvature term is weighted by Q dx = 0)."""
+    params = _params()
+    x = _random_state(jax.random.PRNGKey(21))
+    u = jnp.asarray([3.0, 2.5, 3.5, 3.2], F64)
+    q_weight = jnp.diag(jnp.asarray([4.0] * 6 + [2.0] * 6, F64))
+    _, c_xx = _stage_curvature(params, q_weight, x, u, x, DT, qm)
+    # at x == x_d: J_dx = I, so GN Hessian = 2 Q exactly
+    assert np.abs(np.asarray(c_xx) - 2.0 * np.asarray(q_weight)).max() < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# solves
+# ---------------------------------------------------------------------------
+
+
+def _options(tol=1e-10, max_iters=100):
+    return ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 60),
+        convergence_criteria=ConvergenceCriteria(
+            rtol=tol, atol=tol, max_iters=max_iters
+        ),
+    )
+
+
+def test_ddp_and_ilqr_find_the_same_optimum():
+    params, cost, traj0 = _aggressive_problem(pose_scale=0.9)
+    opts = _options()
+    res_ilqr = solve(params, cost, traj0, DT, opts)
+    res_ddp = solve(params, cost, traj0, DT, opts, ddp=True)
+    assert int(res_ilqr.status) == STATUS_CONVERGED
+    assert int(res_ddp.status) == STATUS_CONVERGED
+    # same stationary point: costs agree tightly, controls agree
+    assert abs(float(res_ddp.cost) - float(res_ilqr.cost)) <= 1e-6 * (
+        1.0 + abs(float(res_ilqr.cost))
+    )
+    # Both solvers stop on a COST-decrease criterion (ilqr.hh:196-205), not a
+    # stationarity criterion, so the two iterates straddle the optimum within
+    # the cost tolerance's control-space image (~sqrt-amplified): controls
+    # agree to ~1e-3, costs far tighter (asserted above).
+    du = np.abs(
+        np.asarray(res_ddp.trajectory.controls - res_ilqr.trajectory.controls)
+    )
+    assert du.max() < 1e-3, du.max()
+
+
+def test_ddp_converges_no_slower_on_aggressive_attitude():
+    params, cost, traj0 = _aggressive_problem(pose_scale=1.8)
+    opts = _options(tol=1e-9)
+    res_ilqr = solve(params, cost, traj0, DT, opts)
+    res_ddp = solve(params, cost, traj0, DT, opts, ddp=True)
+    assert int(res_ddp.status) == STATUS_CONVERGED
+    assert int(res_ddp.iterations) <= int(res_ilqr.iterations)
+    assert float(res_ddp.cost) <= float(res_ilqr.cost) * (1 + 1e-6)
+
+
+def test_ddp_vmaps():
+    params, cost, traj0 = _aggressive_problem(pose_scale=0.5, n=12)
+    batched = jax.tree.map(
+        lambda leaf: jnp.stack([leaf, leaf * (1.0 if leaf.dtype == bool else 1.0)]),
+        traj0,
+    )
+    opts = _options(tol=1e-8, max_iters=40)
+    res = jax.vmap(lambda t: solve(params, cost, t, DT, opts, ddp=True))(batched)
+    assert res.cost.shape == (2,)
+    np.testing.assert_allclose(
+        np.asarray(res.cost)[0], np.asarray(res.cost)[1], rtol=1e-12
+    )
+    assert (np.asarray(res.status) == STATUS_CONVERGED).all()
+
+
+def test_ddp_model_generic_wrench():
+    """The DDP stage is model-generic: SE(3) wrench family end-to-end."""
+    n = 20
+    params = wm.WrenchParams.create(
+        mass_kg=2.0,
+        inertia=jnp.asarray(np.diag([0.3, 0.4, 0.5]), F64),
+        g_mpss=9.81,
+    )
+    key = jax.random.PRNGKey(5)
+    tau = 1.2 * jax.random.normal(key, (6,), F64)
+    x0 = qm.State(pose=se3.exp(tau), vel=jnp.zeros((6,), F64))
+    grav_u = jnp.zeros((n, 6), F64).at[:, 2].set(2.0 * 9.81)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)),
+        controls=grav_u,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.eye(12, dtype=F64),
+        R=0.05 * jnp.eye(6, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    traj0 = initial_trajectory_from_state(x0, desired)
+    opts = _options(tol=1e-9, max_iters=80)
+    res_ilqr = solve(params, cost, traj0, DT, opts, model=wm)
+    res_ddp = solve(params, cost, traj0, DT, opts, model=wm, ddp=True)
+    assert int(res_ddp.status) == STATUS_CONVERGED
+    assert abs(float(res_ddp.cost) - float(res_ilqr.cost)) <= 1e-6 * (
+        1.0 + abs(float(res_ilqr.cost))
+    )
+
+
+def test_stage_curvatures_batch_shape():
+    params, cost, traj0 = _aggressive_problem(n=9)
+    f_xx, c_xx = stage_curvatures(params, cost, traj0, DT, qm)
+    assert f_xx.shape == (9, 12, 12, 12)
+    assert c_xx.shape == (9, 12, 12)
+    # symmetric in the two differentiation axes
+    np.testing.assert_allclose(
+        np.asarray(f_xx), np.asarray(jnp.swapaxes(f_xx, -1, -2)), atol=1e-12
+    )

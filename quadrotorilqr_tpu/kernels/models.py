@@ -165,6 +165,75 @@ SE3_WRENCH = LaneModel(
 )
 
 
+# ---------------------------------------------------------------------------
+# generic multirotor (models/multirotor.py in lane layout): one LaneModel per
+# rotor count R, built on demand and memoized (LaneModels must be hashable
+# singletons to thread through jit as static arguments). The lane dynamics
+# step is the QUADROTOR one — it is already rotor-count generic (thrust sum
+# + extra=(3,R) moment-map matvec derive their shapes from the operands).
+# ---------------------------------------------------------------------------
+
+_MULTIROTOR_CACHE = {}
+
+
+def _multirotor_prep_params(params, dt_s, dtype):
+    """(g, m_inv, ju, extra=iinv_ma, inertia, inertia_inv, batched) for a
+    MultirotorParams — the quadrotor layout with the generic moment map
+    (models/multirotor.moment_map): j_u row 8 = dt/m, rows 9:12 = dt I^-1 MA."""
+    from ..models.multirotor import moment_map
+    from ..ops.linalg import chol_solve_small
+    from .backward import _bcast_tile, _to_lanes
+
+    batched = jnp.ndim(params.mass_kg) >= 1
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    ma = jnp.asarray(moment_map(params), dtype)
+    iinv_ma = inertia_inv @ ma
+    mass = jnp.asarray(params.mass_kg, dtype)
+    g = jnp.asarray(params.g_mpss, dtype)
+    r = ma.shape[-1]
+    ju = jnp.zeros(jnp.shape(mass) + (12, r), dtype)
+    ju = ju.at[..., 8, :].set(
+        (dt_s / mass)[..., None] if batched else dt_s / mass
+    )
+    ju = ju.at[..., 9:12, :].set(dt_s * iinv_ma)
+    if batched:
+        b = mass.shape[0]
+        return (
+            _to_lanes(g.reshape(-1, 1, 1)),
+            _to_lanes((1.0 / mass).reshape(-1, 1, 1)),
+            _to_lanes(ju),
+            _to_lanes(jnp.broadcast_to(iinv_ma, (b, 3, r))),
+            _to_lanes(jnp.broadcast_to(inertia, (b, 3, 3))),
+            _to_lanes(jnp.broadcast_to(inertia_inv, (b, 3, 3))),
+            True,
+        )
+    return (
+        _bcast_tile(g.reshape(1, 1), dtype),
+        _bcast_tile((1.0 / mass).reshape(1, 1), dtype),
+        _bcast_tile(ju, dtype),
+        _bcast_tile(iinv_ma, dtype),
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        False,
+    )
+
+
+def multirotor_lane_model(n_rotors: int) -> LaneModel:
+    """The LaneModel for an R-rotor airframe (memoized per R)."""
+    lm = _MULTIROTOR_CACHE.get(n_rotors)
+    if lm is None:
+        lm = LaneModel(
+            name=f"multirotor{n_rotors}",
+            u_dim=n_rotors,
+            ju_lo=8,
+            prep_params=_multirotor_prep_params,
+            dynamics_step=_quadrotor_dynamics_step,
+        )
+        _MULTIROTOR_CACHE[n_rotors] = lm
+    return lm
+
+
 def lane_model_for(params, model=None):
     """Resolve the LaneModel for a params pytree (or an explicit XLA model
     module / LaneModel passed as `model=`)."""
@@ -174,9 +243,12 @@ def lane_model_for(params, model=None):
         name = getattr(model, "__name__", "")
         if name.endswith("se3_wrench"):
             return SE3_WRENCH
+        if name.endswith("multirotor"):
+            return multirotor_lane_model(params.rotor_positions_m.shape[-2])
         if name.endswith("quadrotor"):
             return QUADROTOR
         raise TypeError(f"no lane model for model module {name!r}")
+    from ..models.multirotor import MultirotorParams
     from ..models.quadrotor import QuadrotorParams
     from ..models.se3_wrench import WrenchParams
 
@@ -184,4 +256,6 @@ def lane_model_for(params, model=None):
         return QUADROTOR
     if isinstance(params, WrenchParams):
         return SE3_WRENCH
+    if isinstance(params, MultirotorParams):
+        return multirotor_lane_model(params.rotor_positions_m.shape[-2])
     raise TypeError(f"no lane model for params type {type(params).__name__}")

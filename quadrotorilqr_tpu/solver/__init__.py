@@ -4,7 +4,9 @@ from . import constraints
 from . import ilqr as ilqr_module
 from .auglag import ALOptions, ALSolveResult, solve_auglag
 from .constrained import solve_box
+from .ddp import backward_pass_ddp
 from .diff import solve_implicit
+from .fddp import FDDPOptions, solve_fddp
 from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
@@ -21,6 +23,8 @@ from .options import ConvergenceCriteria, ILQROptions, LineSearchParams
 __all__ = [
     "ilqr_module",
     "solve",
+    "solve_fddp",
+    "FDDPOptions",
     "solve_implicit",
     "solve_box",
     "solve_auglag",
@@ -28,6 +32,7 @@ __all__ = [
     "ALSolveResult",
     "constraints",
     "backward_pass",
+    "backward_pass_ddp",
     "forward_sim",
     "line_search",
     "Trajectory",

@@ -1,0 +1,320 @@
+"""Infeasible-start iLQR (FDDP-style multiple shooting) with adaptive
+Levenberg regularization — the robust solver for problems where the exact
+reference loop dies.
+
+THE FAILURE CLASS. The reference semantics (ilqr.hh:58-84, reproduced by
+`solver.ilqr.solve`) makes an infeasible initial trajectory feasible with
+one unconditional full closed-loop rollout on iteration 0. For aggressive
+scenarios (large attitude error, fast tumble, coarse dt) that single shot
+DIVERGES: the gyroscopic term omega x (I omega) grows like omega^2 under
+Euler integration, the rollout overflows to NaN, the NaN cost is accepted
+unconditionally, and every later line search fails
+(STATUS_LINE_SEARCH_FAILED — where the reference throws, ilqr.hh:191-193).
+Measured on random aggressive hover scenarios this kills ~40% of seeds
+(tests/test_fddp.py). Quu regularization alone CANNOT rescue it: with the
+initial controls equal to the desired controls every feedforward gain is
+exactly zero (zero residuals downstream), so there is no gradient signal
+until a full rollout succeeds — the method needs a different rollout, not a
+different backward pass.
+
+THE FIX (cf. Mastalli et al., "Crocoddyl: An Efficient and Versatile
+Framework for Multi-Contact Optimal Control", ICRA 2020 — the FDDP
+algorithm, re-derived here for the Lie-group state, no code shared):
+treat the trajectory as MULTIPLE SHOOTING nodes with defects ("gaps")
+
+    d_k = f(x_k, u_k) (-) x_{k+1}        (12-tangent at x_{k+1})
+
+and close the gaps progressively instead of all at once:
+
+  * backward pass: the next-stage value gradient is transported across the
+    gap, v_x_eff = v_x + V_xx d_k, before forming Q_x/Q_u (first-order
+    value transport); gains actively steer INTO the gap closure;
+  * rollout: x_{k+1} = f(x_k, u_k) (+) (-(1-alpha) d_k) — a step of length
+    alpha closes exactly an alpha-fraction of every gap, so small steps
+    keep the iterate near the (finite) shooting nodes and the rollout can
+    never run away;
+  * acceptance: the expected change of the quadratized problem is computed
+    EXACTLY by one extra forward scan — with dx_k = alpha p_k, du_k =
+    alpha w_k, where p_{k+1} = J_x p_k + J_u w_k + d_k, w_k = k_k + K_k p_k:
+
+        dJ(alpha) = alpha * L1 + alpha^2 * L2,
+        L1 = sum c_x.p + c_u.w,   L2 = sum (p.C_xx.p + w.C_uu.w) / 2
+
+    (for zero gaps this reduces to the classic alpha*Qu'k +
+    alpha^2/2*k'Quu k; with gaps it correctly predicts the unavoidable
+    cost INCREASE of closing them from a fake-infeasible iterate, which a
+    naive Armijo test would reject forever). Acceptance is the Goldstein
+    band: actual <= goldstein_frac * dJ when dJ <= 0, actual <=
+    goldstein_ub * dJ when dJ > 0;
+  * adaptive Levenberg mu on Quu: raised on rejection, decayed on
+    acceptance (snapped to exactly 0 below reg_min), per-lane under vmap.
+
+With a FEASIBLE initial trajectory all gaps are zero and every piece above
+degenerates to the standard iLQR iteration (same stationary points as
+`solve`; the line-search rule differs, so iterates may differ — tested).
+Convergence requires BOTH the cost criterion (ilqr.hh:196-205) and
+max|d| < gap_tol, so a converged result is always dynamically feasible.
+
+Everything is compiled control flow (while_loops), composes with vmap over
+scenarios, and is model-generic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..costs import quadratic as qc
+from ..models import quadrotor as qm
+from ..ops.linalg import chol_solve_small
+from .ilqr import (
+    STATUS_CONVERGED,
+    STATUS_LINE_SEARCH_FAILED,
+    STATUS_MAX_ITERS,
+    SolveResult,
+    Trajectory,
+    is_converged,
+    quadratize,
+)
+from .options import ILQROptions
+
+
+@dataclass(frozen=True)
+class FDDPOptions:
+    """Robust-solver knobs (static; hashable for jit)."""
+
+    reg_init: float = 1e-6  # first nonzero mu after a rejection at mu == 0
+    reg_scale_up: float = 10.0  # mu multiplier on rejection
+    reg_scale_down: float = 0.2  # mu multiplier on acceptance
+    reg_min: float = 1e-9  # below this, mu snaps back to exactly 0
+    reg_max: float = 1e8  # rejection at/above this is terminal
+    goldstein_frac: float = 0.1  # accept frac of a predicted decrease
+    goldstein_ub: float = 2.0  # tolerated multiple of a predicted increase
+    gap_tol: float = 1e-8  # max|defect| for a CONVERGED status
+
+
+def defects(params, traj: Trajectory, dt_s, model=qm):
+    """Multiple-shooting gaps d_k = f(x_k, u_k) (-) x_{k+1}, (..., N, 12);
+    row N-1 is zero (no successor node)."""
+    xs = traj.states
+    x_next = model.discrete_dynamics(
+        params,
+        jax.tree.map(lambda leaf: leaf[..., :-1, :], xs),
+        traj.controls[..., :-1, :],
+        dt_s,
+    )
+    d = model.minus(x_next, jax.tree.map(lambda leaf: leaf[..., 1:, :], xs))
+    zero = jnp.zeros(d.shape[:-2] + (1, 12), d.dtype)
+    return jnp.concatenate([d, zero], axis=-2)
+
+
+def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm):
+    """Gap-transported Riccati recursion + the exact quadratic line-search
+    model. Returns (ks, Ks, L1, L2) with dJ(alpha) = alpha L1 + alpha^2 L2.
+    Single scenario (vmap for batches)."""
+    with jax.default_matmul_precision("highest"):
+        j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
+        m = traj.controls.shape[-1]
+        eye_m = jnp.eye(m, dtype=traj.controls.dtype)
+
+        def stage(carry, inputs):
+            v_x, v_xx = carry
+            jx, ju, cx, cu, cxx, cuu, dk = inputs
+            # first-order value transport across the gap (FDDP)
+            v_x_eff = v_x + v_xx @ dk
+            jxt = jnp.swapaxes(jx, -1, -2)
+            jut = jnp.swapaxes(ju, -1, -2)
+            vxx_ju = v_xx @ ju
+            q_x = cx + jxt @ v_x_eff
+            q_u = cu + jut @ v_x_eff
+            q_xx = cxx + jxt @ (v_xx @ jx)
+            q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
+            q_xu = jxt @ vxx_ju
+            rhs = jnp.concatenate(
+                [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+            )
+            sol = -chol_solve_small(q_uu, rhs)
+            k = sol[..., 0]
+            big_k = sol[..., 1:]
+            quu_k = q_uu @ k
+            big_kt = jnp.swapaxes(big_k, -1, -2)
+            v_x_new = q_x - big_kt @ quu_k
+            s = q_xx - big_kt @ q_uu @ big_k  # load-bearing symmetrization
+            v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+            return (v_x_new, v_xx_new), (k, big_k)
+
+        dtype = traj.controls.dtype
+        init = (jnp.zeros((12,), dtype), jnp.zeros((12, 12), dtype))
+        _, (ks, big_ks) = jax.lax.scan(
+            stage, init, (j_x, j_u, c_x, c_u, c_xx, c_uu, d), reverse=True
+        )
+
+        # Exact quadratic model of the gap-contracting rollout:
+        # dx_k = alpha p_k, du_k = alpha w_k (both exactly linear in alpha).
+        def fwd(p, inputs):
+            jx, ju, cx, cu, cxx, cuu, dk, k, big_k = inputs
+            w = k + big_k @ p
+            l1 = cx @ p + cu @ w
+            l2 = 0.5 * (p @ (cxx @ p) + w @ (cuu @ w))
+            return jx @ p + ju @ w + dk, (l1, l2)
+
+        _, (l1s, l2s) = jax.lax.scan(
+            fwd, jnp.zeros((12,), dtype),
+            (j_x, j_u, c_x, c_u, c_xx, c_uu, d, ks, big_ks),
+        )
+        return ks, big_ks, jnp.sum(l1s), jnp.sum(l2s)
+
+
+def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm):
+    """Gap-contracting closed-loop rollout: a step of length alpha closes an
+    alpha-fraction of every gap (new defect == (1-alpha) d to first order);
+    alpha == 1 with zero gaps is exactly the reference rollout
+    (ilqr.hh:149-172)."""
+    with jax.default_matmul_precision("highest"):
+        x0 = jax.tree.map(lambda leaf: leaf[..., 0, :], traj.states)
+        n_axis = traj.controls.ndim - 2
+
+        def to_front(a):
+            return jnp.moveaxis(a, n_axis, 0)
+
+        xs = (
+            jax.tree.map(to_front, traj.states),
+            to_front(traj.controls),
+            to_front(ks),
+            to_front(big_ks),
+            to_front(d),
+        )
+
+        def stage(state, inputs):
+            x_old, u_old, k, big_k, dk = inputs
+            dx = model.minus(state, x_old)
+            u = u_old + alpha[..., None] * k + jnp.einsum(
+                "...ij,...j->...i", big_k, dx
+            )
+            nxt = model.discrete_dynamics(params, state, u, dt_s)
+            nxt = model.add(nxt, -(1.0 - alpha[..., None]) * dk)
+            return nxt, (state, u)
+
+        _, (states, controls) = jax.lax.scan(stage, x0, xs)
+        states = jax.tree.map(lambda leaf: jnp.moveaxis(leaf, 0, n_axis), states)
+        controls = jnp.moveaxis(controls, 0, n_axis)
+        return Trajectory(times=traj.times, states=states, controls=controls)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("options", "dt_s", "fddp_options", "model"),
+)
+def solve_fddp(
+    params,
+    cost: qc.QuadraticTrackingCost,
+    initial_traj: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    fddp_options: FDDPOptions = FDDPOptions(),
+    model=None,
+) -> SolveResult:
+    """Robust infeasible-start solve for ONE scenario (vmap for batches).
+
+    Same inputs/outputs as `solver.ilqr.solve`; see the module docstring for
+    how the loop differs (gap contraction, Goldstein acceptance, adaptive
+    mu). `options.quu_reg` is a static floor under the adaptive term;
+    `options.populate_debug` is not supported here (debug stays None).
+    """
+    model = qm if model is None else model
+    fo = fddp_options
+    max_iters = int(options.convergence_criteria.max_iters)
+    ls = options.line_search_params
+    dtype = initial_traj.controls.dtype
+    cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
+
+    def line_search(traj, d, current, ks, big_ks, l1, l2):
+        def cond(carry):
+            i, _, _, _, accepted = carry
+            return jnp.logical_and(i < ls.max_iters, jnp.logical_not(accepted))
+
+        def body(carry):
+            i, step, _, _, _ = carry
+            t = rollout_gap(params, traj, d, ks, big_ks, step, dt_s, model)
+            c = qc.trajectory_cost(cost, t.states, t.controls)
+            dj = step * l1 + step * step * l2
+            actual = c - current
+            accept = jnp.where(
+                dj <= 0,
+                actual <= fo.goldstein_frac * dj,
+                actual <= fo.goldstein_ub * dj,
+            )
+            accept = jnp.logical_and(accept, jnp.isfinite(c))
+            return (i + 1, step * ls.step_update, t, c, accept)
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.ones((), dtype),
+            traj,
+            current,
+            jnp.zeros((), bool),
+        )
+        _, _, t, c, accepted = jax.lax.while_loop(cond, body, init)
+        return t, c, accepted
+
+    def cond(carry):
+        i, _, _, _, done, _ = carry
+        return jnp.logical_and(i < max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        i, traj, new_cost, mu, done, status = carry
+        d = defects(params, traj, dt_s, model)
+        gap = jnp.max(jnp.abs(d))
+        ks, big_ks, l1, l2 = backward_pass_fddp(
+            params, cost, traj, dt_s, d, options.quu_reg + mu, model
+        )
+        current = new_cost
+        t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)
+
+        headroom = mu < fo.reg_max
+        retry = jnp.logical_and(jnp.logical_not(accepted), headroom)
+        mu_accept = mu * fo.reg_scale_down
+        mu_accept = jnp.where(mu_accept < fo.reg_min, 0.0, mu_accept)
+        mu_retry = jnp.where(
+            mu == 0.0, fo.reg_init, jnp.minimum(mu * fo.reg_scale_up, fo.reg_max)
+        )
+        keep = jnp.logical_not(accepted)
+        traj2 = jax.tree.map(lambda cand, cur: jnp.where(keep, cur, cand), t, traj)
+        cost2 = jnp.where(keep, current, c)
+        mu2 = jnp.where(accepted, mu_accept, jnp.where(retry, mu_retry, mu))
+
+        # converged = cost criterion on an ACCEPTED full-feasibility iterate:
+        # the pre-update gap must already be closed (a partial step leaves
+        # (1-alpha) of it) and the accepted candidate changes the cost less
+        # than the tolerance.
+        feasible = gap < fo.gap_tol
+        post_conv = jnp.logical_and(
+            jnp.logical_and(accepted, feasible),
+            is_converged(current, c, options),
+        )
+        terminal_fail = jnp.logical_and(
+            jnp.logical_not(accepted), jnp.logical_not(retry)
+        )
+        status2 = jnp.where(
+            terminal_fail,
+            STATUS_LINE_SEARCH_FAILED,
+            jnp.where(post_conv, STATUS_CONVERGED, STATUS_MAX_ITERS),
+        ).astype(jnp.int32)
+        done2 = jnp.logical_or(post_conv, terminal_fail)
+        return (i + 1, traj2, cost2, mu2, done2, status2)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        initial_traj,
+        cost0,
+        jnp.zeros((), dtype),
+        jnp.zeros((), bool),
+        jnp.asarray(STATUS_MAX_ITERS, jnp.int32),
+    )
+    i, traj, final_cost, _, _, status = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        trajectory=traj, cost=final_cost, iterations=i, status=status, debug=None
+    )

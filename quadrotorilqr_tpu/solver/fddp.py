@@ -111,18 +111,36 @@ def defects(params, traj: Trajectory, dt_s, model=qm):
     return jnp.concatenate([d, zero], axis=-2)
 
 
-def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm):
+def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False):
     """Gap-transported Riccati recursion + the exact quadratic line-search
     model. Returns (ks, Ks, L1, L2) with dJ(alpha) = alpha L1 + alpha^2 L2.
-    Single scenario (vmap for batches)."""
+    Single scenario (vmap for batches).
+
+    `ddp=True` adds the full-DDP curvature (solver/ddp.py): exact cost
+    Hessian and the v_x . f_xx dynamics term, weighted by the
+    gap-TRANSPORTED value gradient. Bare `solve(..., ddp=True)` NaNs out on
+    ~80% of large-attitude scenarios (exact curvature drives Quu
+    indefinite, benchmarks/solvers_bench.py) — inside this loop the
+    adaptive mu absorbs the indefiniteness, keeping DDP's iteration-count
+    win safely usable."""
     with jax.default_matmul_precision("highest"):
         j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
+        if ddp:
+            from .ddp import stage_curvatures
+
+            f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
+            xs = (j_x, j_u, c_x, c_u, c_xx, c_uu, d, f_xx)
+        else:
+            xs = (j_x, j_u, c_x, c_u, c_xx, c_uu, d)
         m = traj.controls.shape[-1]
         eye_m = jnp.eye(m, dtype=traj.controls.dtype)
 
         def stage(carry, inputs):
             v_x, v_xx = carry
-            jx, ju, cx, cu, cxx, cuu, dk = inputs
+            if ddp:
+                jx, ju, cx, cu, cxx, cuu, dk, fxx = inputs
+            else:
+                jx, ju, cx, cu, cxx, cuu, dk = inputs
             # first-order value transport across the gap (FDDP)
             v_x_eff = v_x + v_xx @ dk
             jxt = jnp.swapaxes(jx, -1, -2)
@@ -131,6 +149,8 @@ def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm):
             q_x = cx + jxt @ v_x_eff
             q_u = cu + jut @ v_x_eff
             q_xx = cxx + jxt @ (v_xx @ jx)
+            if ddp:
+                q_xx = q_xx + jnp.einsum("i,iab->ab", v_x_eff, fxx)
             q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
             q_xu = jxt @ vxx_ju
             rhs = jnp.concatenate(
@@ -148,9 +168,7 @@ def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm):
 
         dtype = traj.controls.dtype
         init = (jnp.zeros((12,), dtype), jnp.zeros((12, 12), dtype))
-        _, (ks, big_ks) = jax.lax.scan(
-            stage, init, (j_x, j_u, c_x, c_u, c_xx, c_uu, d), reverse=True
-        )
+        _, (ks, big_ks) = jax.lax.scan(stage, init, xs, reverse=True)
 
         # Exact quadratic model of the gap-contracting rollout:
         # dx_k = alpha p_k, du_k = alpha w_k (both exactly linear in alpha).
@@ -206,7 +224,7 @@ def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm):
 
 @partial(
     jax.jit,
-    static_argnames=("options", "dt_s", "fddp_options", "model"),
+    static_argnames=("options", "dt_s", "fddp_options", "model", "ddp"),
 )
 def solve_fddp(
     params,
@@ -216,6 +234,7 @@ def solve_fddp(
     options: ILQROptions = ILQROptions(),
     fddp_options: FDDPOptions = FDDPOptions(),
     model=None,
+    ddp: bool = False,
 ) -> SolveResult:
     """Robust infeasible-start solve for ONE scenario (vmap for batches).
 
@@ -223,6 +242,9 @@ def solve_fddp(
     how the loop differs (gap contraction, Goldstein acceptance, adaptive
     mu). `options.quu_reg` is a static floor under the adaptive term;
     `options.populate_debug` is not supported here (debug stays None).
+    `ddp=True` adds the full-DDP curvature terms with the adaptive mu
+    absorbing the indefiniteness they can introduce (see
+    backward_pass_fddp) — the robust way to run DDP.
     """
     model = qm if model is None else model
     fo = fddp_options
@@ -269,7 +291,7 @@ def solve_fddp(
         d = defects(params, traj, dt_s, model)
         gap = jnp.max(jnp.abs(d))
         ks, big_ks, l1, l2 = backward_pass_fddp(
-            params, cost, traj, dt_s, d, options.quu_reg + mu, model
+            params, cost, traj, dt_s, d, options.quu_reg + mu, model, ddp
         )
         current = new_cost
         t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)

@@ -172,6 +172,25 @@ def test_vmap_mixed_batch():
     )
 
 
+def test_fddp_with_ddp_curvature():
+    """solve_fddp(ddp=True): the robust way to run full DDP — the adaptive
+    mu absorbs the indefiniteness the exact curvature introduces (bare
+    solve(ddp=True) NaNs on this case)."""
+    params, cost, traj0, dt = _hard()
+    bare_ddp = solve(params, cost, traj0, dt, _OPTS, ddp=True)
+    assert int(bare_ddp.status) == STATUS_LINE_SEARCH_FAILED  # the premise
+    res = solve_fddp(params, cost, traj0, dt, _OPTS, ddp=True)
+    assert int(res.status) == STATUS_CONVERGED
+    assert np.isfinite(float(res.cost))
+    gap = float(jnp.abs(defects(params, res.trajectory, dt)).max())
+    assert gap < 1e-8
+    # same optimum as the plain-FDDP rescue
+    plain_fddp = solve_fddp(params, cost, traj0, dt, _OPTS)
+    np.testing.assert_allclose(
+        float(res.cost), float(plain_fddp.cost), rtol=1e-5
+    )
+
+
 def test_model_generic_wrench():
     n, dt = 24, 0.1
     params = wm.WrenchParams.create(

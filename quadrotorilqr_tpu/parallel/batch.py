@@ -27,7 +27,7 @@ def _batch_axes(tree, batched: bool):
     jax.jit,
     static_argnames=(
         "dt_s", "options", "params_batched", "cost_batched", "associative",
-        "model",
+        "model", "solver",
     ),
 )
 def solve_batch(
@@ -40,6 +40,7 @@ def solve_batch(
     cost_batched: bool = False,
     associative: bool = False,
     model=None,
+    solver: str = "ilqr",
 ) -> SolveResult:
     """vmapped solve over a leading scenario axis.
 
@@ -52,6 +53,12 @@ def solve_batch(
     parallel-in-time Riccati (solver/parallel_riccati.py) — the small-batch
     x long-horizon regime where the horizon, not the scenario count, must
     fill the chip.
+
+    `solver` picks the per-lane algorithm: "ilqr" (exact reference
+    semantics, default), "ddp" (full DDP curvature, solver/ddp.py), "fddp"
+    / "fddp-ddp" (robust infeasible-start loop, solver/fddp.py — the
+    recommended settings for aggressive scenario distributions; see
+    benchmarks/solvers_bench.py for the measured trade-offs).
     """
     # cost leaves may be individually batched (e.g. per-scenario Q/R with a
     # shared desired trajectory): infer the vmap axis per leaf.
@@ -67,12 +74,30 @@ def solve_batch(
     )
     if model is None:
         from ..models import quadrotor as model
-    return jax.vmap(
-        lambda p, c, t: ilqr_module.solve(
-            p, c, t, dt_s, options, associative=associative, model=model
-        ),
-        in_axes=in_axes,
-    )(params, cost, initial_trajs)
+    if solver == "ilqr" or solver == "ddp":
+        if associative and solver == "ddp":
+            raise ValueError("associative and ddp are mutually exclusive")
+
+        def one(p, c, t):
+            return ilqr_module.solve(
+                p, c, t, dt_s, options, associative=associative,
+                model=model, ddp=(solver == "ddp"),
+            )
+
+    elif solver in ("fddp", "fddp-ddp"):
+        if associative:
+            raise ValueError("associative is not available for fddp solvers")
+        from ..solver.fddp import solve_fddp
+
+        def one(p, c, t):
+            return solve_fddp(
+                p, c, t, dt_s, options, model=model,
+                ddp=(solver == "fddp-ddp"),
+            )
+
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+    return jax.vmap(one, in_axes=in_axes)(params, cost, initial_trajs)
 
 
 def batch_stats(result: SolveResult):

@@ -191,6 +191,23 @@ def test_fddp_with_ddp_curvature():
     )
 
 
+def test_solve_batch_solver_dispatch():
+    """parallel.batch.solve_batch(solver=...) reaches the robust loops."""
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+
+    params, cost, traj0, dt = _hard()
+    init = jax.tree.map(lambda leaf: leaf[None], traj0)
+    res = solve_batch(params, cost, init, dt, _OPTS, solver="fddp-ddp")
+    assert int(res.status[0]) == STATUS_CONVERGED
+    ref = solve_fddp(params, cost, traj0, dt, _OPTS, ddp=True)
+    np.testing.assert_allclose(float(res.cost[0]), float(ref.cost), rtol=1e-12)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        solve_batch(params, cost, init, dt, _OPTS, solver="nope")
+
+
 def test_model_generic_wrench():
     n, dt = 24, 0.1
     params = wm.WrenchParams.create(

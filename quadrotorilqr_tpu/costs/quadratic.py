@@ -37,12 +37,22 @@ class QuadraticTrackingCost:
 
     All leaves may carry leading batch dims for per-scenario weights
     (BASELINE.json config 3).
+
+    `stage_weights` (optional, (..., N)) multiplies the FULL stage cost
+    (state and control terms) per stage — terminal-cost emphasis
+    (w = [1,...,1,w_T]) and time-varying weighting, a standard
+    trajectory-optimization feature the reference lacks (cost.hh treats
+    every stage identically). Supported on the XLA solver paths (solve /
+    solve_batch / ddp / fddp / auglag / solve_box); the fused kernel
+    engines require stage_weights=None (kernels/backward._prep_cost
+    raises otherwise).
     """
 
     Q: jax.Array  # (..., 12, 12)
     R: jax.Array  # (..., 4, 4)
     desired_states: State  # leaves with leading (..., N)
     desired_controls: jax.Array  # (..., N, 4)
+    stage_weights: jax.Array | None = None  # (..., N) or None
 
 
 def stage_cost(cost: QuadraticTrackingCost, x: State, u, i):
@@ -52,7 +62,10 @@ def stage_cost(cost: QuadraticTrackingCost, x: State, u, i):
         u_d = cost.desired_controls[..., i, :]
         dx = qm.minus(x, x_d)
         du = u - u_d
-        return _quadform(dx, cost.Q) + _quadform(du, cost.R)
+        j = _quadform(dx, cost.Q) + _quadform(du, cost.R)
+        if cost.stage_weights is not None:
+            j = j * cost.stage_weights[..., i]
+        return j
 
 
 def _quadform(v, m):
@@ -83,6 +96,15 @@ def _stage_cost_with_diffs_hp(cost, x, u, x_d, u_d):
     c_xx = 2.0 * jnp.einsum("...ji,...jk,...kl->...il", j_dx, cost.Q, j_dx)
     c_u = 2.0 * r_du
     c_uu = 2.0 * cost.R
+    if cost.stage_weights is not None:
+        # the stage axis of x/u (second-to-last of the leaves) must line up
+        # with the weights' last axis — true for the stacked quadratize call
+        w = cost.stage_weights
+        j = j * w
+        c_x = c_x * w[..., None]
+        c_u = c_u * w[..., None]
+        c_xx = c_xx * w[..., None, None]
+        c_uu = c_uu * w[..., None, None]
     return j, c_x, c_u, c_xx, c_uu
 
 
@@ -105,8 +127,9 @@ def trajectory_cost(cost: QuadraticTrackingCost, states: State, controls):
 def _trajectory_cost_hp(cost, states, controls):
     dx = qm.minus(states, cost.desired_states)
     du = controls - cost.desired_controls
-    return jnp.sum(
-        jnp.einsum("...ni,...ij,...nj->...n", dx, cost.Q, dx)
-        + jnp.einsum("...ni,...ij,...nj->...n", du, cost.R, du),
-        axis=-1,
-    )
+    per_stage = jnp.einsum(
+        "...ni,...ij,...nj->...n", dx, cost.Q, dx
+    ) + jnp.einsum("...ni,...ij,...nj->...n", du, cost.R, du)
+    if cost.stage_weights is not None:
+        per_stage = per_stage * cost.stage_weights
+    return jnp.sum(per_stage, axis=-1)

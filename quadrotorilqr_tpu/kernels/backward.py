@@ -400,6 +400,12 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
     kernel grid re-reads (index_map 0). Mixed batched/shared leaves are
     broadcast up to batched.
     """
+    if cost.stage_weights is not None:
+        raise NotImplementedError(
+            "stage_weights are supported on the XLA solver paths only "
+            "(solve / solve_batch / ddp / fddp / auglag / solve_box); the "
+            "fused kernel engines take a stage-constant Q/R"
+        )
     des = cost.desired_states
     batched = any(
         leaf.ndim == 3

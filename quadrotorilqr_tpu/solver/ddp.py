@@ -80,13 +80,18 @@ def _stage_curvature(params, q_weight, x, u, x_d, dt_s, model):
 
 def stage_curvatures(params, cost, traj, dt_s, model=qm):
     """Curvature tensors for all N stages at once (stage-parallel):
-    (f_xx (N,12,12,12), c_xx (N,12,12)). Single scenario."""
+    (f_xx (N,12,12,12), c_xx (N,12,12)). Single scenario. Honors
+    cost.stage_weights (scales the exact cost Hessian like the
+    Gauss-Newton one, costs/quadratic.py)."""
     states_f = jax.tree.map(lambda l: jnp.moveaxis(l, -2, 0), traj.states)
     controls_f = jnp.moveaxis(traj.controls, -2, 0)
     xd_f = jax.tree.map(lambda l: jnp.moveaxis(l, -2, 0), cost.desired_states)
-    return jax.vmap(
+    f_xx, c_xx = jax.vmap(
         lambda x, u, xd: _stage_curvature(params, cost.Q, x, u, xd, dt_s, model)
     )(states_f, controls_f, xd_f)
+    if cost.stage_weights is not None:
+        c_xx = c_xx * cost.stage_weights[..., None, None]
+    return f_xx, c_xx
 
 
 def backward_pass_ddp(params, cost, traj, dt_s, quu_reg=0.0, model=qm):

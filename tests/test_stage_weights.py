@@ -1,0 +1,168 @@
+"""Per-stage cost weights (costs/quadratic.QuadraticTrackingCost.stage_weights).
+
+Terminal-cost emphasis and time-varying weighting — a standard trajectory-
+optimization feature the reference lacks (cost.hh treats every stage
+identically). XLA solver paths only; kernel engines raise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrotorilqr_tpu.costs.quadratic import (
+    QuadraticTrackingCost,
+    stage_cost,
+    trajectory_cost,
+)
+from quadrotorilqr_tpu.lie import se3
+from quadrotorilqr_tpu.models import quadrotor as qm
+from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+from quadrotorilqr_tpu.solver import (
+    STATUS_CONVERGED,
+    ILQROptions,
+    Trajectory,
+    solve,
+    solve_fddp,
+)
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+F64 = jnp.float64
+DT = 0.05
+N = 30
+
+_OPTS = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 60))
+
+
+def _problem(stage_weights=None):
+    params = qm.QuadrotorParams.create(
+        1.0, jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, F64), 0.2, 0.016, 9.81
+    )
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    x0 = qm.State(
+        pose=se3.exp(0.5 * jax.random.normal(k1, (6,), F64)),
+        vel=0.3 * jax.random.normal(k2, (6,), F64),
+    )
+    hover = jnp.full((N, 4), 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(N, dtype=F64),
+        states=qm.State(pose=se3.identity((N,), F64), vel=jnp.zeros((N, 6), F64)),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([10.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+        stage_weights=stage_weights,
+    )
+    return params, cost, initial_trajectory_from_state(x0, desired)
+
+
+def test_weighted_trajectory_cost_manual():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(0.5 + rng.random(N), F64)
+    params, cost_w, traj = _problem(stage_weights=w)
+    _, cost_1, _ = _problem()
+    # manual: weighted total == sum of w_k * per-stage costs
+    per_stage = jnp.stack(
+        [
+            stage_cost(
+                cost_1,
+                jax.tree.map(lambda leaf: leaf[k], traj.states),
+                traj.controls[k],
+                k,
+            )
+            for k in range(N)
+        ]
+    )
+    np.testing.assert_allclose(
+        float(trajectory_cost(cost_w, traj.states, traj.controls)),
+        float(jnp.sum(w * per_stage)),
+        rtol=1e-12,
+    )
+    # unit weights are exactly the unweighted cost
+    _, cost_u, _ = _problem(stage_weights=jnp.ones((N,), F64))
+    assert float(trajectory_cost(cost_u, traj.states, traj.controls)) == float(
+        trajectory_cost(cost_1, traj.states, traj.controls)
+    )
+
+
+def test_unit_weights_solve_matches_unweighted():
+    params, cost_u, traj0 = _problem(stage_weights=jnp.ones((N,), F64))
+    _, cost_1, _ = _problem()
+    a = solve(params, cost_1, traj0, DT, _OPTS)
+    b = solve(params, cost_u, traj0, DT, _OPTS)
+    assert int(a.status) == int(b.status) == STATUS_CONVERGED
+    assert float(a.cost) == float(b.cost)
+    np.testing.assert_array_equal(
+        np.asarray(a.trajectory.controls), np.asarray(b.trajectory.controls)
+    )
+
+
+def test_terminal_emphasis_shrinks_final_error():
+    """w = [1,...,1,100]: the solve trades running error for a much smaller
+    terminal tracking error."""
+    w = jnp.ones((N,), F64).at[-1].set(100.0)
+    params, cost_w, traj0 = _problem(stage_weights=w)
+    _, cost_1, _ = _problem()
+    plain = solve(params, cost_1, traj0, DT, _OPTS)
+    term = solve(params, cost_w, traj0, DT, _OPTS)
+    assert int(plain.status) == STATUS_CONVERGED
+    assert int(term.status) == STATUS_CONVERGED
+
+    def final_err(res, cost):
+        x_n = jax.tree.map(lambda leaf: leaf[-1], res.trajectory.states)
+        x_d = jax.tree.map(lambda leaf: leaf[-1], cost.desired_states)
+        return float(jnp.linalg.norm(qm.minus(x_n, x_d)))
+
+    e_plain = final_err(plain, cost_1)
+    e_term = final_err(term, cost_1)
+    # the 1.5 s horizon limits how much terminal error the dynamics can
+    # absorb; measured: 2.00 -> 1.17 (42% reduction) with w_T = 100
+    assert e_term < 0.65 * e_plain, (e_term, e_plain)
+
+
+def test_weights_quadratize_matches_autodiff():
+    """Weighted cost gradient from quadratize == jax.grad of the weighted
+    trajectory cost lifted to the stage tangents."""
+    from quadrotorilqr_tpu.solver.ilqr import quadratize
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(0.5 + rng.random(N), F64)
+    params, cost_w, traj = _problem(stage_weights=w)
+    _, _, c_x, c_u, _, _ = quadratize(params, cost_w, traj, DT)
+
+    def lifted(taus, dus):
+        states = qm.add(traj.states, taus)
+        return trajectory_cost(cost_w, states, traj.controls + dus)
+
+    g_x = jax.grad(lifted, argnums=0)(
+        jnp.zeros((N, 12), F64), jnp.zeros((N, 4), F64)
+    )
+    g_u = jax.grad(lifted, argnums=1)(
+        jnp.zeros((N, 12), F64), jnp.zeros((N, 4), F64)
+    )
+    np.testing.assert_allclose(np.asarray(c_x), np.asarray(g_x), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c_u), np.asarray(g_u), atol=1e-10)
+
+
+def test_weights_through_ddp_and_fddp():
+    w = jnp.ones((N,), F64).at[-1].set(10.0)
+    params, cost_w, traj0 = _problem(stage_weights=w)
+    a = solve(params, cost_w, traj0, DT, _OPTS, ddp=True)
+    b = solve_fddp(params, cost_w, traj0, DT, _OPTS, ddp=True)
+    assert int(a.status) == STATUS_CONVERGED
+    assert int(b.status) == STATUS_CONVERGED
+    np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-6)
+
+
+def test_kernel_engines_reject_stage_weights():
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
+
+    w = jnp.ones((N,), F64)
+    params, cost_w, traj0 = _problem(stage_weights=w)
+    init = jax.tree.map(lambda leaf: leaf[None], traj0)
+    with pytest.raises(NotImplementedError, match="stage_weights"):
+        solve_batch_latency(params, cost_w, init, DT, _OPTS, interpret=True)

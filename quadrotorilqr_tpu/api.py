@@ -50,7 +50,19 @@ class QuadrotorILQR:
         dt_s: float,
         options,
         dtype=jnp.float64,
+        stage_weights=None,
+        solver: str = "ilqr",
     ):
+        """The ten positional args are the reference ctor (binding.cc:20-32).
+
+        Extensions beyond the reference (keyword-only in spirit):
+        `stage_weights` — optional (N,) per-stage cost multipliers (terminal
+        emphasis; costs/quadratic.py); `solver` — "ilqr" (exact reference
+        semantics, default), "ddp" (full DDP curvature), "fddp"/"fddp-ddp"
+        (robust infeasible-start loop, solver/fddp.py)."""
+        if solver not in ("ilqr", "ddp", "fddp", "fddp-ddp"):
+            raise ValueError(f"unknown solver {solver!r}")
+        self.solver = solver
         self.dtype = dtype
         self.params = QuadrotorParams.create(
             mass_kg=mass_kg,
@@ -68,6 +80,11 @@ class QuadrotorILQR:
             R=jnp.asarray(np.asarray(R), dtype),
             desired_states=desired_traj.states,
             desired_controls=desired_traj.controls,
+            stage_weights=(
+                None
+                if stage_weights is None
+                else jnp.asarray(np.asarray(stage_weights), dtype)
+            ),
         )
         self.dt_s = float(dt_s)
         if isinstance(options, ilqr_options_pb2.ILQROptions):
@@ -93,8 +110,19 @@ class QuadrotorILQR:
                 f"initial trajectory length {initial_traj.horizon} != desired "
                 f"{self.desired_traj.horizon}"
             )
+        return self._solve_one(initial_traj)
+
+    def _solve_one(self, initial_traj: Trajectory) -> SolveResult:
+        if self.solver in ("fddp", "fddp-ddp"):
+            from .solver.fddp import solve_fddp
+
+            return solve_fddp(
+                self.params, self.cost, initial_traj, self.dt_s, self.options,
+                ddp=(self.solver == "fddp-ddp"),
+            )
         return ilqr_module.solve(
-            self.params, self.cost, initial_traj, self.dt_s, self.options
+            self.params, self.cost, initial_traj, self.dt_s, self.options,
+            ddp=(self.solver == "ddp"),
         )
 
     def solve_batch(
@@ -116,9 +144,16 @@ class QuadrotorILQR:
         """
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
-        # parity) falls back to the vmapped XLA solver.
+        # parity) falls back to the vmapped XLA solver. The kernel engines
+        # implement the exact reference loop: a non-default solver or
+        # stage_weights also routes to the vmapped XLA path.
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
-        if fused and fusable_dtype:
+        fusable = (
+            fusable_dtype
+            and self.solver == "ilqr"
+            and self.cost.stage_weights is None
+        )
+        if fused and fusable:
             if latency:
                 # routes itself: populate_debug -> batch loop; horizons
                 # beyond the VMEM budget -> streamed kernel (any N)
@@ -132,8 +167,4 @@ class QuadrotorILQR:
             return solve_batch_fused(
                 self.params, self.cost, initial_trajs, self.dt_s, self.options
             )
-        return jax.vmap(
-            lambda t: ilqr_module.solve(
-                self.params, self.cost, t, self.dt_s, self.options
-            )
-        )(initial_trajs)
+        return jax.vmap(self._solve_one)(initial_trajs)

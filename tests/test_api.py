@@ -129,3 +129,70 @@ def test_api_solve_batch_fused_path():
     res = ilqr.solve_batch(trajs, fused=False)
     assert res.cost.shape == (128,)
     assert res.status.shape == (128,)
+
+
+def test_api_solver_and_stage_weight_extensions():
+    """Ctor extensions beyond the reference: solver= picks the algorithm
+    (fddp rescues where the reference loop dies), stage_weights= reaches
+    the cost layer; unknown solver raises."""
+    import numpy as np
+    import pytest
+
+    from quadrotorilqr_tpu.api import QuadrotorILQR
+    from quadrotorilqr_tpu.lie import se3
+    from quadrotorilqr_tpu.models import quadrotor as qm
+    from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+    from quadrotorilqr_tpu.solver import STATUS_CONVERGED, Trajectory
+    from quadrotorilqr_tpu.solver.options import (
+        ConvergenceCriteria,
+        ILQROptions,
+        LineSearchParams,
+    )
+
+    n, dt = 30, 0.15
+    f64 = jnp.float64
+    hover = jnp.full((n, 4), 9.81 / 4.0, f64)
+    desired = Trajectory(
+        times=dt * jnp.arange(n, dtype=f64),
+        states=qm.State(pose=se3.identity((n,), f64), vel=jnp.zeros((n, 6), f64)),
+        controls=hover,
+    )
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 40),
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 100),
+    )
+    q = jnp.diag(jnp.asarray([100.0] * 6 + [1.0] * 6, f64))
+    r = 1e-3 * jnp.eye(4, dtype=f64)
+    inertia = jnp.asarray(np.diag([0.01, 0.012, 0.02]), f64)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x0 = qm.State(
+        pose=se3.exp(2.0 * jax.random.normal(k1, (6,), f64)),
+        vel=2.0 * jax.random.normal(k2, (6,), f64),
+    )
+    init = initial_trajectory_from_state(x0, desired)
+
+    plain = QuadrotorILQR(
+        1.0, inertia, 0.17, 0.016, 9.81, q, r, desired, dt, opts
+    ).solve_pytree(init)
+    assert int(plain.status) != STATUS_CONVERGED  # the reference loop dies
+
+    robust = QuadrotorILQR(
+        1.0, inertia, 0.17, 0.016, 9.81, q, r, desired, dt, opts,
+        solver="fddp",
+    ).solve_pytree(init)
+    assert int(robust.status) == STATUS_CONVERGED
+    assert np.isfinite(float(robust.cost))
+
+    weighted = QuadrotorILQR(
+        1.0, jnp.eye(3, dtype=f64), 0.17, 0.016, 9.81, q, r, desired, dt,
+        opts, stage_weights=np.ones(n),
+    )
+    assert weighted.cost.stage_weights is not None
+
+    with pytest.raises(ValueError, match="unknown solver"):
+        QuadrotorILQR(
+            1.0, inertia, 0.17, 0.016, 9.81, q, r, desired, dt, opts,
+            solver="newton",
+        )

@@ -145,14 +145,10 @@ class QuadrotorILQR:
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
         # parity) falls back to the vmapped XLA solver. The kernel engines
-        # implement the exact reference loop: a non-default solver or
-        # stage_weights also routes to the vmapped XLA path.
+        # implement the exact reference loop (with stage weights): a
+        # non-default solver routes to the vmapped XLA path.
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
-        fusable = (
-            fusable_dtype
-            and self.solver == "ilqr"
-            and self.cost.stage_weights is None
-        )
+        fusable = fusable_dtype and self.solver == "ilqr"
         if fused and fusable:
             if latency:
                 # routes itself: populate_debug -> batch loop; horizons

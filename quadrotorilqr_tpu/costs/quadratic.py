@@ -42,10 +42,11 @@ class QuadraticTrackingCost:
     (state and control terms) per stage — terminal-cost emphasis
     (w = [1,...,1,w_T]) and time-varying weighting, a standard
     trajectory-optimization feature the reference lacks (cost.hh treats
-    every stage identically). Supported on the XLA solver paths (solve /
-    solve_batch / ddp / fddp / auglag / solve_box); the fused kernel
-    engines require stage_weights=None (kernels/backward._prep_cost
-    raises otherwise).
+    every stage identically). Supported EVERYWHERE: all XLA solver paths
+    (solve / solve_batch / ddp / fddp / auglag / solve_box) and all fused
+    kernel engines (batch loop, whole-solve, streamed — shared or
+    per-scenario weights; lane-for-lane parity tested in
+    tests/test_stage_weights.py).
     """
 
     Q: jax.Array  # (..., 12, 12)

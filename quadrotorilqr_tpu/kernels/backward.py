@@ -180,6 +180,7 @@ def _riccati_stage(
     quat, trans, vel, u, dq, dtr, dv, du_d, v_x, v_xx,
     ju_lo_row=8,
     box=None,
+    w=None,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -192,9 +193,18 @@ def _riccati_stage(
     `box=(lo_l, hi_l)` ((m, B) lane rows) swaps the plain gain solve for
     the projected-Newton box-QP (control limits, solver/constrained.py
     semantics) and the value update for its general-gain form; box=None is
-    the exact reference path, bit-identical to before."""
+    the exact reference path, bit-identical to before.
+
+    `w` (a (1, B) lane row or None) multiplies this stage's FULL cost
+    contribution (costs/quadratic.stage_weights semantics): c_x/c_xx/c_u
+    and the 2R term of Quu scale by w; quu_reg does not. w=None skips the
+    multiplies — bit-identical to before."""
     p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
     _, c_x, c_xx, du = _stage_cost_diffs(quat, trans, vel, u, dq, dtr, dv, du_d, q_l)
+    if w is not None:
+        c_x = w * c_x
+        c_xx = w * c_xx
+        r2_l = w * r2_l
     c_u = L.matvec(r2_l, du)
 
     blocks = (p_blk, t_blk, g_blk, m_blk)
@@ -264,6 +274,7 @@ def _backward_kernel(
     n_stages,
     ju_lo,  # first nonzero j_u state row (kernels/models.py)
     use_box,  # static: control limits active (lo/hi refs read)
+    use_weights,  # static: per-stage cost weights active (w_ref read)
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-active flags
     q_ref,  # (N, 4, Bt) state quats
@@ -276,6 +287,7 @@ def _backward_kernel(
     du_ref,  # (N, u, Bt)
     qmat_ref,  # (12, 12, Bt) cost Q (broadcast or per-lane)
     r2_ref,  # (u, u, Bt) 2R (broadcast or per-lane)
+    w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
     ju_ref,  # (12, u, Bt) stage-constant j_u (broadcast or per-lane)
     i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
@@ -315,6 +327,7 @@ def _backward_kernel(
                 v_x, v_xx,
                 ju_lo_row=ju_lo,
                 box=box,
+                w=w_ref[n] if use_weights else None,
             )
             ks_ref[n] = k
             bigks_ref[n] = big_k
@@ -399,14 +412,15 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
     per-lane layout (d..., B); otherwise they are single-tile broadcasts the
     kernel grid re-reads (index_map 0). Mixed batched/shared leaves are
     broadcast up to batched.
+
+    Returns (des_q, des_t, des_v, des_u, q_mat, r, w, batched): `w` is the
+    per-stage cost-weight operand ((N, 1, TILE-or-B); costs/quadratic.py
+    stage_weights) or a (1, 1, TILE) ones dummy the kernels never read when
+    weights are absent — test `cost.stage_weights is not None` for the
+    static use_weights flag.
     """
-    if cost.stage_weights is not None:
-        raise NotImplementedError(
-            "stage_weights are supported on the XLA solver paths only "
-            "(solve / solve_batch / ddp / fddp / auglag / solve_box); the "
-            "fused kernel engines take a stage-constant Q/R"
-        )
     des = cost.desired_states
+    sw = cost.stage_weights
     batched = any(
         leaf.ndim == 3
         for leaf in (
@@ -417,7 +431,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
             des.pose.trans,
             des.vel,
         )
-    )
+    ) or (sw is not None and jnp.ndim(sw) == 2)
 
     def prep(a, core_ndim):
         a = jnp.asarray(a, dtype)
@@ -427,6 +441,11 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
             a = jnp.broadcast_to(a, (batch,) + a.shape)
         return _to_lanes(a)
 
+    if sw is None:
+        w = _bcast_tile(jnp.ones((1, 1), dtype), dtype)
+    else:
+        w = prep(jnp.asarray(sw, dtype)[..., None], 2)  # (..., N, 1)
+
     return (
         prep(des.pose.quat, 2),
         prep(des.pose.trans, 2),
@@ -434,6 +453,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
         prep(cost.desired_controls, 2),
         prep(cost.Q, 2),
         prep(r_scale * cost.R, 2),
+        w,
         batched,
     )
 
@@ -441,8 +461,8 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dt_s", "n", "batch", "ju_lo", "use_box", "cost_batched",
-        "params_batched", "interpret",
+        "dt_s", "n", "batch", "ju_lo", "use_box", "use_weights",
+        "cost_batched", "params_batched", "interpret",
     ),
 )
 def _backward_call(
@@ -458,6 +478,7 @@ def _backward_call(
     des_u,
     q_mat,
     r2,
+    w,
     g,
     ju,
     inertia,
@@ -469,6 +490,7 @@ def _backward_call(
     batch,
     ju_lo,
     use_box,
+    use_weights,
     cost_batched,
     params_batched,
     interpret,
@@ -485,7 +507,9 @@ def _backward_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
-    kernel = functools.partial(_backward_kernel, n, ju_lo, use_box)
+    # dummy weights are a single broadcast tile — never lane-indexed
+    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    kernel = functools.partial(_backward_kernel, n, ju_lo, use_box, use_weights)
     ks, big_ks, red = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -502,6 +526,7 @@ def _backward_call(
             cost_block((n, u)),
             cost_block((12, 12)),
             cost_block((u, u)),
+            w_block,
             param_block((1, 1)),
             param_block((12, u)),
             param_block((3, 3)),
@@ -536,6 +561,7 @@ def _backward_call(
         des_u,
         q_mat,
         r2,
+        w,
         g,
         ju,
         inertia,
@@ -593,9 +619,10 @@ def backward_pass_fused(
     states_v = _to_lanes(traj.states.vel)
     controls_l = _to_lanes(controls)
 
-    des_q, des_t, des_v, des_u, q_mat, r2, cost_batched = _prep_cost(
+    des_q, des_t, des_v, des_u, q_mat, r2, w, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=2.0
     )
+    use_weights = cost.stage_weights is not None
     g, _, ju, _, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
@@ -618,6 +645,7 @@ def backward_pass_fused(
         des_u,
         q_mat,
         r2,
+        w,
         g,
         ju,
         inertia,
@@ -629,6 +657,7 @@ def backward_pass_fused(
         batch,
         lm.ju_lo,
         use_box,
+        use_weights,
         cost_batched,
         params_batched,
         interpret,

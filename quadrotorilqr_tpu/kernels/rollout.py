@@ -55,6 +55,7 @@ def _rollout_kernel(
     n_stages,
     dynamics_step,  # lane-layout model step (kernels/models.py)
     use_box,  # static: clamp controls into [lo, hi] (control limits)
+    use_weights,  # static: per-stage cost weights active (w_ref read)
     scal_ref,  # SMEM (4,): [dt, 0, 0, 0]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-pending flags
     q_ref,  # (N, 4, Bt) old state quats
@@ -70,6 +71,7 @@ def _rollout_kernel(
     du_ref,
     qmat_ref,  # (12, 12, Bt) cost Q
     rmat_ref,  # (u, u, Bt) cost R
+    w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
     minv_ref,  # (1, 1, Bt) 1/mass
     extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
@@ -114,11 +116,12 @@ def _rollout_kernel(
             # stage cost of the produced (state, control) pair
             dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
             du = u - du_ref[n]
-            cost = (
-                cost
-                + L.dot_lanes(dxd, L.matvec(q_l, dxd))
-                + L.dot_lanes(du, L.matvec(r_l, du))
+            stage_c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+                du, L.matvec(r_l, du)
             )
+            if use_weights:
+                stage_c = w_ref[n] * stage_c
+            cost = cost + stage_c
 
             oq_ref[n] = quat
             ot_ref[n] = trans
@@ -143,8 +146,8 @@ def _rollout_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "batch", "lane_model", "use_box", "cost_batched",
-        "params_batched", "interpret",
+        "n", "batch", "lane_model", "use_box", "use_weights",
+        "cost_batched", "params_batched", "interpret",
     ),
 )
 def _rollout_call(
@@ -163,6 +166,7 @@ def _rollout_call(
     des_u,
     q_mat,
     r_mat,
+    w,
     g,
     m_inv,
     extra,
@@ -174,6 +178,7 @@ def _rollout_call(
     batch,
     lane_model,
     use_box,
+    use_weights,
     cost_batched,
     params_batched,
     interpret,
@@ -191,8 +196,9 @@ def _rollout_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
+    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     kernel = functools.partial(
-        _rollout_kernel, n, lane_model.dynamics_step, use_box
+        _rollout_kernel, n, lane_model.dynamics_step, use_box, use_weights
     )
     oq, ot, ov, ou, cost = pl.pallas_call(
         kernel,
@@ -213,6 +219,7 @@ def _rollout_call(
             cost_block((n, u)),
             cost_block((12, 12)),
             cost_block((u, u)),
+            w_block,
             param_block((1, 1)),
             param_block((1, 1)),
             param_block(extra_core),
@@ -255,6 +262,7 @@ def _rollout_call(
         des_u,
         q_mat,
         r_mat,
+        w,
         g,
         m_inv,
         extra,
@@ -294,9 +302,10 @@ def rollout_cost_fused(
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     dtype = controls.dtype
 
-    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+    des_q, des_t, des_v, des_u, q_mat, r_mat, w, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
+    use_weights = cost.stage_weights is not None
     g, m_inv, _, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
@@ -321,6 +330,7 @@ def rollout_cost_fused(
         des_u,
         q_mat,
         r_mat,
+        w,
         g,
         m_inv,
         extra,
@@ -332,6 +342,7 @@ def rollout_cost_fused(
         batch,
         lm,
         use_box,
+        use_weights,
         cost_batched,
         params_batched,
         interpret,

@@ -159,6 +159,7 @@ def _solve_kernel(
     ls_max_iters,
     continuation,
     lane_model,  # model family descriptor (kernels/models.py)
+    use_weights,  # static: per-stage cost weights active (w_ref read)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     q_ref,  # (N, 4, Bt) initial state quats
     t_ref,  # (N, 3, Bt)
@@ -170,6 +171,7 @@ def _solve_kernel(
     du_ref,
     qmat_ref,  # (12, 12, Bt) cost Q
     rmat_ref,  # (u, u, Bt) cost R
+    w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
     g_ref,  # (1, 1, Bt) params (broadcast or per-lane)
     minv_ref,  # (1, 1, Bt)
     ju_ref,  # (12, u, Bt)
@@ -230,9 +232,10 @@ def _solve_kernel(
     def stage_cost(quat, trans, vel, u, n):
         dxd = _state_minus(quat, trans, vel, dq_ref[n], dtr_ref[n], dv_ref[n])
         duv = u - du_ref[n]
-        return L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+        c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
             duv, L.matvec(r_l, duv)
         )
+        return w_ref[n] * c if use_weights else c
 
     # --- init: live trajectory lives in the output refs ---
     oq_ref[:] = q_ref[:]
@@ -264,6 +267,7 @@ def _solve_kernel(
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
                     v_x, v_xx,
                     ju_lo_row=lane_model.ju_lo,
+                    w=w_ref[n] if use_weights else None,
                 )
                 ks_ref[n] = k
                 bigks_ref[n] = big_k
@@ -365,6 +369,7 @@ def _solve_kernel(
         "ls_max_iters",
         "continuation",
         "lane_model",
+        "use_weights",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -382,6 +387,7 @@ def _solve_call(
     des_u,
     q_mat,
     r_mat,
+    w,
     g,
     m_inv,
     ju,
@@ -394,6 +400,7 @@ def _solve_call(
     ls_max_iters,
     continuation,
     lane_model,
+    use_weights,
     cost_batched,
     params_batched,
     interpret,
@@ -410,8 +417,10 @@ def _solve_call(
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
+    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     kernel = functools.partial(
-        _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model
+        _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
+        use_weights,
     )
     oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -428,6 +437,7 @@ def _solve_call(
             cost_block((n, u)),
             cost_block((12, 12)),
             cost_block((u, u)),
+            w_block,
             param_block((1, 1)),
             param_block((1, 1)),
             param_block((12, u)),
@@ -479,6 +489,7 @@ def _solve_call(
         des_u,
         q_mat,
         r_mat,
+        w,
         g,
         m_inv,
         ju,
@@ -537,9 +548,10 @@ def solve_fused_whole(
         )
     cc = options.convergence_criteria
 
-    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+    des_q, des_t, des_v, des_u, q_mat, r_mat, w, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
+    use_weights = cost.stage_weights is not None
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
@@ -569,6 +581,7 @@ def solve_fused_whole(
         des_u,
         q_mat,
         r_mat,
+        w,
         g,
         m_inv,
         ju,
@@ -581,6 +594,7 @@ def solve_fused_whole(
         int(ls.max_iters),
         continuation,
         lm,
+        use_weights,
         cost_batched,
         params_batched,
         interpret,

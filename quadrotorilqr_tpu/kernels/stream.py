@@ -101,6 +101,13 @@ def gain_rows(u_dim):
     return _ceil8(13 * u_dim)
 
 
+def des_rows(u_dim, use_weights):
+    """Packed DESIRED rows: the trajectory layout, plus one stage-weight row
+    at index 13+u when per-stage cost weights are active
+    (costs/quadratic.stage_weights) — weights ride the desired stream."""
+    return _ceil8(14 + u_dim) if use_weights else traj_rows(u_dim)
+
+
 def _stream_kernel(
     n_stages,
     max_iters,
@@ -109,6 +116,7 @@ def _stream_kernel(
     chunk,
     cost_batched,
     lane_model,  # model family descriptor (kernels/models.py)
+    use_weights,  # static: per-stage cost weights ride the desired stream
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory (TR = traj_rows(u))
     des_ref,  # HBM (N, TR, Bd) packed desired (Bd = B batched / TILE shared)
@@ -240,13 +248,17 @@ def _stream_kernel(
             axis=0,
         )
 
+    def stage_weight(drow):
+        return drow[13 + u_dim : 14 + u_dim]  # (1, bt)
+
     def stage_cost(quat, trans, vel, u, drow):
         dq, dtr, dv, du = unpack(drow)
         dxd = _state_minus(quat, trans, vel, dq, dtr, dv)
         duv = u - du
-        return L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+        c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
             duv, L.matvec(r_l, duv)
         )
+        return stage_weight(drow) * c if use_weights else c
 
     # ---- init: live trajectory := input (one HBM->HBM DMA per tile) ------
     copy(
@@ -290,6 +302,7 @@ def _stream_kernel(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
                         quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
                         ju_lo_row=lane_model.ju_lo,
+                        w=stage_weight(drow) if use_weights else None,
                     )
                     gbuf[idx, 0:u_dim] = k
                     for r in range(u_dim):
@@ -416,6 +429,7 @@ def _stream_kernel(
         "continuation",
         "chunk",
         "lane_model",
+        "use_weights",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -440,6 +454,7 @@ def _stream_call(
     continuation,
     chunk,
     lane_model,
+    use_weights,
     cost_batched,
     params_batched,
     interpret,
@@ -449,6 +464,7 @@ def _stream_call(
     w = min(chunk, n)
     u = lane_model.u_dim
     tr = traj_rows(u)
+    dr = des_rows(u, use_weights)
     gr = gain_rows(u)
     extra_core = extra.shape[:-1]  # per-model operand core dims
     lane_block = lambda shape: pl.BlockSpec(
@@ -471,6 +487,7 @@ def _stream_call(
         w,
         cost_batched,
         lane_model,
+        use_weights,
     )
     live, _, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -504,7 +521,7 @@ def _stream_call(
         ],
         scratch_shapes=[
             pltpu.VMEM((w, tr, TILE), dtype),
-            pltpu.VMEM((w, tr, TILE), dtype),
+            pltpu.VMEM((w, dr, TILE), dtype),
             pltpu.VMEM((w, gr, TILE), dtype),
             pltpu.VMEM((_STATE_ROWS, TILE), dtype),
             pltpu.SMEM((2,), dtype),
@@ -531,13 +548,20 @@ def _stream_call(
     return live, ocost, oiter, ostat
 
 
-def _pack_stages(q, t, v, u):
-    """Lane-layout stage arrays -> packed (N, traj_rows(u), B) (see module
-    docstring)."""
+def _pack_stages(q, t, v, u, w=None):
+    """Lane-layout stage arrays -> packed (N, rows, B) (see module
+    docstring). `w` ((N, 1, B) stage weights) appends at row 13+u and pads
+    to des_rows — DESIRED packing only."""
     n, _, b = q.shape
     u_dim = u.shape[1]
-    pad = jnp.zeros((n, traj_rows(u_dim) - 13 - u_dim, b), q.dtype)
-    return jnp.concatenate([q, t, v, u, pad], axis=1)
+    rows = des_rows(u_dim, w is not None)
+    parts = [q, t, v, u]
+    used = 13 + u_dim
+    if w is not None:
+        parts.append(jnp.broadcast_to(w, (n, 1, b)))
+        used += 1
+    parts.append(jnp.zeros((n, rows - used, b), q.dtype))
+    return jnp.concatenate(parts, axis=1)
 
 
 def solve_fused_streamed(
@@ -579,9 +603,10 @@ def solve_fused_streamed(
         )
     cc = options.convergence_criteria
 
-    des_q, des_t, des_v, des_u, q_mat, r_mat, cost_batched = _prep_cost(
+    des_q, des_t, des_v, des_u, q_mat, r_mat, w_op, cost_batched = _prep_cost(
         cost, batch, dtype, r_scale=1.0
     )
+    use_weights = cost.stage_weights is not None
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
@@ -604,7 +629,9 @@ def solve_fused_streamed(
         _to_lanes(traj.states.vel),
         _to_lanes(controls),
     )
-    des_packed = _pack_stages(des_q, des_t, des_v, des_u)
+    des_packed = _pack_stages(
+        des_q, des_t, des_v, des_u, w_op if use_weights else None
+    )
 
     live, ocost, oiter, ostat = _stream_call(
         fscal,
@@ -625,6 +652,7 @@ def solve_fused_streamed(
         continuation,
         chunk,
         lm,
+        use_weights,
         cost_batched,
         params_batched,
         interpret,

@@ -8,7 +8,6 @@ identically). XLA solver paths only; kernel engines raise.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from quadrotorilqr_tpu.costs.quadratic import (
     QuadraticTrackingCost,
@@ -158,11 +157,94 @@ def test_weights_through_ddp_and_fddp():
     np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-6)
 
 
-def test_kernel_engines_reject_stage_weights():
-    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
+def _kernel_problem(stage_weights, b=128, n=10):
+    """Batched problem in the kernel engines' regime (short horizon, tiles)."""
+    from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
 
-    w = jnp.ones((N,), F64)
-    params, cost_w, traj0 = _problem(stage_weights=w)
-    init = jax.tree.map(lambda leaf: leaf[None], traj0)
-    with pytest.raises(NotImplementedError, match="stage_weights"):
-        solve_batch_latency(params, cost_w, init, DT, _OPTS, interpret=True)
+    params = qm.QuadrotorParams.create(
+        1.0, jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.05, F64), 0.2, 0.016, 9.81
+    )
+    rng = np.random.default_rng(11)
+    x0 = qm.State(
+        pose=se3.exp(jnp.asarray(0.25 * rng.normal(size=(b, 6)), F64)),
+        vel=jnp.asarray(0.2 * rng.normal(size=(b, 6)), F64),
+    )
+    hover = jnp.full((n, 4), 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=0.03 * jnp.arange(n, dtype=F64),
+        states=qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([100.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+        stage_weights=stage_weights,
+    )
+    return params, cost, initial_trajectory_from_state(x0, desired)
+
+
+def _assert_same(a, b, atol=1e-8):
+    np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(a.trajectory.controls),
+        np.asarray(b.trajectory.controls),
+        atol=atol,
+    )
+    assert (np.asarray(a.status) == np.asarray(b.status)).all()
+    assert (np.asarray(a.iterations) == np.asarray(b.iterations)).all()
+
+
+def test_kernel_engines_parity_shared_weights():
+    """Stage weights on every fused engine (f64 interpret) lane-for-lane vs
+    the vmapped XLA solver."""
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_latency,
+    )
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    n = 10
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(0.5 + rng.random(n), F64).at[-1].set(25.0)
+    params, cost_w, init = _kernel_problem(w, n=n)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 10))
+
+    ref = solve_batch(params, cost_w, init, 0.03, opts)
+    f = solve_batch_fused(params, cost_w, init, 0.03, opts, interpret=True)
+    _assert_same(f, ref)
+
+    wsolve = solve_batch_latency(params, cost_w, init, 0.03, opts, interpret=True)
+    _assert_same(wsolve, f, atol=1e-10)
+
+    s_traj, s_cost, s_iters, s_status = solve_fused_streamed(
+        params, cost_w, init, 0.03, opts, interpret=True, chunk=4
+    )
+    np.testing.assert_allclose(np.asarray(s_cost), np.asarray(f.cost), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_traj.controls),
+        np.asarray(f.trajectory.controls),
+        atol=1e-10,
+    )
+    assert (np.asarray(s_status) == np.asarray(f.status)).all()
+
+
+def test_kernel_engines_parity_per_scenario_weights():
+    """Per-scenario stage weights ((B, N) leading batch) on the fused
+    engines vs the vmapped XLA path."""
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    b, n = 128, 10
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(0.5 + rng.random((b, n)), F64)
+    params, cost_w, init = _kernel_problem(w, b=b, n=n)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 10))
+
+    ref = solve_batch(params, cost_w, init, 0.03, opts, cost_batched=True)
+    f = solve_batch_fused(params, cost_w, init, 0.03, opts, interpret=True)
+    _assert_same(f, ref)

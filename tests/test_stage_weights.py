@@ -2,7 +2,8 @@
 
 Terminal-cost emphasis and time-varying weighting — a standard trajectory-
 optimization feature the reference lacks (cost.hh treats every stage
-identically). XLA solver paths only; kernel engines raise.
+identically). Supported on every XLA solver path AND every fused kernel
+engine (shared or per-scenario weights; lane-for-lane parity below).
 """
 
 import jax

@@ -81,18 +81,22 @@ def mpc_warm_start(desired_full: Trajectory, x0: State, horizon: int) -> Traject
 def _mpc_step_impl(
     params, q_weight, r_weight, desired_full, x, warm, k,
     horizon, dt_s, options, interpret, latency_kernel=False,
+    stage_weights=None,
 ):
     """One receding-horizon step (shared by the scanned loop and the
     host-driven single-step path): window targets, warm-started solve,
     apply first control, shift the solution. `latency_kernel=True` runs the
     solve as ONE whole-solve Pallas program (kernels/solve.py) — fewer
-    launches per step for small fleets."""
+    launches per step for small fleets. `stage_weights` ((horizon,)) weights
+    the window's stage costs — the standard MPC terminal-emphasis pattern
+    (w = [1..1, w_T]); runs at kernel speed (costs/quadratic.py)."""
     win = _window(desired_full, k, horizon, axis=0)
     cost_k = QuadraticTrackingCost(
         Q=q_weight,
         R=r_weight,
         desired_states=win.states,
         desired_controls=win.controls,
+        stage_weights=stage_weights,
     )
     init_traj = Trajectory(
         times=warm.times,
@@ -126,6 +130,7 @@ def mpc_step(
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
     latency_kernel: bool = False,
+    stage_weights=None,
 ):
     """One compiled MPC step for HOST-DRIVEN deployment loops, where the tail
     of the per-dispatch latency distribution (p99/max vs the control period)
@@ -134,7 +139,7 @@ def mpc_step(
     """
     x_next, warm_next, u0, _ = _mpc_step_impl(
         params, q_weight, r_weight, desired_full, x, warm, k,
-        horizon, dt_s, options, interpret, latency_kernel,
+        horizon, dt_s, options, interpret, latency_kernel, stage_weights,
     )
     return x_next, warm_next, u0
 
@@ -157,6 +162,7 @@ def run_mpc(
     options: ILQROptions = ILQROptions(),
     interpret: bool = False,
     latency_kernel: bool = False,
+    stage_weights=None,
 ):
     """Run `n_steps` of warm-started receding-horizon control.
 
@@ -184,7 +190,7 @@ def run_mpc(
         x, warm = carry
         x_next, warm_next, u0, res = _mpc_step_impl(
             params, q_weight, r_weight, desired_full, x, warm, k,
-            horizon, dt_s, options, interpret, latency_kernel,
+            horizon, dt_s, options, interpret, latency_kernel, stage_weights,
         )
         out = {
             "u": u0,

@@ -94,3 +94,36 @@ def test_mpc_step_matches_scanned_loop():
         np.asarray(out["x_final"].pose.trans),
         atol=1e-12,
     )
+
+
+def test_mpc_terminal_weight_improves_tracking():
+    """The MPC terminal-emphasis pattern (stage_weights=[1..1,w_T]) runs at
+    kernel speed and does not degrade regulation; weights reach the solver
+    (unit weights reproduce the unweighted run exactly)."""
+    params, q, r, desired, x0 = _setup()
+    options = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3))
+    horizon, n_steps = 20, 25
+    base = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=n_steps, horizon=horizon, dt_s=DT, options=options,
+        interpret=True,
+    )
+    unit = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=n_steps, horizon=horizon, dt_s=DT, options=options,
+        interpret=True, stage_weights=jnp.ones((horizon,), jnp.float64),
+    )
+    np.testing.assert_array_equal(np.asarray(base["u"]), np.asarray(unit["u"]))
+
+    w = jnp.ones((horizon,), jnp.float64).at[-1].set(20.0)
+    term = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=n_steps, horizon=horizon, dt_s=DT, options=options,
+        interpret=True, stage_weights=w,
+    )
+    # still regulates: final position error comparable or better
+    def final_err(out):
+        return float(np.linalg.norm(np.asarray(out["x_final"].pose.trans), axis=-1).mean())
+
+    assert final_err(term) < 1.5 * final_err(base)
+    assert (np.asarray(term["status"]) != 2).all()

@@ -73,6 +73,47 @@ def speed_limit(v_max, angular=False):
     return g
 
 
+def tilt_limit(max_tilt_rad):
+    """Attitude cone: the body z-axis stays within `max_tilt_rad` of world
+    up — cos(theta_max) - (R e_z).e_z <= 0. Smooth everywhere (no acos);
+    the standard safe-attitude envelope for multirotors."""
+    import math
+
+    cos_max = math.cos(float(max_tilt_rad))
+
+    def g(x, u, k):
+        # (R e_z).e_z = R[2,2] = 1 - 2(qx^2 + qy^2) for a unit wxyz quat
+        q = x.pose.quat
+        r22 = 1.0 - 2.0 * (q[..., 1] * q[..., 1] + q[..., 2] * q[..., 2])
+        return jnp.atleast_1d(cos_max - r22)
+
+    return g
+
+
+def cylinder_keepout(center_xy, radius):
+    """Stay outside an infinite vertical cylinder (no-fly column):
+    r^2 - ||p_xy - c||^2 <= 0. Squared form keeps gradients finite on the
+    axis (same rationale as sphere_keepout)."""
+    center_xy = jnp.asarray(center_xy)
+    r2 = float(radius) ** 2
+
+    def g(x, u, k):
+        d = x.pose.trans[..., 0:2] - center_xy.astype(x.pose.trans.dtype)
+        return jnp.atleast_1d(r2 - jnp.sum(d * d))
+
+    return g
+
+
+def altitude_band(z_min, z_max):
+    """Fly inside [z_min, z_max]: [z_min - z; z - z_max] <= 0."""
+
+    def g(x, u, k):
+        z = x.pose.trans[..., 2]
+        return jnp.stack([z_min - z, z - z_max])
+
+    return g
+
+
 def control_box(lo, hi):
     """Elementwise control box as inequalities: [u - hi; lo - u] <= 0.
 

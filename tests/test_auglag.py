@@ -238,3 +238,45 @@ def test_model_generic_wrench():
         axis=-1,
     )
     assert d.min() >= 0.4 - 1e-3
+
+
+def test_new_builders_tilt_cylinder_altitude():
+    """tilt_limit / cylinder_keepout / altitude_band builders: active
+    constraints end feasible; far-away ones reproduce the unconstrained
+    solve."""
+    params, cost, init, _ = _crossing_problem()
+
+    # inactive versions reproduce the unconstrained solve
+    far = C.combine(
+        C.tilt_limit(jnp.pi * 0.49),
+        C.cylinder_keepout(center_xy=[50.0, 50.0], radius=0.5),
+        C.altitude_band(-100.0, 100.0),
+    )
+    ref = solve(params, cost, init, DT, _OPTIONS)
+    res = solve_auglag(params, cost, far, init, DT, _OPTIONS, _AL)
+    assert int(res.status) == 1
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+
+    # active: no-fly column on the straight path + tight tilt + altitude
+    act = C.combine(
+        C.tilt_limit(0.3),
+        C.cylinder_keepout(center_xy=[1.0, 0.0], radius=0.35),
+        C.altitude_band(-0.2, 0.5),
+    )
+    res2 = solve_auglag(params, cost, act, init, DT, _OPTIONS, _AL)
+    assert int(res2.status) in (1, 3)  # converged or feasible-at-budget
+    assert float(res2.max_violation) < 1e-6
+
+    # the produced trajectory really satisfies each set
+    traj = res2.trajectory
+    q = np.asarray(traj.states.pose.quat)
+    r22 = 1.0 - 2.0 * (q[:, 1] ** 2 + q[:, 2] ** 2)
+    assert (r22 >= np.cos(0.3) - 1e-6).all()  # tilt
+    xy = np.asarray(traj.states.pose.trans)[:, 0:2] - np.array([1.0, 0.0])
+    assert (np.sum(xy * xy, axis=1) >= 0.35**2 - 1e-6).all()  # cylinder
+    z = np.asarray(traj.states.pose.trans)[:, 2]
+    assert (z >= -0.2 - 1e-6).all() and (z <= 0.5 + 1e-6).all()  # altitude

@@ -64,14 +64,33 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), tree)
 
 
+def _cost_batched_flags(cost):
+    """Pytree of bools matching `cost`: which leaves carry a leading
+    scenario axis. Every leaf's unbatched core is 2-dim except
+    stage_weights ((N,) core; costs/quadratic.py)."""
+    from ..costs.quadratic import QuadraticTrackingCost
+
+    return QuadraticTrackingCost(
+        Q=cost.Q.ndim == 3,
+        R=cost.R.ndim == 3,
+        desired_states=jax.tree.map(lambda a: a.ndim == 3, cost.desired_states),
+        desired_controls=cost.desired_controls.ndim == 3,
+        stage_weights=(
+            None if cost.stage_weights is None else cost.stage_weights.ndim == 2
+        ),
+    )
+
+
 def _batched_operands(params, cost):
     """(params_batched, cost_axes): per-scenario detection shared by every
     sharded helper. Params are per-scenario iff every leaf carries a leading
     batch dim (kernels/backward._prep_params contract — mass_kg.ndim >= 1
-    is the discriminator); cost leaves are per-scenario iff ndim == 3
-    (Q (B,12,12) / R (B,4,4) / desired (B,N,d) vs shared (12,12)/(N,d))."""
+    is the discriminator); cost leaves are per-scenario iff they carry a
+    dim beyond their unbatched core (see _cost_batched_flags)."""
     params_batched = jnp.ndim(params.mass_kg) >= 1
-    cost_axes = jax.tree.map(lambda a: 0 if jnp.ndim(a) == 3 else None, cost)
+    cost_axes = jax.tree.map(
+        lambda batched: 0 if batched else None, _cost_batched_flags(cost)
+    )
     return params_batched, cost_axes
 
 
@@ -81,14 +100,14 @@ def _place_cost(cost, mesh: Mesh, axis_name):
     replicated leaf from one host would fail)."""
     sharding = NamedSharding(mesh, P(axis_name))
 
-    def place(leaf):
-        if jnp.ndim(leaf) != 3:
+    def place(leaf, batched):
+        if not batched:
             return leaf
         if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
             return leaf
         return jax.device_put(leaf, sharding)
 
-    return jax.tree.map(place, cost)
+    return jax.tree.map(place, cost, _cost_batched_flags(cost))
 
 
 def solve_sharded(
@@ -119,7 +138,11 @@ def solve_sharded(
         t = jax.tree.map(wsc, t)
         if params_batched:
             p = jax.tree.map(wsc, p)
-        c = jax.tree.map(lambda leaf: wsc(leaf) if leaf.ndim == 3 else leaf, c)
+        c = jax.tree.map(
+            lambda leaf, batched: wsc(leaf) if batched else leaf,
+            c,
+            _cost_batched_flags(c),
+        )
         return jax.vmap(
             lambda pp, cc, tt: ilqr_module.solve(
                 pp, cc, tt, dt_s, options, model=model
@@ -220,14 +243,15 @@ def _shard_map_solve(
     from jax import shard_map
 
     params_batched, _ = _batched_operands(params, cost)
+    cost_flags = _cost_batched_flags(cost)
     n_total = jax.tree.leaves(initial_trajs)[0].shape[0]
 
     def per_shard(p, c, t):
-        # per-scenario cost leaves arrive sharded (ndim 3); shared ones rode
-        # along as scalar dummies — restore them from the closure
+        # per-scenario cost leaves arrive sharded; shared ones rode along as
+        # scalar dummies — restore them from the closure
         c = jax.tree.map(
-            lambda shared, local: local if jnp.ndim(local) == 3 else shared,
-            cost, c,
+            lambda shared, local, batched: local if batched else shared,
+            cost, c, cost_flags,
         )
         result = per_shard_solve(p if params_batched else params, c, t)
         local_converged = jnp.sum(
@@ -251,12 +275,13 @@ def _shard_map_solve(
     # shard_map operand trees must be arrays with static specs, so shared
     # leaves (replicated via closure) ride as zero-size scalar dummies
     cost_in = jax.tree.map(
-        lambda leaf: leaf if jnp.ndim(leaf) == 3
+        lambda leaf, batched: leaf if batched
         else jnp.zeros((), jnp.asarray(leaf).dtype),
-        cost,
+        cost, cost_flags,
     )
     cost_spec = jax.tree.map(
-        lambda leaf: P(axis_name) if jnp.ndim(leaf) == 3 else P(), cost
+        lambda leaf, batched: P(axis_name) if batched else P(),
+        cost, cost_flags,
     )
     params_in = params if params_batched else jax.tree.map(
         lambda leaf: jnp.zeros((), jnp.asarray(leaf).dtype), params

@@ -249,3 +249,34 @@ def test_solve_batch_populate_debug():
     iters = np.asarray(res.iterations)
     # one debug slot per executed update, per lane
     np.testing.assert_array_equal(valid.sum(axis=1), iters)
+
+
+def test_sharded_per_scenario_stage_weights():
+    """Per-scenario stage weights ((B, N)) shard correctly over the mesh on
+    both the GSPMD and shard_map(+psum) paths."""
+    from dataclasses import replace
+
+    params, cost, trajs, opts = make_problem()
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(0.5 + rng.random((B, N)), F64)
+    cost_w = replace(cost, stage_weights=w)
+    ref = solve_batch(params, cost_w, trajs, 0.05, opts, cost_batched=True)
+
+    mesh = make_scenario_mesh()
+    g = solve_sharded(params, cost_w, trajs, 0.05, opts, mesh)
+    np.testing.assert_allclose(
+        np.asarray(g.cost), np.asarray(ref.cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-9,
+    )
+
+    s, stats = solve_sharded_with_stats(params, cost_w, trajs, 0.05, opts, mesh)
+    np.testing.assert_allclose(
+        np.asarray(s.cost), np.asarray(ref.cost), rtol=1e-10
+    )
+    assert float(stats["n_converged"]) == float(
+        (np.asarray(ref.status) == 1).sum()
+    )

@@ -2,17 +2,20 @@
 quadrotor module's function signatures (discrete_dynamics[_jacobians],
 minus[_jacobians], add) plugs in."""
 
-from . import multirotor, quadrotor, se3_wrench
+from . import multirotor, quadrotor, quadrotor_drag, se3_wrench
 from .multirotor import MultirotorParams
 from .quadrotor import QuadrotorParams, State
+from .quadrotor_drag import DragQuadrotorParams
 from .se3_wrench import WrenchParams
 
 __all__ = [
     "quadrotor",
     "se3_wrench",
     "multirotor",
+    "quadrotor_drag",
     "QuadrotorParams",
     "WrenchParams",
     "MultirotorParams",
+    "DragQuadrotorParams",
     "State",
 ]

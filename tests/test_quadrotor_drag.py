@@ -1,0 +1,162 @@
+"""Quadrotor-with-drag model (models/quadrotor_drag.py).
+
+(a) zero drag reduces EXACTLY to the drag-free quadrotor, (b) nonzero-drag
+analytic Jacobians pass the central-FD harness, (c) drag physically slows a
+coasting body, (d) the full solver stack (plain / DDP / FDDP) accepts the
+model through the open module protocol, (e) the kernel engines refuse it
+(the drag velocity block breaks the lane family's j_x sparsity contract).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost
+from quadrotorilqr_tpu.lie import se3
+from quadrotorilqr_tpu.models import quadrotor as qm
+from quadrotorilqr_tpu.models import quadrotor_drag as qd
+from quadrotorilqr_tpu.models.quadrotor_drag import DragQuadrotorParams
+from quadrotorilqr_tpu.parallel.batch import initial_trajectory_from_state
+from quadrotorilqr_tpu.solver import (
+    STATUS_CONVERGED,
+    ILQROptions,
+    Trajectory,
+    solve,
+    solve_fddp,
+)
+from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+F64 = jnp.float64
+DT = 0.05
+
+
+def _params(drag_lin=(0.3, 0.35, 0.5), drag_ang=(0.02, 0.02, 0.04)):
+    return DragQuadrotorParams.create(
+        mass_kg=1.2,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.04, F64),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        drag_lin=jnp.asarray(drag_lin, F64),
+        drag_ang=jnp.asarray(drag_ang, F64),
+        g_mpss=9.81,
+    )
+
+
+def _random_state(key, scale=0.6):
+    k1, k2 = jax.random.split(key)
+    return qm.State(
+        pose=se3.exp(scale * jax.random.normal(k1, (6,), F64)),
+        vel=0.8 * jax.random.normal(k2, (6,), F64),
+    )
+
+
+def test_zero_drag_reduces_to_quadrotor_exactly():
+    dp = _params(drag_lin=(0.0, 0.0, 0.0), drag_ang=(0.0, 0.0, 0.0))
+    qp = dp.dragless()
+    x = _random_state(jax.random.PRNGKey(0))
+    u = jnp.asarray([3.1, 2.8, 3.4, 3.0], F64)
+    np.testing.assert_array_equal(
+        np.asarray(qd.continuous_dynamics(dp, x, u)),
+        np.asarray(qm.continuous_dynamics(qp, x, u)),
+    )
+    _, jx_d, ju_d = qd.discrete_dynamics_jacobians(dp, x, u, DT)
+    _, jx_q, ju_q = qm.discrete_dynamics_jacobians(qp, x, u, DT)
+    np.testing.assert_allclose(np.asarray(jx_d), np.asarray(jx_q), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(ju_d), np.asarray(ju_q), atol=1e-15)
+
+
+def test_drag_jacobians_finite_difference():
+    params = _params()
+    x = _random_state(jax.random.PRNGKey(2))
+    u = jnp.asarray(2.0 + np.random.default_rng(3).random(4), F64)
+    fn, j_x, j_u = qd.discrete_dynamics_jacobians(params, x, u, DT)
+    eps = 1e-6
+    for a in range(12):
+        e = jnp.zeros((12,), F64).at[a].set(eps)
+        fp = qd.discrete_dynamics(params, qd.add(x, e), u, DT)
+        fm = qd.discrete_dynamics(params, qd.add(x, -e), u, DT)
+        fd = (qd.minus(fp, fn) - qd.minus(fm, fn)) / (2 * eps)
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(j_x[:, a]), atol=1e-6,
+            err_msg=f"state axis {a}",
+        )
+    for a in range(4):
+        e = jnp.zeros((4,), F64).at[a].set(eps)
+        fp = qd.discrete_dynamics(params, x, u + e, DT)
+        fm = qd.discrete_dynamics(params, x, u - e, DT)
+        fd = (qd.minus(fp, fn) - qd.minus(fm, fn)) / (2 * eps)
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(j_u[:, a]), atol=1e-6,
+            err_msg=f"control axis {a}",
+        )
+
+
+def test_drag_damps_coasting_velocity():
+    """Zero gravity, zero thrust: drag monotonically shrinks |v|."""
+    params = DragQuadrotorParams.create(
+        1.0, jnp.eye(3, dtype=F64), 0.2, 0.016,
+        drag_lin=(0.5, 0.5, 0.5), drag_ang=(0.1, 0.1, 0.1), g_mpss=0.0,
+    )
+    x = qm.State(
+        pose=se3.identity((), F64),
+        vel=jnp.asarray([1.0, -2.0, 0.5, 0.4, -0.3, 0.2], F64),
+    )
+    u = jnp.zeros((4,), F64)
+    speeds = []
+    for _ in range(40):
+        speeds.append(float(jnp.linalg.norm(x.vel)))
+        x = qd.discrete_dynamics(params, x, u, DT)
+    speeds.append(float(jnp.linalg.norm(x.vel)))
+    assert all(b < a for a, b in zip(speeds, speeds[1:]))
+    assert speeds[-1] < 0.5 * speeds[0]
+
+
+def _problem():
+    params = _params()
+    key = jax.random.PRNGKey(5)
+    x0 = _random_state(key, scale=0.4)
+    n = 25
+    hover = jnp.full((n, 4), 1.2 * 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    return params, cost, initial_trajectory_from_state(x0, desired)
+
+
+def test_solver_stack_accepts_drag_model():
+    params, cost, traj0 = _problem()
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 60))
+    res = solve(params, cost, traj0, DT, opts, model=qd)
+    assert int(res.status) == STATUS_CONVERGED
+    res_ddp = solve(params, cost, traj0, DT, opts, model=qd, ddp=True)
+    assert int(res_ddp.status) == STATUS_CONVERGED
+    np.testing.assert_allclose(
+        float(res_ddp.cost), float(res.cost), rtol=1e-6
+    )
+    res_fddp = solve_fddp(params, cost, traj0, DT, opts, model=qd)
+    assert int(res_fddp.status) == STATUS_CONVERGED
+    np.testing.assert_allclose(
+        float(res_fddp.cost), float(res.cost), rtol=1e-5
+    )
+    # drag changes the answer vs the drag-free model (same everything else)
+    res_free = solve(params.dragless(), cost, traj0, DT, opts)
+    assert abs(float(res_free.cost) - float(res.cost)) > 1e-3
+
+
+def test_kernel_engines_refuse_drag_model():
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
+
+    params, cost, traj0 = _problem()
+    init = jax.tree.map(lambda leaf: leaf[None], traj0)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 5))
+    with pytest.raises(TypeError, match="no lane model"):
+        solve_batch_latency(params, cost, init, DT, opts, interpret=True, model=qd)

@@ -116,12 +116,21 @@ def _rollout_kernel(
             # stage cost of the produced (state, control) pair
             dxd = _state_minus(quat, trans, vel, dq_ref[n], dt_ref[n], dv_ref[n])
             du = u - du_ref[n]
-            stage_c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
-                du, L.matvec(r_l, du)
-            )
             if use_weights:
-                stage_c = w_ref[n] * stage_c
-            cost = cost + stage_c
+                cost = cost + w_ref[n] * (
+                    L.dot_lanes(dxd, L.matvec(q_l, dxd))
+                    + L.dot_lanes(du, L.matvec(r_l, du))
+                )
+            else:
+                # keep the exact pre-weights summation order: f32 cost
+                # accumulation is association-sensitive and re-ordering it
+                # shifts line-search accept boundaries (caught by
+                # tests/test_accuracy_f32.py)
+                cost = (
+                    cost
+                    + L.dot_lanes(dxd, L.matvec(q_l, dxd))
+                    + L.dot_lanes(du, L.matvec(r_l, du))
+                )
 
             oq_ref[n] = quat
             ot_ref[n] = trans

@@ -249,3 +249,29 @@ def test_kernel_engines_parity_per_scenario_weights():
     ref = solve_batch(params, cost_w, init, 0.03, opts, cost_batched=True)
     f = solve_batch_fused(params, cost_w, init, 0.03, opts, interpret=True)
     _assert_same(f, ref)
+
+
+def test_weights_with_control_limits_kernel_parity():
+    """Stage weights compose with control limits: the weighted box-QP stage
+    inside the fused kernels matches vmap(solve_box) lane for lane."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.constrained import solve_box
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    n = 10
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(0.5 + rng.random(n), F64).at[-1].set(15.0)
+    params, cost_w, init = _kernel_problem(w, n=n)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 8))
+    lo, hi = 1.2, 3.6  # binding: hover thrust is ~2.45 N/rotor
+
+    ref = jax.vmap(
+        lambda t: solve_box(params, cost_w, t, 0.03, lo, hi, opts)
+    )(init)
+    f = solve_batch_fused(
+        params, cost_w, init, 0.03, opts, interpret=True, limits=(lo, hi)
+    )
+    _assert_same(f, ref)
+    u = np.asarray(f.trajectory.controls)
+    assert u.min() >= lo - 1e-12 and u.max() <= hi + 1e-12
+    assert (u.max(axis=(1, 2)) >= hi - 1e-9).any()  # the bound actually binds

@@ -109,6 +109,24 @@ def _stage_cost_with_diffs_hp(cost, x, u, x_d, u_d):
     return j, c_x, c_u, c_xx, c_uu
 
 
+def cost_batched_flags(cost: QuadraticTrackingCost):
+    """Pytree of bools matching `cost`: which leaves carry a leading
+    per-scenario batch axis. Every leaf's unbatched core is 2-dim EXCEPT
+    stage_weights ((N,) core) — never classify cost leaves by a bare
+    `ndim == 3`. One definition shared by the vmap axis inference
+    (parallel/batch.py), the sharded paths (parallel/mesh.py), and the
+    compacting two-phase solver (solver/batched.py)."""
+    return QuadraticTrackingCost(
+        Q=cost.Q.ndim == 3,
+        R=cost.R.ndim == 3,
+        desired_states=jax.tree.map(lambda a: a.ndim == 3, cost.desired_states),
+        desired_controls=cost.desired_controls.ndim == 3,
+        stage_weights=(
+            None if cost.stage_weights is None else cost.stage_weights.ndim == 2
+        ),
+    )
+
+
 def gather_stage(cost: QuadraticTrackingCost, i):
     """(x_d, u_d) at stage i (supports traced i via dynamic indexing)."""
     x_d = jax.tree.map(

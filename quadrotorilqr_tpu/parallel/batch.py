@@ -61,23 +61,14 @@ def solve_batch(
     benchmarks/solvers_bench.py for the measured trade-offs).
     """
     # cost leaves may be individually batched (e.g. per-scenario Q/R with a
-    # shared desired trajectory): infer the vmap axis per leaf. Every leaf's
-    # unbatched core is 2-dim except stage_weights ((N,) core).
+    # shared desired trajectory): infer the vmap axis per leaf
+    # (costs/quadratic.cost_batched_flags — stage_weights have an (N,) core,
+    # so a bare ndim==3 check misclassifies them).
     if cost_batched:
-        from ..costs.quadratic import QuadraticTrackingCost
+        from ..costs.quadratic import cost_batched_flags
 
-        cost_axes = QuadraticTrackingCost(
-            Q=0 if cost.Q.ndim == 3 else None,
-            R=0 if cost.R.ndim == 3 else None,
-            desired_states=jax.tree.map(
-                lambda a: 0 if a.ndim == 3 else None, cost.desired_states
-            ),
-            desired_controls=0 if cost.desired_controls.ndim == 3 else None,
-            stage_weights=(
-                None
-                if cost.stage_weights is None
-                else (0 if cost.stage_weights.ndim == 2 else None)
-            ),
+        cost_axes = jax.tree.map(
+            lambda batched: 0 if batched else None, cost_batched_flags(cost)
         )
     else:
         cost_axes = _batch_axes(cost, False)

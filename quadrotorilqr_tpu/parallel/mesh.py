@@ -65,20 +65,10 @@ def replicate(tree, mesh: Mesh):
 
 
 def _cost_batched_flags(cost):
-    """Pytree of bools matching `cost`: which leaves carry a leading
-    scenario axis. Every leaf's unbatched core is 2-dim except
-    stage_weights ((N,) core; costs/quadratic.py)."""
-    from ..costs.quadratic import QuadraticTrackingCost
+    """See costs/quadratic.cost_batched_flags (one shared definition)."""
+    from ..costs.quadratic import cost_batched_flags
 
-    return QuadraticTrackingCost(
-        Q=cost.Q.ndim == 3,
-        R=cost.R.ndim == 3,
-        desired_states=jax.tree.map(lambda a: a.ndim == 3, cost.desired_states),
-        desired_controls=cost.desired_controls.ndim == 3,
-        stage_weights=(
-            None if cost.stage_weights is None else cost.stage_weights.ndim == 2
-        ),
-    )
+    return cost_batched_flags(cost)
 
 
 def _batched_operands(params, cost):

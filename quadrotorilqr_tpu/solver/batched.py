@@ -466,7 +466,13 @@ def solve_batch_refine(
     def g(tree):
         return jax.tree.map(lambda a: a[perm], tree)
 
-    cost_g = jax.tree.map(lambda a: a[perm] if a.ndim == 3 else a, cost)
+    from ..costs.quadratic import cost_batched_flags
+
+    cost_g = jax.tree.map(
+        lambda a, batched: a[perm] if batched else a,
+        cost,
+        cost_batched_flags(cost),
+    )
     params_g = (
         jax.tree.map(lambda a: a[perm], params)
         if jnp.ndim(params.mass_kg) >= 1

@@ -275,3 +275,25 @@ def test_weights_with_control_limits_kernel_parity():
     u = np.asarray(f.trajectory.controls)
     assert u.min() >= lo - 1e-12 and u.max() <= hi + 1e-12
     assert (u.max(axis=(1, 2)) >= hi - 1e-9).any()  # the bound actually binds
+
+
+def test_weights_through_compacted_refine():
+    """Per-scenario stage weights survive the two-phase compaction: the
+    permuted phase-2 cost must carry the permuted weights (a bare ndim==3
+    filter drops them — regression guard)."""
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_refine,
+    )
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    b, n = 128, 10
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(0.5 + rng.random((b, n)), F64)
+    params, cost_w, init = _kernel_problem(w, b=b, n=n)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 8))
+    single = solve_batch_fused(params, cost_w, init, 0.03, opts, interpret=True)
+    two = solve_batch_refine(
+        params, cost_w, init, 0.03, opts, phase1_iters=2, interpret=True
+    )
+    _assert_same(two, single, atol=1e-10)

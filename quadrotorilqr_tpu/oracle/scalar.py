@@ -251,24 +251,28 @@ class OracleModel:
 
 @dataclass
 class OracleCost:
-    """cost.hh semantics."""
+    """cost.hh semantics (+ optional per-stage weights, the
+    costs/quadratic.stage_weights extension: w_i multiplies the FULL stage
+    cost and all its differentials)."""
 
     q: np.ndarray  # (12,12)
     r: np.ndarray  # (4,4)
     desired: list  # list[(time, OracleState, u)]
+    stage_weights: np.ndarray | None = None  # (N,) or None
 
     def __call__(self, x, u, i, with_diffs=False):
         _, x_d, u_d = self.desired[i]
         dx, j_dx, _ = OracleModel.minus(x, x_d, with_jac=True)
         du = u - u_d
-        cost = dx @ self.q @ dx + du @ self.r @ du
+        w = 1.0 if self.stage_weights is None else float(self.stage_weights[i])
+        cost = w * (dx @ self.q @ dx + du @ self.r @ du)
         if not with_diffs:
             return cost
         diffs = {
-            "x": 2 * (dx @ self.q) @ j_dx,
-            "xx": 2 * j_dx.T @ self.q @ j_dx,
-            "u": 2 * du @ self.r,
-            "uu": 2 * self.r,
+            "x": w * 2 * (dx @ self.q) @ j_dx,
+            "xx": w * 2 * j_dx.T @ self.q @ j_dx,
+            "u": w * 2 * du @ self.r,
+            "uu": w * 2 * self.r,
             "xu": np.zeros((12, 4)),
         }
         return cost, diffs

@@ -297,3 +297,49 @@ def test_weights_through_compacted_refine():
         params, cost_w, init, 0.03, opts, phase1_iters=2, interpret=True
     )
     _assert_same(two, single, atol=1e-10)
+
+
+def test_weighted_solve_matches_numpy_oracle():
+    """Independent-implementation check for the weighted path: full XLA
+    solve vs the float64 numpy oracle re-derivation of the reference
+    semantics, both with the same per-stage weights."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_ilqr import traj_to_oracle
+
+    from quadrotorilqr_tpu.oracle import scalar as oracle
+
+    rng = np.random.default_rng(17)
+    n = N
+    w = 0.5 + rng.random(n)
+    w[-1] = 30.0
+    params, cost_w, traj0 = _problem(stage_weights=jnp.asarray(w, F64))
+    res = solve(params, cost_w, traj0, DT, _OPTS)
+    assert int(res.status) == STATUS_CONVERGED
+
+    om = oracle.OracleModel(
+        1.0, np.diag([0.4, 0.5, 0.6]) + 0.05, 0.2, 0.016, 9.81
+    )
+    oc = oracle.OracleCost(
+        np.asarray(cost_w.Q, np.float64),
+        np.asarray(cost_w.R, np.float64),
+        traj_to_oracle(
+            Trajectory(
+                times=traj0.times,
+                states=cost_w.desired_states,
+                controls=cost_w.desired_controls,
+            )
+        ),
+        stage_weights=w,
+    )
+    oi = oracle.OracleILQR(
+        om, oc, dt_s=DT, rtol=1e-10, atol=1e-10, max_iters=60
+    )
+    o_traj, o_cost, o_iters = oi.solve(traj_to_oracle(traj0))
+    o_controls = np.stack([u for (_, _, u) in o_traj])
+    ctrl_err = np.abs(np.asarray(res.trajectory.controls) - o_controls).max()
+    cost_rel = abs(float(res.cost) - o_cost) / abs(o_cost)
+    assert ctrl_err < 1e-6, f"weighted control parity {ctrl_err:.3e}"
+    assert cost_rel < 1e-9, f"weighted cost parity {cost_rel:.3e}"
+    assert int(res.iterations) == o_iters

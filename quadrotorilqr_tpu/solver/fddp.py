@@ -111,7 +111,9 @@ def defects(params, traj: Trajectory, dt_s, model=qm):
     return jnp.concatenate([d, zero], axis=-2)
 
 
-def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False):
+def backward_pass_fddp(
+    params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False, limits=None
+):
     """Gap-transported Riccati recursion + the exact quadratic line-search
     model. Returns (ks, Ks, L1, L2) with dJ(alpha) = alpha L1 + alpha^2 L2.
     Single scenario (vmap for batches).
@@ -122,25 +124,40 @@ def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False
     ~80% of large-attitude scenarios (exact curvature drives Quu
     indefinite, benchmarks/solvers_bench.py) — inside this loop the
     adaptive mu absorbs the indefiniteness, keeping DDP's iteration-count
-    win safely usable."""
+    win safely usable.
+
+    `limits=(lo, hi)` swaps the plain gain solve for the projected-Newton
+    box-QP (solver/constrained.py semantics: clamped rows of K zeroed,
+    general-gain value update) — robust infeasible-start solving under
+    rotor saturation. The quadratic line-search model ignores the clamp
+    (it predicts the FREE-direction change); the Goldstein band absorbs
+    the model error, exactly as it absorbs the gap nonlinearity."""
     with jax.default_matmul_precision("highest"):
         j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
+        box = limits is not None
+        xs = [j_x, j_u, c_x, c_u, c_xx, c_uu, d]
         if ddp:
             from .ddp import stage_curvatures
 
             f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
-            xs = (j_x, j_u, c_x, c_u, c_xx, c_uu, d, f_xx)
-        else:
-            xs = (j_x, j_u, c_x, c_u, c_xx, c_uu, d)
+            xs[4] = c_xx
+            xs.append(f_xx)
+        if box:
+            from .constrained import _boxqp_gains
+
+            lo = jnp.asarray(limits[0], traj.controls.dtype)
+            hi = jnp.asarray(limits[1], traj.controls.dtype)
+            xs.append(traj.controls)
+        xs = tuple(xs)
         m = traj.controls.shape[-1]
         eye_m = jnp.eye(m, dtype=traj.controls.dtype)
 
         def stage(carry, inputs):
             v_x, v_xx = carry
-            if ddp:
-                jx, ju, cx, cu, cxx, cuu, dk, fxx = inputs
-            else:
-                jx, ju, cx, cu, cxx, cuu, dk = inputs
+            inputs = list(inputs)
+            u_now = inputs.pop() if box else None
+            fxx = inputs.pop() if ddp else None
+            jx, ju, cx, cu, cxx, cuu, dk = inputs
             # first-order value transport across the gap (FDDP)
             v_x_eff = v_x + v_xx @ dk
             jxt = jnp.swapaxes(jx, -1, -2)
@@ -153,16 +170,28 @@ def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False
                 q_xx = q_xx + jnp.einsum("i,iab->ab", v_x_eff, fxx)
             q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
             q_xu = jxt @ vxx_ju
-            rhs = jnp.concatenate(
-                [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
-            )
-            sol = -chol_solve_small(q_uu, rhs)
-            k = sol[..., 0]
-            big_k = sol[..., 1:]
-            quu_k = q_uu @ k
-            big_kt = jnp.swapaxes(big_k, -1, -2)
-            v_x_new = q_x - big_kt @ quu_k
-            s = q_xx - big_kt @ q_uu @ big_k  # load-bearing symmetrization
+            if box:
+                q_ux = jnp.swapaxes(q_xu, -1, -2)
+                k, big_k = _boxqp_gains(
+                    q_uu, q_u, q_ux, lo - u_now, hi - u_now
+                )
+                quu_k = q_uu @ k
+                big_kt = jnp.swapaxes(big_k, -1, -2)
+                # general-gain value update (clamped rows of K are zero)
+                v_x_new = q_x + big_kt @ quu_k + big_kt @ q_u + q_xu @ k
+                s = q_xx + q_xu @ big_k + big_kt @ q_ux + big_kt @ q_uu @ big_k
+            else:
+                rhs = jnp.concatenate(
+                    [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+                )
+                sol = -chol_solve_small(q_uu, rhs)
+                k = sol[..., 0]
+                big_k = sol[..., 1:]
+                quu_k = q_uu @ k
+                big_kt = jnp.swapaxes(big_k, -1, -2)
+                v_x_new = q_x - big_kt @ quu_k
+                s = q_xx - big_kt @ q_uu @ big_k
+            # load-bearing symmetrization (see kernels/backward._riccati_stage)
             v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
             return (v_x_new, v_xx_new), (k, big_k)
 
@@ -186,11 +215,12 @@ def backward_pass_fddp(params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False
         return ks, big_ks, jnp.sum(l1s), jnp.sum(l2s)
 
 
-def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm):
+def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm, limits=None):
     """Gap-contracting closed-loop rollout: a step of length alpha closes an
     alpha-fraction of every gap (new defect == (1-alpha) d to first order);
     alpha == 1 with zero gaps is exactly the reference rollout
-    (ilqr.hh:149-172)."""
+    (ilqr.hh:149-172). `limits=(lo, hi)` clamps every produced control
+    (control-limited rollouts, solver/constrained.py semantics)."""
     with jax.default_matmul_precision("highest"):
         x0 = jax.tree.map(lambda leaf: leaf[..., 0, :], traj.states)
         n_axis = traj.controls.ndim - 2
@@ -212,6 +242,8 @@ def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm):
             u = u_old + alpha[..., None] * k + jnp.einsum(
                 "...ij,...j->...i", big_k, dx
             )
+            if limits is not None:
+                u = jnp.clip(u, limits[0], limits[1])
             nxt = model.discrete_dynamics(params, state, u, dt_s)
             nxt = model.add(nxt, -(1.0 - alpha[..., None]) * dk)
             return nxt, (state, u)
@@ -235,6 +267,7 @@ def solve_fddp(
     fddp_options: FDDPOptions = FDDPOptions(),
     model=None,
     ddp: bool = False,
+    limits=None,
 ) -> SolveResult:
     """Robust infeasible-start solve for ONE scenario (vmap for batches).
 
@@ -244,7 +277,10 @@ def solve_fddp(
     `options.populate_debug` is not supported here (debug stays None).
     `ddp=True` adds the full-DDP curvature terms with the adaptive mu
     absorbing the indefiniteness they can introduce (see
-    backward_pass_fddp) — the robust way to run DDP.
+    backward_pass_fddp) — the robust way to run DDP. `limits=(lo, hi)`
+    ((m,)-broadcastable control bounds) runs the box-QP stage + clamped
+    gap rollouts: robust solving under actuator saturation; with
+    non-binding bounds it reduces to the unconstrained solve.
     """
     model = qm if model is None else model
     fo = fddp_options
@@ -260,7 +296,9 @@ def solve_fddp(
 
         def body(carry):
             i, step, _, _, _ = carry
-            t = rollout_gap(params, traj, d, ks, big_ks, step, dt_s, model)
+            t = rollout_gap(
+                params, traj, d, ks, big_ks, step, dt_s, model, limits
+            )
             c = qc.trajectory_cost(cost, t.states, t.controls)
             dj = step * l1 + step * step * l2
             actual = c - current
@@ -291,7 +329,8 @@ def solve_fddp(
         d = defects(params, traj, dt_s, model)
         gap = jnp.max(jnp.abs(d))
         ks, big_ks, l1, l2 = backward_pass_fddp(
-            params, cost, traj, dt_s, d, options.quu_reg + mu, model, ddp
+            params, cost, traj, dt_s, d, options.quu_reg + mu, model, ddp,
+            limits,
         )
         current = new_cost
         t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)

@@ -238,3 +238,51 @@ def test_model_generic_wrench():
     assert int(res.status) == STATUS_CONVERGED
     gap = float(jnp.abs(defects(params, res.trajectory, dt, wm)).max())
     assert gap < 1e-8
+
+
+def test_fddp_control_limits():
+    """FDDP + box constraints: non-binding bounds reproduce the
+    unconstrained robust solve; binding bounds stay feasible on a scenario
+    the reference loop cannot solve at all."""
+    params, cost, traj0, dt = _hard()
+    free = solve_fddp(params, cost, traj0, dt, _OPTS)
+
+    wide = solve_fddp(params, cost, traj0, dt, _OPTS, limits=(-1e6, 1e6))
+    assert int(wide.status) == STATUS_CONVERGED
+    np.testing.assert_allclose(float(wide.cost), float(free.cost), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(wide.trajectory.controls),
+        np.asarray(free.trajectory.controls),
+        atol=1e-5,
+    )
+
+    u_free = np.asarray(free.trajectory.controls)
+    hi = 0.6 * float(u_free.max())  # clearly binding
+    lo = -5.0
+    tight = solve_fddp(params, cost, traj0, dt, _OPTS, limits=(lo, hi))
+    assert int(tight.status) == STATUS_CONVERGED
+    u = np.asarray(tight.trajectory.controls)
+    assert u.max() <= hi + 1e-10 and u.min() >= lo - 1e-10
+    assert (np.abs(u - hi) < 1e-8).any()  # the bound binds
+    gap = float(jnp.abs(defects(params, tight.trajectory, dt)).max())
+    assert gap < 1e-8
+    # saturation costs performance: constrained optimum is worse
+    assert float(tight.cost) > float(free.cost)
+
+
+def test_fddp_limits_match_solve_box_on_benign():
+    """Where the exact reference-loop box solver works, FDDP + limits lands
+    on the same constrained optimum."""
+    from quadrotorilqr_tpu.solver.constrained import solve_box
+
+    params, cost, traj0, dt = _benign()
+    lo, hi = 0.5, 3.1  # binding: hover thrust ~2.45 N/rotor
+    ref = solve_box(params, cost, traj0, dt, lo, hi, _OPTS)
+    assert int(ref.status) == STATUS_CONVERGED
+    res = solve_fddp(params, cost, traj0, dt, _OPTS, limits=(lo, hi))
+    assert int(res.status) == STATUS_CONVERGED
+    np.testing.assert_allclose(float(res.cost), float(ref.cost), rtol=1e-6)
+    du = np.abs(
+        np.asarray(res.trajectory.controls - ref.trajectory.controls)
+    )
+    assert du.max() < 1e-3, du.max()

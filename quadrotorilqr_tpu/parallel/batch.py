@@ -41,6 +41,7 @@ def solve_batch(
     associative: bool = False,
     model=None,
     solver: str = "ilqr",
+    limits=None,
 ) -> SolveResult:
     """vmapped solve over a leading scenario axis.
 
@@ -59,6 +60,11 @@ def solve_batch(
     / "fddp-ddp" (robust infeasible-start loop, solver/fddp.py — the
     recommended settings for aggressive scenario distributions; see
     benchmarks/solvers_bench.py for the measured trade-offs).
+
+    `limits=(lo, hi)` adds control boxes: "ilqr" routes to the exact
+    projected-Newton box solver (solver/constrained.solve_box), the fddp
+    solvers run their clamped box-QP variant; "ddp" with limits is not
+    supported (use "fddp-ddp").
     """
     # cost leaves may be individually batched (e.g. per-scenario Q/R with a
     # shared desired trajectory): infer the vmap axis per leaf
@@ -82,12 +88,27 @@ def solve_batch(
     if solver == "ilqr" or solver == "ddp":
         if associative and solver == "ddp":
             raise ValueError("associative and ddp are mutually exclusive")
+        if limits is not None:
+            if solver == "ddp":
+                raise ValueError(
+                    "limits with ddp is unsupported; use solver='fddp-ddp'"
+                )
+            if associative:
+                raise ValueError("limits and associative are incompatible")
+            from ..solver.constrained import solve_box
 
-        def one(p, c, t):
-            return ilqr_module.solve(
-                p, c, t, dt_s, options, associative=associative,
-                model=model, ddp=(solver == "ddp"),
-            )
+            lo, hi = limits
+
+            def one(p, c, t):
+                return solve_box(p, c, t, dt_s, lo, hi, options, model=model)
+
+        else:
+
+            def one(p, c, t):
+                return ilqr_module.solve(
+                    p, c, t, dt_s, options, associative=associative,
+                    model=model, ddp=(solver == "ddp"),
+                )
 
     elif solver in ("fddp", "fddp-ddp"):
         if associative:
@@ -97,7 +118,7 @@ def solve_batch(
         def one(p, c, t):
             return solve_fddp(
                 p, c, t, dt_s, options, model=model,
-                ddp=(solver == "fddp-ddp"),
+                ddp=(solver == "fddp-ddp"), limits=limits,
             )
 
     else:

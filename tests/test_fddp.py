@@ -286,3 +286,30 @@ def test_fddp_limits_match_solve_box_on_benign():
         np.asarray(res.trajectory.controls - ref.trajectory.controls)
     )
     assert du.max() < 1e-3, du.max()
+
+
+def test_solve_batch_limits_dispatch():
+    """solve_batch(limits=...) routes: ilqr -> solve_box, fddp -> clamped
+    box-QP variant; ddp+limits raises."""
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+    from quadrotorilqr_tpu.solver.constrained import solve_box
+
+    params, cost, traj0, dt = _benign()
+    init = jax.tree.map(lambda leaf: leaf[None], traj0)
+    lo, hi = 0.5, 3.1
+
+    a = solve_batch(params, cost, init, dt, _OPTS, limits=(lo, hi))
+    ref = solve_box(params, cost, traj0, dt, lo, hi, _OPTS)
+    np.testing.assert_allclose(float(a.cost[0]), float(ref.cost), rtol=1e-12)
+
+    b = solve_batch(
+        params, cost, init, dt, _OPTS, solver="fddp", limits=(lo, hi)
+    )
+    assert int(b.status[0]) == STATUS_CONVERGED
+    u = np.asarray(b.trajectory.controls)
+    assert u.max() <= hi + 1e-10 and u.min() >= lo - 1e-10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fddp-ddp"):
+        solve_batch(params, cost, init, dt, _OPTS, solver="ddp", limits=(lo, hi))

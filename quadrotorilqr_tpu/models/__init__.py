@@ -2,10 +2,11 @@
 quadrotor module's function signatures (discrete_dynamics[_jacobians],
 minus[_jacobians], add) plugs in."""
 
-from . import multirotor, quadrotor, quadrotor_drag, se3_wrench
+from . import integrators, multirotor, quadrotor, quadrotor_drag, se3_wrench
 from .multirotor import MultirotorParams
 from .quadrotor import QuadrotorParams, State
 from .quadrotor_drag import DragQuadrotorParams
+from .integrators import substepped
 from .se3_wrench import WrenchParams
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "se3_wrench",
     "multirotor",
     "quadrotor_drag",
+    "integrators",
+    "substepped",
     "QuadrotorParams",
     "WrenchParams",
     "MultirotorParams",

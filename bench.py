@@ -30,6 +30,44 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+
+def _probe_backend(timeout_s=180):
+    """Fail fast when the TPU tunnel is dead. jax.devices() through a downed
+    axon tunnel HANGS FOREVER (no timeout, no error — observed outages of
+    hours), which would turn this bench into a silent hang. Probe backend
+    init in a subprocess with a hard timeout and emit an honest JSON error
+    line instead."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        if proc.returncode == 0:
+            return
+        detail = proc.stderr.decode()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"backend init hung > {timeout_s}s (tunnel down?)"
+    print(
+        json.dumps(
+            {
+                "metric": "batched_se3_ilqr_solves_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "solves/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"device backend unavailable: {detail}",
+            }
+        )
+    )
+    raise SystemExit(2)
+
+
+if __name__ == "__main__" and os.environ.get("QILQR_BENCH_SKIP_PROBE") != "1":
+    _probe_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -85,6 +85,39 @@ def main():
             line += f" | batch-loop: {type(e).__name__} (expected at long N)"
         print(("OK   " if ok else "FAIL ") + line, flush=True)
         failures += 0 if ok else 1
+
+    # weighted-cost pass on the compiled kernels (interpret-mode parity is
+    # pinned in tests/test_stage_weights.py; Mosaic behavior of the weight
+    # operand's BlockSpec/DMA only shows up here). Whole-solve routing +
+    # streamed weight row + batch loop, one moderate shape each.
+    from dataclasses import replace
+
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
+
+    params, cost, trajs = _problem(256, 97)
+    w = jnp.asarray(
+        0.5 + np.random.default_rng(3).random(97), DTYPE
+    ).at[-1].set(20.0)
+    cost_w = replace(cost, stage_weights=w)
+    res_w = solve_batch_latency(params, cost_w, trajs, 0.02, options)
+    ref_w = solve_batch_fused(params, cost_w, trajs, 0.02, options)
+    cw, cr = np.asarray(res_w.cost), np.asarray(ref_w.cost)
+    rel = np.abs(cw - cr) / np.maximum(1e-6, np.abs(cr))
+    ok = np.isfinite(cw).all() and np.isfinite(cr).all() and np.median(rel) < 1e-4
+    sw_traj, sw_cost, _, _ = solve_fused_streamed(
+        params, cost_w, trajs, 0.02, options, chunk=32
+    )
+    cs = np.asarray(sw_cost)
+    rel_s = np.abs(cs - cr) / np.maximum(1e-6, np.abs(cr))
+    ok = ok and np.isfinite(cs).all() and np.median(rel_s) < 1e-4
+    print(
+        ("OK   " if ok else "FAIL ")
+        + f"weighted n=97 b=256: whole-vs-loop relcost={np.median(rel):.2e} "
+        f"streamed-vs-loop relcost={np.median(rel_s):.2e}",
+        flush=True,
+    )
+    failures += 0 if ok else 1
+
     if failures:
         sys.exit(f"{failures} shape(s) failed")
     print("SWEEP OK")

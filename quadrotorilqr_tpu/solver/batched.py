@@ -108,7 +108,11 @@ def solve_batch_fused(
         params_batched = jnp.ndim(params.mass_kg) >= 1
         padded = solve_batch_fused(
             jax.tree.map(pad_lane, params) if params_batched else params,
-            jax.tree.map(lambda a: pad_lane(a) if a.ndim == 3 else a, cost),
+            jax.tree.map(
+                lambda a, batched: pad_lane(a) if batched else a,
+                cost,
+                qc.cost_batched_flags(cost),
+            ),
             jax.tree.map(pad_lane, initial_trajs),
             dt_s,
             options,
@@ -147,14 +151,20 @@ def solve_batch_fused(
     elif continuation:
         # cost leaves may be shared (ndim 2) or carry a leading batch dim
         # (ndim 3, per-scenario weights/targets — config 3)
-        cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+        cost_axes = jax.tree.map(
+            lambda batched: 0 if batched else None,
+            qc.cost_batched_flags(cost),
+        )
         new_cost0 = jax.vmap(
             lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
             in_axes=(cost_axes, 0),
         )(cost, initial_trajs)
     elif max_iters == 0:
         # degenerate budget: the loop never runs; report the true cost
-        cost_axes = jax.tree.map(lambda a: 0 if a.ndim == 3 else None, cost)
+        cost_axes = jax.tree.map(
+            lambda batched: 0 if batched else None,
+            qc.cost_batched_flags(cost),
+        )
         new_cost0 = jax.vmap(
             lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
             in_axes=(cost_axes, 0),
@@ -378,7 +388,11 @@ def solve_batch_latency(
         params_batched = jnp.ndim(params.mass_kg) >= 1
         padded = solve_batch_latency(
             jax.tree.map(pad_lane, params) if params_batched else params,
-            jax.tree.map(lambda a: pad_lane(a) if a.ndim == 3 else a, cost),
+            jax.tree.map(
+                lambda a, batched: pad_lane(a) if batched else a,
+                cost,
+                qc.cost_batched_flags(cost),
+            ),
             jax.tree.map(pad_lane, initial_trajs),
             dt_s,
             options,

@@ -99,16 +99,20 @@ class FDDPOptions:
 def defects(params, traj: Trajectory, dt_s, model=qm):
     """Multiple-shooting gaps d_k = f(x_k, u_k) (-) x_{k+1}, (..., N, 12);
     row N-1 is zero (no successor node)."""
-    xs = traj.states
-    x_next = model.discrete_dynamics(
-        params,
-        jax.tree.map(lambda leaf: leaf[..., :-1, :], xs),
-        traj.controls[..., :-1, :],
-        dt_s,
-    )
-    d = model.minus(x_next, jax.tree.map(lambda leaf: leaf[..., 1:, :], xs))
-    zero = jnp.zeros(d.shape[:-2] + (1, 12), d.dtype)
-    return jnp.concatenate([d, zero], axis=-2)
+    # highest precision like every solver entry point (CLAUDE.md): in f32 on
+    # TPU, bf16 matmul passes here would leave ~1e-3 residual gaps that can
+    # never satisfy gap_tol, and would pollute the v_x + V_xx d transport.
+    with jax.default_matmul_precision("highest"):
+        xs = traj.states
+        x_next = model.discrete_dynamics(
+            params,
+            jax.tree.map(lambda leaf: leaf[..., :-1, :], xs),
+            traj.controls[..., :-1, :],
+            dt_s,
+        )
+        d = model.minus(x_next, jax.tree.map(lambda leaf: leaf[..., 1:, :], xs))
+        zero = jnp.zeros(d.shape[:-2] + (1, 12), d.dtype)
+        return jnp.concatenate([d, zero], axis=-2)
 
 
 def backward_pass_fddp(

@@ -139,8 +139,9 @@ def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
         q_xx = cxx + jxt @ vxx_jx
         q_uu = cuu + jut @ vxx_ju
         # static 0.0 skips the add entirely (reference parity, ilqr.hh:126);
-        # a traced quu_reg (adaptive Levenberg schedule, solver/robust.py)
-        # always adds — jnp.asarray handles both scalar kinds.
+        # a traced quu_reg (e.g. an adaptive Levenberg schedule like
+        # solver/fddp.py's, which has its own stage but shares this
+        # convention) always adds — jnp.asarray handles both scalar kinds.
         if not (isinstance(quu_reg, (int, float)) and quu_reg == 0.0):
             q_uu = q_uu + jnp.asarray(quu_reg, q_uu.dtype) * jnp.eye(
                 q_uu.shape[-1], dtype=q_uu.dtype

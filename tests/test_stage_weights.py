@@ -343,3 +343,39 @@ def test_weighted_solve_matches_numpy_oracle():
     assert ctrl_err < 1e-6, f"weighted control parity {ctrl_err:.3e}"
     assert cost_rel < 1e-9, f"weighted cost parity {cost_rel:.3e}"
     assert int(res.iterations) == o_iters
+
+
+def test_weights_autopad_and_continuation():
+    """Regression (review finding): per-scenario (B,N) weights must survive
+    (a) the 128-lane auto-pad path (B not a multiple of 128) and (b) the
+    continuation branch's initial-cost vmap."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    b, n = 100, 10  # NOT a multiple of 128
+    rng = np.random.default_rng(21)
+    w = jnp.asarray(0.5 + rng.random((b, n)), F64)
+    params, cost_w, init = _kernel_problem(w, b=b, n=n)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 6))
+    res = solve_batch_fused(params, cost_w, init, 0.03, opts, interpret=True)
+    assert res.cost.shape == (b,)
+    # parity against the vmapped XLA path on the unpadded batch
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+
+    ref = solve_batch(params, cost_w, init, 0.03, opts, cost_batched=True)
+    np.testing.assert_allclose(
+        np.asarray(res.cost), np.asarray(ref.cost), rtol=1e-9
+    )
+
+    # continuation: feasible inputs + per-scenario weights through the
+    # initial-cost vmap (previously produced a (B,B) cost and crashed)
+    cont = solve_batch_fused(
+        params, cost_w, res.trajectory, 0.03, opts,
+        interpret=True, continuation=True,
+    )
+    assert cont.cost.shape == (b,)
+    assert np.isfinite(np.asarray(cont.cost)).all()
+    # already-converged lanes cannot get worse
+    assert (
+        np.asarray(cont.cost) <= np.asarray(res.cost) * (1 + 1e-9) + 1e-12
+    ).all()

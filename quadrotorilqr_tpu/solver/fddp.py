@@ -115,6 +115,23 @@ def defects(params, traj: Trajectory, dt_s, model=qm):
         return jnp.concatenate([d, zero], axis=-2)
 
 
+def _stage_derivs(params, cost, traj, dt_s, model, ddp):
+    """Per-trajectory derivative bundle for the FDDP backward pass:
+    (j_x, j_u, c_x, c_u, c_xx, c_uu[, f_xx]). Split out so the adaptive-mu
+    retry loop pays only the O(N m^2) Riccati scan — NOT the Lie-Jacobian
+    quadratization, and (with ddp) NOT the nested-jacfwd curvature tensors,
+    which dominate the per-iteration cost and are unchanged on a rejected
+    trip (same trajectory, different mu only)."""
+    with jax.default_matmul_precision("highest"):
+        j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
+        if ddp:
+            from .ddp import stage_curvatures
+
+            f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
+            return (j_x, j_u, c_x, c_u, c_xx, c_uu, f_xx)
+        return (j_x, j_u, c_x, c_u, c_xx, c_uu)
+
+
 def backward_pass_fddp(
     params, cost, traj, dt_s, d, quu_reg, model=qm, ddp=False, limits=None
 ):
@@ -136,25 +153,34 @@ def backward_pass_fddp(
     rotor saturation. The quadratic line-search model ignores the clamp
     (it predicts the FREE-direction change); the Goldstein band absorbs
     the model error, exactly as it absorbs the gap nonlinearity."""
+    derivs = _stage_derivs(params, cost, traj, dt_s, model, ddp)
+    return _backward_from_derivs(
+        derivs, traj.controls, d, quu_reg, ddp, limits
+    )
+
+
+def _backward_from_derivs(derivs, controls, d, quu_reg, ddp, limits):
+    """The mu-dependent half of the FDDP backward pass (see
+    backward_pass_fddp): Riccati scan + the exact quadratic model, from a
+    precomputed derivative bundle."""
     with jax.default_matmul_precision("highest"):
-        j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
+        if ddp:
+            j_x, j_u, c_x, c_u, c_xx, c_uu, f_xx = derivs
+        else:
+            j_x, j_u, c_x, c_u, c_xx, c_uu = derivs
         box = limits is not None
         xs = [j_x, j_u, c_x, c_u, c_xx, c_uu, d]
         if ddp:
-            from .ddp import stage_curvatures
-
-            f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
-            xs[4] = c_xx
             xs.append(f_xx)
         if box:
             from .constrained import _boxqp_gains
 
-            lo = jnp.asarray(limits[0], traj.controls.dtype)
-            hi = jnp.asarray(limits[1], traj.controls.dtype)
-            xs.append(traj.controls)
+            lo = jnp.asarray(limits[0], controls.dtype)
+            hi = jnp.asarray(limits[1], controls.dtype)
+            xs.append(controls)
         xs = tuple(xs)
-        m = traj.controls.shape[-1]
-        eye_m = jnp.eye(m, dtype=traj.controls.dtype)
+        m = controls.shape[-1]
+        eye_m = jnp.eye(m, dtype=controls.dtype)
 
         def stage(carry, inputs):
             v_x, v_xx = carry
@@ -199,7 +225,7 @@ def backward_pass_fddp(
             v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
             return (v_x_new, v_xx_new), (k, big_k)
 
-        dtype = traj.controls.dtype
+        dtype = controls.dtype
         init = (jnp.zeros((12,), dtype), jnp.zeros((12, 12), dtype))
         _, (ks, big_ks) = jax.lax.scan(stage, init, xs, reverse=True)
 
@@ -329,27 +355,63 @@ def solve_fddp(
         return jnp.logical_and(i < max_iters, jnp.logical_not(done))
 
     def body(carry):
+        """One ACCEPTED update (or a terminal failure / budget exhaustion).
+
+        Derivatives (the Lie-Jacobian quadratization and, with ddp, the
+        nested-jacfwd curvature tensors — the dominant per-iteration cost)
+        depend only on the trajectory, so they are computed ONCE here; the
+        inner loop retries only the mu-dependent Riccati scan + rollouts as
+        the Levenberg schedule ramps. Identical math to retrying the whole
+        body (a rejected trip leaves the trajectory unchanged, so the
+        recomputed derivatives were bit-identical) at a fraction of the
+        cost.
+        """
         i, traj, new_cost, mu, done, status = carry
         d = defects(params, traj, dt_s, model)
         gap = jnp.max(jnp.abs(d))
-        ks, big_ks, l1, l2 = backward_pass_fddp(
-            params, cost, traj, dt_s, d, options.quu_reg + mu, model, ddp,
-            limits,
-        )
+        derivs = _stage_derivs(params, cost, traj, dt_s, model, ddp)
         current = new_cost
-        t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)
 
-        headroom = mu < fo.reg_max
-        retry = jnp.logical_and(jnp.logical_not(accepted), headroom)
-        mu_accept = mu * fo.reg_scale_down
-        mu_accept = jnp.where(mu_accept < fo.reg_min, 0.0, mu_accept)
-        mu_retry = jnp.where(
-            mu == 0.0, fo.reg_init, jnp.minimum(mu * fo.reg_scale_up, fo.reg_max)
+        def retry_cond(rc):
+            trips, _, accepted, terminal, _, _ = rc
+            return jnp.logical_and(
+                trips < max_iters,
+                jnp.logical_and(
+                    jnp.logical_not(accepted), jnp.logical_not(terminal)
+                ),
+            )
+
+        def retry_body(rc):
+            trips, mu_r, _, _, _, _ = rc
+            ks, big_ks, l1, l2 = _backward_from_derivs(
+                derivs, traj.controls, d, options.quu_reg + mu_r, ddp, limits
+            )
+            t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)
+            headroom = mu_r < fo.reg_max
+            terminal = jnp.logical_and(
+                jnp.logical_not(accepted), jnp.logical_not(headroom)
+            )
+            mu_accept = mu_r * fo.reg_scale_down
+            mu_accept = jnp.where(mu_accept < fo.reg_min, 0.0, mu_accept)
+            mu_retry = jnp.where(
+                mu_r == 0.0,
+                fo.reg_init,
+                jnp.minimum(mu_r * fo.reg_scale_up, fo.reg_max),
+            )
+            mu_next = jnp.where(
+                accepted, mu_accept, jnp.where(terminal, mu_r, mu_retry)
+            )
+            return (trips + 1, mu_next, accepted, terminal, t, c)
+
+        trips, mu2, accepted, terminal_fail, t, c = jax.lax.while_loop(
+            retry_cond,
+            retry_body,
+            (i, mu, jnp.zeros((), bool), jnp.zeros((), bool), traj, current),
         )
+
         keep = jnp.logical_not(accepted)
         traj2 = jax.tree.map(lambda cand, cur: jnp.where(keep, cur, cand), t, traj)
         cost2 = jnp.where(keep, current, c)
-        mu2 = jnp.where(accepted, mu_accept, jnp.where(retry, mu_retry, mu))
 
         # converged = cost criterion on an ACCEPTED full-feasibility iterate:
         # the pre-update gap must already be closed (a partial step leaves
@@ -360,16 +422,13 @@ def solve_fddp(
             jnp.logical_and(accepted, feasible),
             is_converged(current, c, options),
         )
-        terminal_fail = jnp.logical_and(
-            jnp.logical_not(accepted), jnp.logical_not(retry)
-        )
         status2 = jnp.where(
             terminal_fail,
             STATUS_LINE_SEARCH_FAILED,
             jnp.where(post_conv, STATUS_CONVERGED, STATUS_MAX_ITERS),
         ).astype(jnp.int32)
         done2 = jnp.logical_or(post_conv, terminal_fail)
-        return (i + 1, traj2, cost2, mu2, done2, status2)
+        return (trips, traj2, cost2, mu2, done2, status2)
 
     init = (
         jnp.zeros((), jnp.int32),

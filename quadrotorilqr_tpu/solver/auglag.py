@@ -47,7 +47,6 @@ import jax.numpy as jnp
 
 from ..costs import quadratic as qc
 from ..models import quadrotor as qm
-from ..ops.linalg import chol_solve_small
 from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
@@ -57,6 +56,7 @@ from .ilqr import (
     forward_sim,
     is_converged,
     quadratize,
+    riccati_gains_update,
 )
 from .options import ILQROptions
 
@@ -170,23 +170,17 @@ def _backward_pass_aug(
             q_xx = cxx + jxt @ (v_xx @ jx)
             q_uu = cuu + jut @ vxx_ju
             q_uu = q_uu + quu_reg * jnp.eye(q_uu.shape[-1], dtype=q_uu.dtype)
+            # the penalty's nonzero cross term (module docstring): the ONLY
+            # difference from the plain stage's Q-expansion
             q_xu = cxu + jxt @ vxx_ju
 
-            rhs = jnp.concatenate(
-                [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+            k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = (
+                riccati_gains_update(q_x, q_u, q_xx, q_uu, q_xu)
             )
-            sol = -chol_solve_small(q_uu, rhs)
-            k = sol[..., 0]
-            big_k = sol[..., 1:]
-
-            quu_k = q_uu @ k
-            big_kt = jnp.swapaxes(big_k, -1, -2)
-            v_x_new = q_x - big_kt @ quu_k
-            s = q_xx - big_kt @ q_uu @ big_k
-            v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
-            qutk = qutk + q_u @ k
-            ktquuk = ktquuk + k @ quu_k
-            return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)
+            return (
+                (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc),
+                (k, big_k),
+            )
 
         dtype = traj.controls.dtype
         init = (

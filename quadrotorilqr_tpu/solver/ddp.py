@@ -50,8 +50,7 @@ import jax.numpy as jnp
 
 from ..costs import quadratic as qc
 from ..models import quadrotor as qm
-from ..ops.linalg import chol_solve_small
-from .ilqr import quadratize
+from .ilqr import apply_quu_reg, quadratize, riccati_gains_update
 
 
 def _stage_curvature(params, q_weight, x, u, x_d, dt_s, model):
@@ -114,29 +113,16 @@ def backward_pass_ddp(params, cost, traj, dt_s, quu_reg=0.0, model=qm):
             # incoming value gradient (f_uu == f_ux == 0 for this model
             # family — see module docstring — so only Q_xx changes).
             q_xx = cxx + jxt @ (v_xx @ jx) + jnp.einsum("i,iab->ab", v_x, fxx)
-            q_uu = cuu + jut @ vxx_ju
-            if not (isinstance(quu_reg, (int, float)) and quu_reg == 0.0):
-                q_uu = q_uu + jnp.asarray(quu_reg, q_uu.dtype) * jnp.eye(
-                    q_uu.shape[-1], dtype=q_uu.dtype
-                )
+            q_uu = apply_quu_reg(cuu + jut @ vxx_ju, quu_reg)
             q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
-            rhs = jnp.concatenate(
-                [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+            k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = (
+                riccati_gains_update(q_x, q_u, q_xx, q_uu, q_xu)
             )
-            sol = -chol_solve_small(q_uu, rhs)
-            k = sol[..., 0]
-            big_k = sol[..., 1:]
-
-            quu_k = q_uu @ k
-            big_kt = jnp.swapaxes(big_k, -1, -2)
-            v_x_new = q_x - big_kt @ quu_k
-            # same load-bearing per-stage symmetrization as the iLQR stage
-            s = q_xx - big_kt @ q_uu @ big_k
-            v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
-            qutk = qutk + q_u @ k
-            ktquuk = ktquuk + k @ quu_k
-            return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)
+            return (
+                (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc),
+                (k, big_k),
+            )
 
         dtype = traj.controls.dtype
         init = (

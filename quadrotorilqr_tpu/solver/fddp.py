@@ -69,7 +69,6 @@ import jax.numpy as jnp
 
 from ..costs import quadratic as qc
 from ..models import quadrotor as qm
-from ..ops.linalg import chol_solve_small
 from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
@@ -78,6 +77,7 @@ from .ilqr import (
     Trajectory,
     is_converged,
     quadratize,
+    riccati_gains_update,
 )
 from .options import ILQROptions
 
@@ -207,22 +207,15 @@ def _backward_from_derivs(derivs, controls, d, quu_reg, ddp, limits):
                 )
                 quu_k = q_uu @ k
                 big_kt = jnp.swapaxes(big_k, -1, -2)
-                # general-gain value update (clamped rows of K are zero)
+                # general-gain value update (clamped rows of K are zero);
+                # same load-bearing symmetrization as riccati_gains_update
                 v_x_new = q_x + big_kt @ quu_k + big_kt @ q_u + q_xu @ k
                 s = q_xx + q_xu @ big_k + big_kt @ q_ux + big_kt @ q_uu @ big_k
+                v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
             else:
-                rhs = jnp.concatenate(
-                    [q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1
+                k, big_k, v_x_new, v_xx_new, _, _ = riccati_gains_update(
+                    q_x, q_u, q_xx, q_uu, q_xu
                 )
-                sol = -chol_solve_small(q_uu, rhs)
-                k = sol[..., 0]
-                big_k = sol[..., 1:]
-                quu_k = q_uu @ k
-                big_kt = jnp.swapaxes(big_k, -1, -2)
-                v_x_new = q_x - big_kt @ quu_k
-                s = q_xx - big_kt @ q_uu @ big_k
-            # load-bearing symmetrization (see kernels/backward._riccati_stage)
-            v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
             return (v_x_new, v_xx_new), (k, big_k)
 
         dtype = controls.dtype

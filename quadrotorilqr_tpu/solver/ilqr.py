@@ -124,6 +124,48 @@ def backward_pass(
         return _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model)
 
 
+def apply_quu_reg(q_uu, quu_reg):
+    """Levenberg damping. Static 0.0 skips the add entirely (reference
+    parity, ilqr.hh:126); a traced quu_reg (e.g. solver/fddp.py's adaptive
+    schedule) always adds — jnp.asarray handles both scalar kinds."""
+    if isinstance(quu_reg, (int, float)) and quu_reg == 0.0:
+        return q_uu
+    return q_uu + jnp.asarray(quu_reg, q_uu.dtype) * jnp.eye(
+        q_uu.shape[-1], dtype=q_uu.dtype
+    )
+
+
+def riccati_gains_update(q_x, q_u, q_xx, q_uu, q_xu):
+    """The ONE XLA-side definition of the unconstrained per-stage tail:
+    gain solve + value update + symmetrization (ilqr.hh:126-140). Shared by
+    every XLA Riccati stage (ilqr, ddp, fddp, auglag — they differ only in
+    how the Q-expansion is assembled); the kernel-side counterpart is
+    kernels/backward._riccati_stage. Batch-polymorphic.
+
+    Returns (k, big_k, v_x', v_xx', qutk_inc, ktquuk_inc).
+
+    One mx(1+12) solve for [k | K] (ilqr.hh:126-128): Quu is symmetric and
+    SPD whenever R is (reference LDLT-factorizes it, no regularization);
+    the unrolled small Cholesky compiles to straight-line code inside scan
+    bodies (ops/linalg.py). The per-stage symmetrization of v_xx is
+    LOAD-BEARING: f32 otherwise amplifies roundoff asymmetry exponentially
+    and NaNs past N~500 (same fix as kernels/backward._riccati_stage); in
+    f64 it changes results at ~1e-16 only."""
+    rhs = jnp.concatenate([q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1)
+    sol = -chol_solve_small(q_uu, rhs)
+    k = sol[..., 0]
+    big_k = sol[..., 1:]
+
+    quu_k = jnp.einsum("...ij,...j->...i", q_uu, k)
+    big_kt = jnp.swapaxes(big_k, -1, -2)
+    v_x_new = q_x - jnp.einsum("...ij,...j->...i", big_kt, quu_k)
+    s = q_xx - big_kt @ q_uu @ big_k
+    v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+    qutk_inc = jnp.einsum("...i,...i->...", q_u, k)
+    ktquuk_inc = jnp.einsum("...i,...i->...", k, quu_k)
+    return k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc
+
+
 def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
     j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
 
@@ -137,37 +179,16 @@ def _backward_pass_hp(params, cost, traj, dt_s, quu_reg, model=qm):
         q_x = cx + jnp.einsum("...ij,...j->...i", jxt, v_x)
         q_u = cu + jnp.einsum("...ij,...j->...i", jut, v_x)
         q_xx = cxx + jxt @ vxx_jx
-        q_uu = cuu + jut @ vxx_ju
-        # static 0.0 skips the add entirely (reference parity, ilqr.hh:126);
-        # a traced quu_reg (e.g. an adaptive Levenberg schedule like
-        # solver/fddp.py's, which has its own stage but shares this
-        # convention) always adds — jnp.asarray handles both scalar kinds.
-        if not (isinstance(quu_reg, (int, float)) and quu_reg == 0.0):
-            q_uu = q_uu + jnp.asarray(quu_reg, q_uu.dtype) * jnp.eye(
-                q_uu.shape[-1], dtype=q_uu.dtype
-            )
+        q_uu = apply_quu_reg(cuu + jut @ vxx_ju, quu_reg)
         q_xu = jxt @ vxx_ju  # C.xu == 0 exactly (cost.hh:57)
 
-        # One 4x(1+12) solve for [k | K] (ilqr.hh:126-128). Quu is symmetric
-        # and SPD whenever R is (reference LDLT-factorizes it, no
-        # regularization); the unrolled 4x4 Cholesky compiles to straight-line
-        # code inside this scan body (ops/linalg.py).
-        rhs = jnp.concatenate([q_u[..., None], jnp.swapaxes(q_xu, -1, -2)], axis=-1)
-        sol = -chol_solve_small(q_uu, rhs)
-        k = sol[..., 0]
-        big_k = sol[..., 1:]
-
-        quu_k = jnp.einsum("...ij,...j->...i", q_uu, k)
-        big_kt = jnp.swapaxes(big_k, -1, -2)
-        v_x_new = q_x - jnp.einsum("...ij,...j->...i", big_kt, quu_k)
-        # symmetrize per stage: f32 otherwise amplifies v_xx's roundoff
-        # asymmetry exponentially and NaNs past N~500 (see the same fix in
-        # kernels/backward._riccati_stage); f64 changes only at ~1e-16
-        s = q_xx - big_kt @ q_uu @ big_k
-        v_xx_new = 0.5 * (s + jnp.swapaxes(s, -1, -2))
-        qutk = qutk + jnp.einsum("...i,...i->...", q_u, k)
-        ktquuk = ktquuk + jnp.einsum("...i,...i->...", k, quu_k)
-        return (v_x_new, v_xx_new, qutk, ktquuk), (k, big_k)
+        k, big_k, v_x_new, v_xx_new, qutk_inc, ktquuk_inc = (
+            riccati_gains_update(q_x, q_u, q_xx, q_uu, q_xu)
+        )
+        return (
+            (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc),
+            (k, big_k),
+        )
 
     batch = traj.controls.shape[:-2]
     dtype = traj.controls.dtype

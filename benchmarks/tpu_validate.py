@@ -118,6 +118,41 @@ def main():
     )
     failures += 0 if ok else 1
 
+    # FDDP whole-solve kernel (kernels/fddp.py) compiled-Mosaic check:
+    # interpret parity is pinned in tests/test_fddp_fused.py; the per-lane
+    # mu row, defect scratch DMA, and the |x|<inf Goldstein guard only get
+    # Mosaic-lowered here. Reference = the vmapped XLA FDDP at the same f32
+    # precision (schedules differ; bound the bulk like the blocks above).
+    import jax
+
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+    from quadrotorilqr_tpu.solver.fddp import solve_fddp
+
+    params, cost, trajs = _problem(128, 50)
+    fddp_opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 12),
+    )
+    res_f = solve_batch_fddp(params, cost, trajs, 0.02, fddp_opts)
+    ref_f = jax.jit(
+        jax.vmap(lambda t: solve_fddp(params, cost, t, 0.02, fddp_opts))
+    )(trajs)
+    cf, cr = np.asarray(res_f.cost), np.asarray(ref_f.cost)
+    stf = np.asarray(res_f.status)
+    rel = np.abs(cf - cr) / np.maximum(1e-6, np.abs(cr))
+    ok = (
+        np.isfinite(cf).all()
+        and (stf == 1).mean() > 0.9
+        and np.median(rel) < 1e-4
+    )
+    print(
+        ("OK   " if ok else "FAIL ")
+        + f"fddp n=50 b=128: conv={(stf == 1).mean():.3f} "
+        f"vs XLA relcost={np.median(rel):.2e}",
+        flush=True,
+    )
+    failures += 0 if ok else 1
+
     if failures:
         sys.exit(f"{failures} shape(s) failed")
     print("SWEEP OK")

@@ -9,5 +9,6 @@ and is why the pure-XLA path is latency-bound).
 
 from . import lanes  # noqa: F401
 from .backward import backward_pass_fused  # noqa: F401
+from .fddp import solve_fddp_fused  # noqa: F401
 from .rollout import rollout_cost_fused  # noqa: F401
 from .stream import solve_fused_streamed  # noqa: F401

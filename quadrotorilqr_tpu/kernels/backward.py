@@ -113,6 +113,21 @@ def _jxt_vec(x, p, t, g, m):
     return _jxt_mat(jnp.expand_dims(x, 1), p, t, g, m)[:, 0, :]
 
 
+def _jx_vec(x, p, t, g, m):
+    """j_x @ x for a vector x (12, B), exploiting the same block sparsity
+    (j_x[0:6,0:6]=P, j_x[0:6,6:12]=T, j_x[6:9,3:6]=G, j_x[6:9,6:9]=I3,
+    j_x[9:12,9:12]=M — see _stage_jx_blocks). Used by the FDDP kernel's
+    forward quadratic-model recursion (kernels/fddp.py)."""
+    return jnp.concatenate(
+        [
+            L.matvec(p, x[0:6]) + L.matvec(t, x[6:12]),
+            L.matvec(g, x[3:6]) + x[6:9],
+            L.matvec(m, x[9:12]),
+        ],
+        axis=0,
+    )
+
+
 def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
     """(dx, c_x, c_xx, du) for one stage (cost.hh:36-61 in lane layout)."""
     qd_inv, td_inv = L.se3_inverse(dq, dt_r)

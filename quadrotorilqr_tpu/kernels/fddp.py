@@ -1,0 +1,676 @@
+"""Whole-solve fused Pallas kernel for the FDDP robust solver.
+
+`solver/fddp.solve_fddp` (multiple-shooting gaps + Goldstein acceptance +
+adaptive Levenberg mu — the configuration that rescues the aggressive
+scenarios where the exact reference loop diverges, see solver/fddp.py's
+module docstring) runs per scenario on the XLA path. This kernel runs the
+COMPLETE FDDP loop for a 128-scenario lane tile in ONE Pallas program —
+robust solving at the same kernel speed as the exact-loop whole-solve
+engine (kernels/solve.py).
+
+Per-lane semantics are the FLATTENED form of solve_fddp's nested loops
+(outer accepted-update loop x inner adaptive-mu retry loop): each kernel
+trip runs defects -> gap-transported backward pass (at this lane's current
+mu) -> exact quadratic line-search model -> Goldstein backtracking with
+gap-contracting rollouts -> per-lane accept/reject + mu schedule. A
+rejected trip leaves the lane's trajectory unchanged and raises its mu, so
+the next trip IS the XLA version's retry (its recomputed defects and
+derivatives are bit-identical); both formulations count every
+backward+line-search execution against `max_iters`. Lane-for-lane f64
+interpret parity with vmap(solve_fddp) is the contract
+(tests/test_fddp_fused.py).
+
+Per-trip structure (all scratch in VMEM, loop bounds static — Mosaic
+cannot lower vector-carry while_loops, same mapping as kernels/solve.py):
+
+  * defects: forward sweep d_k = f(x_k, u_k) (-) x_{k+1} into an (N, 12)
+    per-lane scratch + the per-lane max|d| feasibility gap;
+  * backward pass: the SHARED Riccati stage (backward._riccati_stage) with
+    the FDDP value transport v_x_eff = v_x + V_xx d_k as its incoming
+    gradient and the per-lane quu_reg + mu row as its regularization;
+  * quadratic model: one forward recursion p' = J_x p + J_u w + d,
+    w = k + K p, accumulating dJ(alpha) = alpha L1 + alpha^2 L2 exactly
+    (solver/fddp._backward_from_derivs's fwd scan); J_x products reuse the
+    block-sparse helpers (backward._jx_vec);
+  * line search: per-lane backtracking with GAP-CONTRACTING rollouts
+    (x' = f(x, u) (+) (-(1-alpha) d)) and the Goldstein band
+    (actual <= gf*dJ when dJ <= 0, actual <= gub*dJ when dJ > 0) — no
+    trip-0 forced step (that is an exact-loop special, ilqr.hh:71-73);
+  * close: accepted lanes merge the candidate and decay mu; rejected lanes
+    keep the trajectory and raise mu (terminal LINE_SEARCH_FAILED at
+    reg_max); CONVERGED requires an accepted step whose PRE-update gap is
+    already below gap_tol plus the cost criterion (ilqr.hh:196-205) — a
+    converged lane is always dynamically feasible.
+
+Not in this kernel (route to the XLA path, solver/batched.solve_batch_fddp
+does so automatically): ddp=True (exact curvature needs f_xx tensors),
+control limits (the box-QP stage lives in the per-pass kernels), and
+horizons beyond the VMEM budget (no streamed FDDP variant yet).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+from .backward import (
+    TILE,
+    _jx_vec,
+    _prep_cost,
+    _riccati_stage,
+    _stage_cost_diffs,
+    _stage_jx_blocks,
+    _to_lanes,
+)
+from .rollout import _state_minus
+from .solve import MAX_HORIZON
+
+# rows of the per-lane solver-state scratch tile (kernels/solve.py layout
+# plus the per-lane adaptive Levenberg mu in the spare row)
+_COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC, _MU = range(8)
+_STATE_ROWS = 8  # one f32 sublane tile
+
+
+def max_horizon_for_fddp(u_dim):
+    """VMEM horizon bound: the exact-loop kernel's per-stage rows
+    (kernels/solve.max_horizon_for) plus the 12-row defect scratch."""
+    return (MAX_HORIZON * 112) // (60 + 16 * u_dim)
+
+
+def _fddp_kernel(
+    n_stages,
+    max_iters,
+    ls_max_iters,
+    lane_model,  # model family descriptor (kernels/models.py)
+    use_weights,  # static: per-stage cost weights active (w_ref read)
+    fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
+    gscal_ref,  # SMEM (8,): [goldstein_frac, goldstein_ub, gap_tol,
+    #             reg_init, reg_scale_up, reg_scale_down, reg_min, reg_max]
+    q_ref,  # (N, 4, Bt) initial state quats
+    t_ref,  # (N, 3, Bt)
+    v_ref,  # (N, 6, Bt)
+    u_ref,  # (N, u, Bt)
+    dq_ref,  # desired (broadcast tile or per-lane)
+    dtr_ref,
+    dv_ref,
+    du_ref,
+    qmat_ref,  # (12, 12, Bt) cost Q
+    rmat_ref,  # (u, u, Bt) cost R
+    w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
+    g_ref,  # (1, 1, Bt) params (broadcast or per-lane)
+    minv_ref,  # (1, 1, Bt)
+    ju_ref,  # (12, u, Bt)
+    extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
+    i_ref,  # (3, 3, Bt)
+    iinv_ref,  # (3, 3, Bt)
+    oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
+    ot_ref,
+    ov_ref,
+    ou_ref,
+    ocost_ref,  # out (1, Bt)
+    oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
+    ostat_ref,  # out (1, Bt) f32 STATUS_* codes
+    ks_ref,  # scratch (N, u, Bt)
+    bigks_ref,  # scratch (N, u, 12, Bt)
+    bq_ref,  # scratch (N, 4, Bt): best line-search candidate
+    bt_ref,  # scratch (N, 3, Bt)
+    bv_ref,  # scratch (N, 6, Bt)
+    bu_ref,  # scratch (N, u, Bt)
+    d_ref,  # scratch (N, 12, Bt): multiple-shooting defects
+    st_ref,  # scratch (8, Bt): per-lane solver state rows
+    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+):
+    dt = fscal_ref[0]
+    quu_reg_floor = fscal_ref[1]
+    rtol = fscal_ref[2]
+    atol = fscal_ref[3]
+    ls_step = fscal_ref[4]
+    gf = gscal_ref[0]
+    gub = gscal_ref[1]
+    gap_tol = gscal_ref[2]
+    reg_init = gscal_ref[3]
+    reg_up = gscal_ref[4]
+    reg_down = gscal_ref[5]
+    reg_min = gscal_ref[6]
+    reg_max = gscal_ref[7]
+    q_l = qmat_ref[:]
+    r_l = rmat_ref[:]
+    r2_l = 2.0 * r_l
+    g2 = g_ref[:]  # (1, 1, bt) for the backward/jacobian blocks
+    g1 = g_ref[0]  # (1, bt) for the rollout dynamics
+    m_inv = minv_ref[0]
+    ju = ju_ref[:]
+    ju_t = L.transpose(ju)
+    extra = extra_ref[:]
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    bt = q_l.shape[-1]
+    dtype = q_l.dtype
+    lo = lane_model.ju_lo
+    zeros1 = jnp.zeros((1, bt), dtype)
+    ez = jnp.concatenate(
+        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+    )
+
+    def get(r):
+        return st_ref[r : r + 1]
+
+    def put(r, val):
+        st_ref[r : r + 1] = val
+
+    def conv(cur, new):
+        # division-free reference criterion (ilqr.hh:196-205; solver.is_converged)
+        diff = jnp.abs(cur - new)
+        return jnp.logical_or(diff < rtol * jnp.abs(cur), diff < atol)
+
+    def stage_cost(quat, trans, vel, u, n):
+        # keep the exact summation order of kernels/solve.py (f32 cost
+        # accumulation is association-sensitive, tests/test_accuracy_f32.py)
+        dxd = _state_minus(quat, trans, vel, dq_ref[n], dtr_ref[n], dv_ref[n])
+        duv = u - du_ref[n]
+        c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+            duv, L.matvec(r_l, duv)
+        )
+        return w_ref[n] * c if use_weights else c
+
+    # --- init: live trajectory lives in the output refs ---
+    oq_ref[:] = q_ref[:]
+    ot_ref[:] = t_ref[:]
+    ov_ref[:] = v_ref[:]
+    ou_ref[:] = u_ref[:]
+    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+
+    # FDDP always seeds from the true (possibly infeasible) trajectory cost
+    # (solver/fddp.py cost0) — there is no trip-0 forced step to hide it.
+    def cseed(n, c):
+        return c + stage_cost(oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n], n)
+
+    put(_COST, jax.lax.fori_loop(0, n_stages, cseed, zeros1))
+
+    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+
+    def trip(i, tok):
+        @pl.when(flag_ref[0] < 0.5)
+        def _():
+            # ---- defects + feasibility gap (solver/fddp.defects) ----
+            def dstage(n, gapc):
+                qn, tn, vn = lane_model.dynamics_step(
+                    dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                    oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
+                )
+                dk = _state_minus(
+                    qn, tn, vn, oq_ref[n + 1], ot_ref[n + 1], ov_ref[n + 1]
+                )
+                d_ref[n] = dk
+                return jnp.maximum(
+                    gapc, jnp.max(jnp.abs(dk), axis=0, keepdims=True)
+                )
+
+            gap = jax.lax.fori_loop(0, n_stages - 1, dstage, zeros1)
+            d_ref[n_stages - 1] = jnp.zeros((12, bt), dtype)
+
+            current = get(_COST)
+            done = get(_DONE) > 0.5
+            active = jnp.logical_not(done)
+            mu = get(_MU)
+            quu_reg = quu_reg_floor + mu  # (1, bt): per-lane Levenberg
+
+            # ---- gap-transported backward pass (fddp.backward_pass_fddp) ----
+            def bstage(idx, carry):
+                n = n_stages - 1 - idx
+                v_x, v_xx = carry
+                # first-order value transport across the gap (FDDP): only
+                # the linear terms q_x/q_u see the transported gradient
+                v_x_eff = v_x + L.matvec(v_xx, d_ref[n])
+                k, big_k, v_x2, v_xx2, _, _ = _riccati_stage(
+                    dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
+                    oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
+                    dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
+                    v_x_eff, v_xx,
+                    ju_lo_row=lo,
+                    w=w_ref[n] if use_weights else None,
+                )
+                ks_ref[n] = k
+                bigks_ref[n] = big_k
+                return (v_x2, v_xx2)
+
+            binit = (
+                jnp.zeros((12, bt), dtype),
+                jnp.zeros((12, 12, bt), dtype),
+            )
+            jax.lax.fori_loop(0, n_stages, bstage, binit)
+
+            # ---- exact quadratic line-search model (fddp fwd scan):
+            # dx_k = alpha p_k, du_k = alpha w_k, both exactly linear in
+            # alpha => dJ(alpha) = alpha L1 + alpha^2 L2 ----
+            def qmstage(n, carry):
+                p, l1, l2 = carry
+                blocks = _stage_jx_blocks(
+                    dt, g2, ov_ref[n], oq_ref[n], i_l, iinv_l
+                )
+                _, c_x, c_xx, du = _stage_cost_diffs(
+                    oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
+                    dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n], q_l,
+                )
+                r2w = r2_l
+                if use_weights:
+                    c_x = w_ref[n] * c_x
+                    c_xx = w_ref[n] * c_xx
+                    r2w = w_ref[n] * r2_l
+                c_u = L.matvec(r2w, du)
+                wv = ks_ref[n] + L.matvec(bigks_ref[n], p)
+                l1 = l1 + L.dot_lanes(c_x, p) + L.dot_lanes(c_u, wv)
+                l2 = l2 + 0.5 * (
+                    L.dot_lanes(p, L.matvec(c_xx, p))
+                    + L.dot_lanes(wv, L.matvec(r2w, wv))
+                )
+                p2 = _jx_vec(p, *blocks)
+                p2 = jnp.concatenate(
+                    [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)], axis=0
+                )
+                return (p2 + d_ref[n], l1, l2)
+
+            _, l1, l2 = jax.lax.fori_loop(
+                0, n_stages, qmstage,
+                (jnp.zeros((12, bt), dtype), zeros1, zeros1),
+            )
+
+            # ---- Goldstein line search with gap-contracting rollouts ----
+            put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_BESTC, current)
+            flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            def ls_trip(j, tok2):
+                @pl.when(flag_ref[1] > 0.5)
+                def _():
+                    accepted = get(_ACCEPTED) > 0.5
+                    pending = jnp.logical_and(active, jnp.logical_not(accepted))
+                    alpha = get(_ALPHA)
+
+                    def rstage(n, carry):
+                        quat, trans, vel, c = carry
+                        dx = _state_minus(
+                            quat, trans, vel, oq_ref[n], ot_ref[n], ov_ref[n]
+                        )
+                        u = (
+                            ou_ref[n]
+                            + alpha * ks_ref[n]
+                            + L.matvec(bigks_ref[n], dx)
+                        )
+                        c = c + stage_cost(quat, trans, vel, u, n)
+                        bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
+                        bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
+                        bv_ref[n] = jnp.where(pending, vel, bv_ref[n])
+                        bu_ref[n] = jnp.where(pending, u, bu_ref[n])
+                        qn, tn, vn = lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                            quat, trans, vel, u,
+                        )
+                        # gap contraction: a step of length alpha closes an
+                        # alpha-fraction of every gap (fddp.rollout_gap)
+                        tau = -(1.0 - alpha) * d_ref[n]
+                        qe, te = L.se3_exp(tau[0:6])
+                        qn, tn = L.se3_multiply(qn, tn, qe, te)
+                        vn = vn + tau[6:12]
+                        return (qn, tn, vn, c)
+
+                    rinit = (oq_ref[0], ot_ref[0], ov_ref[0], zeros1)
+                    _, _, _, cand_cost = jax.lax.fori_loop(
+                        0, n_stages, rstage, rinit
+                    )
+
+                    # Goldstein band (solver/fddp.line_search): tolerate the
+                    # legitimate cost INCREASE of closing gaps
+                    dj = alpha * l1 + alpha * alpha * l2
+                    actual = cand_cost - current
+                    ok = jnp.where(dj <= 0, actual <= gf * dj, actual <= gub * dj)
+                    # |x| < inf == isfinite (NaN compares false) — plain
+                    # compare ops only, guaranteed to lower in Mosaic
+                    ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)
+                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+                    accepted2 = jnp.logical_or(
+                        accepted, jnp.logical_and(pending, ok)
+                    )
+                    put(_ACCEPTED, accepted2.astype(dtype))
+                    put(
+                        _ALPHA,
+                        jnp.where(
+                            jnp.logical_or(accepted2, jnp.logical_not(active)),
+                            alpha,
+                            alpha * ls_step,
+                        ),
+                    )
+                    flag_ref[1] = jnp.sum(
+                        jnp.logical_and(
+                            active, jnp.logical_not(accepted2)
+                        ).astype(dtype)
+                    )
+
+                return tok2
+
+            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+
+            # ---- close: merge ACCEPTED lanes only (a rejected trip keeps
+            # the trajectory — the next trip is the adaptive-mu retry) ----
+            accepted = get(_ACCEPTED) > 0.5
+            take = jnp.logical_and(active, accepted)
+
+            def mstage(n, tok3):
+                oq_ref[n] = jnp.where(take, bq_ref[n], oq_ref[n])
+                ot_ref[n] = jnp.where(take, bt_ref[n], ot_ref[n])
+                ov_ref[n] = jnp.where(take, bv_ref[n], ov_ref[n])
+                ou_ref[n] = jnp.where(take, bu_ref[n], ou_ref[n])
+                return tok3
+
+            jax.lax.fori_loop(0, n_stages, mstage, 0)
+
+            best_cost = get(_BESTC)
+            put(_COST, jnp.where(take, best_cost, current))
+
+            # per-lane Levenberg schedule (solver/fddp.py retry_body)
+            headroom = mu < reg_max
+            terminal = jnp.logical_and(
+                active,
+                jnp.logical_and(
+                    jnp.logical_not(accepted), jnp.logical_not(headroom)
+                ),
+            )
+            mu_accept = mu * reg_down
+            mu_accept = jnp.where(mu_accept < reg_min, 0.0, mu_accept)
+            mu_retry = jnp.where(
+                mu == 0.0, reg_init, jnp.minimum(mu * reg_up, reg_max)
+            )
+            mu_next = jnp.where(
+                accepted, mu_accept, jnp.where(headroom, mu_retry, mu)
+            )
+            put(_MU, jnp.where(active, mu_next, mu))
+
+            # CONVERGED requires an accepted step from an already-feasible
+            # iterate (pre-update gap) plus the cost criterion
+            feasible = gap < gap_tol
+            post_conv = jnp.logical_and(
+                jnp.logical_and(take, feasible), conv(current, best_cost)
+            )
+            status = get(_STATUS)
+            status = jnp.where(
+                terminal,
+                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+                jnp.where(post_conv, jnp.asarray(1.0, dtype), status),
+            )
+            put(_STATUS, status)
+            done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
+            put(_DONE, done2.astype(dtype))
+            put(_ITERS, get(_ITERS) + active.astype(dtype))
+            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
+            flag_ref[0] = jnp.where(
+                n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
+
+        return tok
+
+    jax.lax.fori_loop(0, max_iters, trip, 0)
+
+    ocost_ref[:] = get(_COST)
+    oiter_ref[:] = get(_ITERS)
+    ostat_ref[:] = get(_STATUS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "batch",
+        "max_iters",
+        "ls_max_iters",
+        "lane_model",
+        "use_weights",
+        "cost_batched",
+        "params_batched",
+        "interpret",
+    ),
+)
+def _fddp_call(
+    fscal,
+    gscal,
+    states_q,
+    states_t,
+    states_v,
+    controls,
+    des_q,
+    des_t,
+    des_v,
+    des_u,
+    q_mat,
+    r_mat,
+    w,
+    g,
+    m_inv,
+    ju,
+    extra,
+    inertia,
+    inertia_inv,
+    n,
+    batch,
+    max_iters,
+    ls_max_iters,
+    lane_model,
+    use_weights,
+    cost_batched,
+    params_batched,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = states_q.dtype
+    u = controls.shape[1]  # control dimension (lane layout (N, u, B))
+    extra_core = extra.shape[:-1]  # per-model operand core dims
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
+    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    kernel = functools.partial(
+        _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights
+    )
+    oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, u)),
+            cost_block((n, 4)),
+            cost_block((n, 3)),
+            cost_block((n, 6)),
+            cost_block((n, u)),
+            cost_block((12, 12)),
+            cost_block((u, u)),
+            w_block,
+            param_block((1, 1)),
+            param_block((1, 1)),
+            param_block((12, u)),
+            param_block(extra_core),
+            param_block((3, 3)),
+            param_block((3, 3)),
+        ],
+        out_specs=[
+            lane_block((n, 4)),
+            lane_block((n, 3)),
+            lane_block((n, 6)),
+            lane_block((n, u)),
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, batch), dtype),
+            jax.ShapeDtypeStruct((n, 3, batch), dtype),
+            jax.ShapeDtypeStruct((n, 6, batch), dtype),
+            jax.ShapeDtypeStruct((n, u, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, u, TILE), dtype),
+            pltpu.VMEM((n, u, 12, TILE), dtype),
+            pltpu.VMEM((n, 4, TILE), dtype),
+            pltpu.VMEM((n, 3, TILE), dtype),
+            pltpu.VMEM((n, 6, TILE), dtype),
+            pltpu.VMEM((n, u, TILE), dtype),
+            pltpu.VMEM((n, 12, TILE), dtype),
+            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.SMEM((2,), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        fscal,
+        gscal,
+        states_q,
+        states_t,
+        states_v,
+        controls,
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
+        w,
+        g,
+        m_inv,
+        ju,
+        extra,
+        inertia,
+        inertia_inv,
+    )
+    return oq, ot, ov, ou, ocost, oiter, ostat
+
+
+def solve_fddp_fused(
+    params,
+    cost,
+    traj,
+    dt_s,
+    options,
+    fddp_options=None,
+    interpret=False,
+    model=None,
+):
+    """Whole-solve single-kernel FDDP for (B, N, ...) trajectories, B a
+    multiple of 128. Same inputs as solver/fddp.solve_fddp (ddp/limits are
+    NOT supported here — use solver/batched.solve_batch_fddp, which routes
+    them to the XLA path). Returns the batch-engine tuple layout:
+    (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
+    from ..lie.se3 import SE3
+    from ..models.quadrotor import State
+    from ..solver.fddp import FDDPOptions
+    from ..solver.ilqr import Trajectory
+    from .models import lane_model_for
+
+    fo = FDDPOptions() if fddp_options is None else fddp_options
+    lm = lane_model_for(params, model)
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if n > max_horizon_for_fddp(lm.u_dim):
+        raise ValueError(
+            f"horizon {n} exceeds the FDDP kernel's VMEM budget "
+            f"({max_horizon_for_fddp(lm.u_dim)} stages at u={lm.u_dim}); "
+            "use the XLA path (vmap(solver.fddp.solve_fddp))"
+        )
+    dtype = controls.dtype
+    ls = options.line_search_params
+    if int(ls.max_iters) < 1:
+        raise ValueError(
+            "line_search_params.max_iters must be >= 1 on the FDDP kernel"
+        )
+    cc = options.convergence_criteria
+
+    des_q, des_t, des_v, des_u, q_mat, r_mat, w, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=1.0
+    )
+    use_weights = cost.stage_weights is not None
+    g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
+        params, dt_s, dtype
+    )
+    fscal = jnp.asarray(
+        [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
+        dtype,
+    )
+    gscal = jnp.asarray(
+        [
+            fo.goldstein_frac,
+            fo.goldstein_ub,
+            fo.gap_tol,
+            fo.reg_init,
+            fo.reg_scale_up,
+            fo.reg_scale_down,
+            fo.reg_min,
+            fo.reg_max,
+        ],
+        dtype,
+    )
+
+    oq, ot, ov, ou, ocost, oiter, ostat = _fddp_call(
+        fscal,
+        gscal,
+        _to_lanes(traj.states.pose.quat),
+        _to_lanes(traj.states.pose.trans),
+        _to_lanes(traj.states.vel),
+        _to_lanes(controls),
+        des_q,
+        des_t,
+        des_v,
+        des_u,
+        q_mat,
+        r_mat,
+        w,
+        g,
+        m_inv,
+        ju,
+        extra,
+        inertia,
+        inertia_inv,
+        n,
+        batch,
+        int(cc.max_iters),
+        int(ls.max_iters),
+        lm,
+        use_weights,
+        cost_batched,
+        params_batched,
+        interpret,
+    )
+    new_traj = Trajectory(
+        times=traj.times,
+        states=State(
+            pose=SE3(
+                quat=jnp.moveaxis(oq, -1, 0), trans=jnp.moveaxis(ot, -1, 0)
+            ),
+            vel=jnp.moveaxis(ov, -1, 0),
+        ),
+        controls=jnp.moveaxis(ou, -1, 0),
+    )
+    return (
+        new_traj,
+        ocost[0],
+        oiter[0].astype(jnp.int32),
+        ostat[0].astype(jnp.int32),
+    )

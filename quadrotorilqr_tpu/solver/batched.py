@@ -423,6 +423,109 @@ def solve_batch_latency(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "dt_s", "options", "fddp_options", "interpret", "model", "ddp",
+    ),
+)
+def solve_batch_fddp(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    fddp_options=None,
+    interpret: bool = False,
+    model=None,
+    ddp: bool = False,
+    limits=None,
+) -> SolveResult:
+    """Batched robust FDDP solve (solver/fddp.py semantics) at kernel
+    speed: the ENTIRE multiple-shooting loop — defects, gap-transported
+    backward pass with per-lane adaptive Levenberg mu, exact quadratic
+    line-search model, Goldstein backtracking with gap-contracting
+    rollouts — in one Pallas kernel per 128-lane tile (kernels/fddp.py),
+    lane-for-lane identical to vmap(solve_fddp).
+
+    Requests the kernel cannot serve route to the vmapped XLA path with
+    identical semantics: `ddp=True` (exact-curvature tensors), control
+    `limits` (box-QP stage), horizons beyond the kernel's VMEM budget,
+    and zero-probe line searches. `options.populate_debug` is unsupported
+    on both paths (solve_fddp returns debug=None)."""
+    from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
+    from ..kernels.models import lane_model_for
+    from .fddp import FDDPOptions, solve_fddp
+
+    if fddp_options is None:
+        fddp_options = FDDPOptions()
+    batch = initial_trajs.controls.shape[0]
+    horizon = initial_trajs.controls.shape[1]
+    kernel_ok = (
+        not ddp
+        and limits is None
+        and options.line_search_params.max_iters >= 1
+        and horizon <= max_horizon_for_fddp(
+            lane_model_for(params, model).u_dim
+        )
+    )
+    if not kernel_ok:
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        cost_axes = jax.tree.map(
+            lambda batched: 0 if batched else None,
+            qc.cost_batched_flags(cost),
+        )
+        in_axes = (
+            jax.tree.map(lambda _: 0, params) if params_batched else
+            jax.tree.map(lambda _: None, params),
+            cost_axes,
+            jax.tree.map(lambda _: 0, initial_trajs),
+        )
+        return jax.vmap(
+            lambda p, c, t: solve_fddp(
+                p, c, t, dt_s, options, fddp_options, model=model,
+                ddp=ddp, limits=limits,
+            ),
+            in_axes=in_axes,
+        )(params, cost, initial_trajs)
+
+    pad = (-batch) % 128
+    if pad:
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
+            )
+
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        padded = solve_batch_fddp(
+            jax.tree.map(pad_lane, params) if params_batched else params,
+            jax.tree.map(
+                lambda a, batched: pad_lane(a) if batched else a,
+                cost,
+                qc.cost_batched_flags(cost),
+            ),
+            jax.tree.map(pad_lane, initial_trajs),
+            dt_s,
+            options,
+            fddp_options=fddp_options,
+            interpret=interpret,
+            model=model,
+        )
+        return jax.tree.map(lambda a: a[:batch], padded)
+
+    traj, cost_v, iterations, status = solve_fddp_fused(
+        params, cost, initial_trajs, dt_s, options,
+        fddp_options=fddp_options, interpret=interpret, model=model,
+    )
+    return SolveResult(
+        trajectory=traj,
+        cost=cost_v,
+        iterations=iterations,
+        status=status,
+        debug=None,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("dt_s", "options", "phase1_iters", "interpret", "model"),
 )
 def solve_batch_refine(

@@ -1,0 +1,182 @@
+"""Robust-mode throughput: the FDDP whole-solve kernel (kernels/fddp.py)
+on an AGGRESSIVE scenario distribution, vs the exact reference loop on the
+same distribution — quantifying both the robustness gap (the exact loop
+loses a large fraction of hard lanes to its diverging iteration-0 rollout,
+benchmarks/solvers_bench.py) and what the robust mode costs in solves/s.
+
+Protocol matches bench.py's headline (f32, whole-solve kernels, one packed
+host read per timing sample). Run on the real TPU:
+
+    python benchmarks/fddp_bench.py
+
+Env: QILQR_BENCH_BATCH / QILQR_BENCH_HORIZON / QILQR_BENCH_REPEATS /
+QILQR_BENCH_SCALE (attitude/rate severity, default 1.8) /
+QILQR_BENCH_GAP_TOL (f32 feasibility bound, default 1e-5 — see main()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quadrotorilqr_tpu.costs.quadratic import QuadraticTrackingCost  # noqa: E402
+from quadrotorilqr_tpu.lie import se3  # noqa: E402
+from quadrotorilqr_tpu.models.quadrotor import QuadrotorParams, State  # noqa: E402
+from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
+    initial_trajectory_from_state,
+)
+from quadrotorilqr_tpu.solver.batched import (  # noqa: E402
+    solve_batch_fddp,
+    solve_batch_latency,
+)
+from quadrotorilqr_tpu.solver.fddp import FDDPOptions  # noqa: E402
+from quadrotorilqr_tpu.solver.ilqr import Trajectory  # noqa: E402
+from quadrotorilqr_tpu.solver.options import (  # noqa: E402
+    ConvergenceCriteria,
+    ILQROptions,
+    LineSearchParams,
+)
+
+BATCH = int(os.environ.get("QILQR_BENCH_BATCH", 4096))
+HORIZON = int(os.environ.get("QILQR_BENCH_HORIZON", 50))
+REPEATS = int(os.environ.get("QILQR_BENCH_REPEATS", 5))
+SCALE = float(os.environ.get("QILQR_BENCH_SCALE", 1.8))
+# CPU smoke mode (no Mosaic off-TPU): QILQR_BENCH_INTERPRET=1
+INTERPRET = os.environ.get("QILQR_BENCH_INTERPRET", "") == "1"
+ITERS = 40
+DT_S = 0.1  # coarse: the gyroscopic-blowup regime (tests/test_fddp.py)
+DTYPE = jnp.float32
+
+
+def build_problem():
+    # small anisotropic inertia + large random attitude/tumble: the class
+    # where the exact loop's unconditional iteration-0 rollout diverges
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.asarray(np.diag([0.01, 0.012, 0.02]), DTYPE),
+        arm_length_m=0.17,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = State(
+        pose=se3.exp(SCALE * jax.random.normal(k1, (BATCH, 6), DTYPE)),
+        vel=SCALE * jax.random.normal(k2, (BATCH, 6), DTYPE),
+    )
+    hover = jnp.full((HORIZON, 4), 9.81 / 4.0, DTYPE)
+    desired = Trajectory(
+        times=jnp.arange(HORIZON, dtype=DTYPE) * DT_S,
+        states=State(
+            pose=se3.identity((HORIZON,), DTYPE),
+            vel=jnp.zeros((HORIZON, 6), DTYPE),
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.asarray(np.diag([100.0] * 6 + [1.0] * 6), DTYPE),
+        R=1e-3 * jnp.eye(4, dtype=DTYPE),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    return params, cost, initial_trajectory_from_state(x0, desired)
+
+
+def bench_engine(name, fn, params, cost, trajs):
+    @jax.jit
+    def run(p, c, t):
+        result = fn(p, c, t)
+        return jnp.stack(
+            [
+                jnp.sum(jnp.where(result.status == 1, result.cost, 0.0)),
+                jnp.mean((result.status == 1).astype(jnp.float32)),
+                jnp.mean(result.iterations.astype(jnp.float32)),
+            ]
+        )
+
+    t0 = time.perf_counter()
+    compiled = run.lower(params, cost, trajs).compile()
+    compile_s = time.perf_counter() - t0
+
+    def timed():
+        t0 = time.perf_counter()
+        packed = np.asarray(compiled(params, cost, trajs))
+        return time.perf_counter() - t0, tuple(float(v) for v in packed)
+
+    _, out = timed()  # warm-up
+    times = []
+    for _ in range(REPEATS):
+        dt, out = timed()
+        times.append(dt)
+    p50 = float(np.median(times))
+    _, frac_conv, mean_iters = out
+    return {
+        "engine": name,
+        "solves_per_sec": round(BATCH / p50, 1),
+        "converged_per_sec": round(BATCH * frac_conv / p50, 1),
+        "p50_batch_latency_s": round(p50, 4),
+        "frac_converged": round(frac_conv, 4),
+        "mean_iterations": round(mean_iters, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    params, cost, trajs = build_problem()
+    tol = 1e-6
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(tol, tol, ITERS),
+    )
+    # f32 residual gaps floor at ~1e-5 (roundoff on O(1-10) states, measured
+    # p95 8.6e-6): the f64 default gap_tol=1e-8 is UNREACHABLE in f32 and
+    # would hold every lane at full budget. 1e-5 is the f32-certifiable
+    # feasibility bound.
+    gap_tol = float(os.environ.get("QILQR_BENCH_GAP_TOL", 1e-5))
+    fddp_opts = FDDPOptions(gap_tol=gap_tol)
+
+    rows = [
+        bench_engine(
+            "fddp_kernel",
+            lambda p, c, t: solve_batch_fddp(
+                p, c, t, DT_S, options, fddp_options=fddp_opts,
+                interpret=INTERPRET,
+            ),
+            params, cost, trajs,
+        ),
+        bench_engine(
+            "exact_loop_kernel",
+            lambda p, c, t: solve_batch_latency(
+                p, c, t, DT_S, options, interpret=INTERPRET
+            ),
+            params, cost, trajs,
+        ),
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"robust-mode throughput (aggressive scale {SCALE}, "
+                    f"batch {BATCH}, horizon {HORIZON}, dt {DT_S}, "
+                    f"tol {tol}, max {ITERS} iters)"
+                ),
+                "unit": "solves/s/chip",
+                "rows": rows,
+                "device": str(jax.devices()[0].device_kind),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

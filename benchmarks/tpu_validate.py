@@ -126,16 +126,21 @@ def main():
     import jax
 
     from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
-    from quadrotorilqr_tpu.solver.fddp import solve_fddp
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions, solve_fddp
 
     params, cost, trajs = _problem(128, 50)
     fddp_opts = ILQROptions(
         line_search_params=LineSearchParams(0.5, 0.5, 20),
         convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 12),
     )
-    res_f = solve_batch_fddp(params, cost, trajs, 0.02, fddp_opts)
+    # f32 gaps floor at ~1e-5; the f64 default gap_tol is unreachable here
+    # (FDDPOptions docstring)
+    fo = FDDPOptions(gap_tol=1e-5)
+    res_f = solve_batch_fddp(
+        params, cost, trajs, 0.02, fddp_opts, fddp_options=fo
+    )
     ref_f = jax.jit(
-        jax.vmap(lambda t: solve_fddp(params, cost, t, 0.02, fddp_opts))
+        jax.vmap(lambda t: solve_fddp(params, cost, t, 0.02, fddp_opts, fo))
     )(trajs)
     cf, cr = np.asarray(res_f.cost), np.asarray(ref_f.cost)
     stf = np.asarray(res_f.status)

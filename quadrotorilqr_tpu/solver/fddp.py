@@ -84,7 +84,13 @@ from .options import ILQROptions
 
 @dataclass(frozen=True)
 class FDDPOptions:
-    """Robust-solver knobs (static; hashable for jit)."""
+    """Robust-solver knobs (static; hashable for jit).
+
+    The `gap_tol` default targets f64. In FLOAT32 the residual gaps floor
+    at ~1e-5 (dynamics roundoff on O(1-10) states, measured p95 8.6e-6 on
+    the aggressive-hover workload) so 1e-8 is UNREACHABLE — every lane
+    would burn its full iteration budget and report STATUS_MAX_ITERS. Pass
+    gap_tol=1e-5 (or looser) for f32 solves (benchmarks/fddp_bench.py)."""
 
     reg_init: float = 1e-6  # first nonzero mu after a rejection at mu == 0
     reg_scale_up: float = 10.0  # mu multiplier on rejection

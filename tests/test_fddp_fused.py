@@ -197,6 +197,37 @@ def test_fddp_fused_routes_ddp_and_limits_to_xla():
     _assert_lane_parity(got_l, ref_l)
 
 
+def test_fddp_f32_gap_tol_floor():
+    """f32 residual gaps floor at ~1e-5 (FDDPOptions docstring): the f64
+    default gap_tol=1e-8 is unreachable — no lane can ever report
+    CONVERGED — while 1e-5 certifies normally. Pins the documented
+    guidance for the f32 production path (benchmarks/fddp_bench.py)."""
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions
+
+    params, cost, trajs, dt = _mixed_problem(n=10, hard_scale=1.0)
+    f32 = jnp.float32
+    params = jax.tree.map(lambda a: jnp.asarray(a, f32), params)
+    cost = jax.tree.map(lambda a: jnp.asarray(a, f32), cost)
+    trajs = jax.tree.map(lambda a: jnp.asarray(a, f32), trajs)
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 20),
+    )
+    strict = solve_batch_fddp(params, cost, trajs, dt, opts, interpret=True)
+    loose = solve_batch_fddp(
+        params, cost, trajs, dt, opts,
+        fddp_options=FDDPOptions(gap_tol=1e-5), interpret=True,
+    )
+    strict_frac = float(np.mean(np.asarray(strict.status) == STATUS_CONVERGED))
+    conv = np.asarray(loose.status) == STATUS_CONVERGED
+    # near-hover lanes (tiny states => tiny absolute gaps) may still certify
+    # at 1e-8; the bulk cannot — the floor costs most of the batch
+    assert strict_frac < 0.25, strict_frac
+    assert conv.mean() > 0.5, conv.mean()
+    assert conv.mean() > strict_frac + 0.25
+    assert np.isfinite(np.asarray(loose.cost)[conv]).all()
+
+
 def test_fddp_fused_wrench_model():
     """Second model family (SE(3) body wrench, 6 controls) on the FDDP
     kernel — the engine is model-generic via kernels/models.py."""

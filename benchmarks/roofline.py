@@ -135,6 +135,85 @@ def rollout_stage_flops(dtype=jnp.float32) -> int:
     )
 
 
+def fddp_defect_stage_flops(dtype=jnp.float32) -> int:
+    """FLOPs per lane per stage of the FDDP defects sweep (dynamics step +
+    state minus + gap max; kernels/fddp.py dstage)."""
+    from quadrotorilqr_tpu.kernels.rollout import _dynamics_step, _state_minus
+
+    b = 1
+    z = lambda *s: jnp.zeros(s + (b,), dtype)
+
+    def stage(quat, trans, vel, u, nq, nt, nv, g, m_inv, iinv_ma, i_l, iinv_l, ez):
+        q2, t2, v2 = _dynamics_step(
+            0.1, g, m_inv, iinv_ma, i_l, iinv_l, ez, quat, trans, vel, u
+        )
+        d = _state_minus(q2, t2, v2, nq, nt, nv)
+        return d, jnp.max(jnp.abs(d), axis=0, keepdims=True)
+
+    return count_flops(
+        stage,
+        z(4), z(3), z(6), z(4), z(4), z(3), z(6),
+        z(1), z(1), z(3, 4), z(3, 3), z(3, 3), z(3),
+    )
+
+
+def fddp_model_stage_flops(dtype=jnp.float32) -> int:
+    """FLOPs per lane per stage of the FDDP exact quadratic line-search
+    model (kernels/fddp.py qmstage: jacobian blocks + cost diffs + the
+    p/L1/L2 recursion)."""
+    from quadrotorilqr_tpu.kernels import lanes as L
+    from quadrotorilqr_tpu.kernels.backward import (
+        _jx_vec,
+        _stage_cost_diffs,
+        _stage_jx_blocks,
+    )
+
+    b = 1
+    z = lambda *s: jnp.zeros(s + (b,), dtype)
+
+    def stage(quat, trans, vel, u, dq, dtr, dv, du_d, q_l, r2_l, g, ju,
+              i_l, iinv_l, p, k, big_k, d):
+        blocks = _stage_jx_blocks(0.1, g, vel, quat, i_l, iinv_l)
+        _, c_x, c_xx, du = _stage_cost_diffs(
+            quat, trans, vel, u, dq, dtr, dv, du_d, q_l
+        )
+        c_u = L.matvec(r2_l, du)
+        wv = k + L.matvec(big_k, p)
+        l1 = L.dot_lanes(c_x, p) + L.dot_lanes(c_u, wv)
+        l2 = 0.5 * (
+            L.dot_lanes(p, L.matvec(c_xx, p))
+            + L.dot_lanes(wv, L.matvec(r2_l, wv))
+        )
+        p2 = _jx_vec(p, *blocks)
+        p2 = jnp.concatenate([p2[0:8], p2[8:12] + L.matvec(ju[8:12], wv)], axis=0)
+        return p2 + d, l1, l2
+
+    return count_flops(
+        stage,
+        z(4), z(3), z(6), z(4), z(4), z(3), z(6), z(4),
+        z(12, 12), z(4, 4), z(1, 1), z(12, 4), z(3, 3), z(3, 3),
+        z(12), z(4), z(4, 12), z(12),
+    )
+
+
+def fddp_solve_flops(n, batch, trips, rollouts_per_trip=1.0) -> float:
+    """Analytic FLOPs of a batched FDDP kernel solve: per trip the defects
+    sweep + the gap-transported backward (riccati stage + the 12x12 v_xx@d
+    transport matvec, 288 FLOPs) + the quadratic-model sweep +
+    `rollouts_per_trip` gap-contracting rollouts (rollout stage + the ~60
+    FLOP exp/compose contraction ≈ counted via rollout_stage_flops + 288
+    for the se3 exp+multiply at 6-tangent scale)."""
+    transport = 288  # v_xx @ d per stage (12x12 matvec, mul+add)
+    contraction = 300  # -(1-a)d scale + se3_exp(6) + compose + vel add
+    per_stage = (
+        fddp_defect_stage_flops()
+        + backward_stage_flops() + transport
+        + fddp_model_stage_flops()
+        + rollouts_per_trip * (rollout_stage_flops() + contraction)
+    )
+    return float(trips) * batch * n * per_stage
+
+
 def solve_flops(n, batch, trips, rollouts_per_trip=1.0) -> float:
     """Analytic FLOPs of a batched fused solve: every global outer trip runs
     the backward kernel plus `rollouts_per_trip` rollout kernels over the

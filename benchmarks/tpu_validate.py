@@ -158,6 +158,30 @@ def main():
     )
     failures += 0 if ok else 1
 
+    # streamed FDDP (kernels/stream_fddp.py): long horizon past the VMEM
+    # FDDP bound, odd chunk -> boundary-defect DMA machinery under Mosaic.
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+
+    params, cost, trajs = _problem(128, 300)
+    s_traj, s_cost, _, s_stat = solve_fddp_streamed(
+        params, cost, trajs, 0.02, fddp_opts, fddp_options=fo, chunk=64
+    )
+    cs = np.asarray(s_cost)
+    sts = np.asarray(s_stat)
+    ref_s = jax.jit(
+        jax.vmap(lambda t: solve_fddp(params, cost, t, 0.02, fddp_opts, fo))
+    )(trajs)
+    crs = np.asarray(ref_s.cost)
+    rel = np.abs(cs - crs) / np.maximum(1e-6, np.abs(crs))
+    ok = np.isfinite(cs).all() and (sts == 1).mean() > 0.9 and np.median(rel) < 1e-4
+    print(
+        ("OK   " if ok else "FAIL ")
+        + f"fddp-streamed n=300 b=128 chunk=64: conv={(sts == 1).mean():.3f} "
+        f"vs XLA relcost={np.median(rel):.2e}",
+        flush=True,
+    )
+    failures += 0 if ok else 1
+
     if failures:
         sys.exit(f"{failures} shape(s) failed")
     print("SWEEP OK")

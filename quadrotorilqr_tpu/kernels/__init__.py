@@ -12,3 +12,4 @@ from .backward import backward_pass_fused  # noqa: F401
 from .fddp import solve_fddp_fused  # noqa: F401
 from .rollout import rollout_cost_fused  # noqa: F401
 from .stream import solve_fused_streamed  # noqa: F401
+from .stream_fddp import solve_fddp_streamed  # noqa: F401

@@ -1,0 +1,782 @@
+"""Streamed whole-solve FDDP kernel: the ROBUST solver at any horizon.
+
+kernels/fddp.py holds every stage (trajectory, desired, gains, defects,
+candidates) in VMEM, capping it at ~231 stages (u=4). This kernel is its
+HBM-streamed counterpart, exactly as kernels/stream.py is for the exact
+loop (read its module docstring for the streaming rationale — the solve is
+~30x compute-bound, synchronous chunk DMA costs <3%): per-stage data lives
+in HBM and is DMA'd through a fixed VMEM window, so the robust
+multiple-shooting solver runs at kernel speed for horizons limited only by
+HBM.
+
+Semantics are the flattened FDDP loop of kernels/fddp.py (itself
+lane-for-lane equal to vmap(solver/fddp.solve_fddp)); parity with the VMEM
+FDDP kernel where both fit is the contract (tests/test_fddp_fused.py).
+
+Streaming additions on top of kernels/stream.py's design:
+
+  * DEFECTS buffer: a per-tile HBM scratch (N, 16, TILE) that sequential
+    grid steps reuse (like the gains buffer). Recomputed every trip by a
+    forward sweep; d_k needs x_{k+1}, which crosses chunk boundaries, so
+    each chunk computes its interior defects (static width w-1) plus ONE
+    boundary defect from the dynamics-step carry of the previous chunk,
+    stored through a dedicated (1, 16) row window.
+  * the backward, quadratic-model, and rollout sweeps stream a defect
+    window alongside trajectory/desired/gains;
+  * the apply sweep merges ONLY accepted lanes (FDDP keeps a rejected
+    lane's trajectory for the adaptive-mu retry — unlike the exact loop,
+    whose line-search-failed lanes carry the last candidate), re-rolling
+    each lane at its per-lane _ALPHA (frozen at acceptance).
+
+The per-stage math is IMPORTED from kernels/backward.py and
+kernels/rollout.py — one definition shared with every other engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes as L
+from .backward import (
+    TILE,
+    _jx_vec,
+    _prep_cost,
+    _riccati_stage,
+    _stage_cost_diffs,
+    _stage_jx_blocks,
+    _to_lanes,
+)
+from .fddp import _ACCEPTED, _ALPHA, _BESTC, _COST, _DONE, _ITERS, _MU, _STATUS
+from .rollout import _state_minus
+from .stream import (
+    DEFAULT_CHUNK,
+    _pack_stages,
+    des_rows,
+    gain_rows,
+    traj_rows,
+)
+
+_STATE_ROWS = 8
+DEFECT_ROWS = 16  # ceil8(12): packed defect rows (d 0:12 | pad)
+
+
+def _stream_fddp_kernel(
+    n_stages,
+    max_iters,
+    ls_max_iters,
+    chunk,
+    cost_batched,
+    lane_model,  # model family descriptor (kernels/models.py)
+    use_weights,  # static: per-stage cost weights ride the desired stream
+    fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
+    gscal_ref,  # SMEM (8,): [gf, gub, gap_tol, reg_init, up, down, min, max]
+    tin_ref,  # HBM (N, TR, B) packed initial trajectory
+    des_ref,  # HBM (N, DR, Bd) packed desired (Bd = B batched / TILE shared)
+    qmat_ref,  # VMEM (12, 12, Bt) cost Q
+    rmat_ref,  # VMEM (u, u, Bt) cost R
+    g_ref,  # VMEM (1, 1, Bt) params (broadcast or per-lane)
+    minv_ref,
+    ju_ref,  # (12, u, Bt)
+    extra_ref,  # per-model operand
+    i_ref,  # (3, 3, Bt)
+    iinv_ref,  # (3, 3, Bt)
+    live_ref,  # out HBM (N, TR, B): live/final packed trajectory
+    gains_ref,  # out HBM (N, GR, TILE): per-tile gains scratch (reused)
+    defs_ref,  # out HBM (N, 16, TILE): per-tile defects scratch (reused)
+    ocost_ref,  # out VMEM (1, Bt)
+    oiter_ref,  # out VMEM (1, Bt) f32 (cast by the wrapper)
+    ostat_ref,  # out VMEM (1, Bt) f32 STATUS_* codes
+    tbuf,  # scratch VMEM (W, TR, TILE): trajectory window
+    dbuf,  # scratch VMEM (W, DR, TILE): desired window
+    gbuf,  # scratch VMEM (W, GR, TILE): gains window
+    fbuf,  # scratch VMEM (W, 16, TILE): defects window
+    brow,  # scratch VMEM (1, 16, TILE): boundary-defect row
+    st_ref,  # scratch VMEM (8, TILE): per-lane solver state rows
+    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+    sems,  # DMA semaphores (6,)
+):
+    tile = pl.program_id(0)
+    lane0 = tile * TILE
+    dlane0 = lane0 if cost_batched else 0
+
+    dt = fscal_ref[0]
+    quu_reg_floor = fscal_ref[1]
+    rtol = fscal_ref[2]
+    atol = fscal_ref[3]
+    ls_step = fscal_ref[4]
+    gf = gscal_ref[0]
+    gub = gscal_ref[1]
+    gap_tol = gscal_ref[2]
+    reg_init = gscal_ref[3]
+    reg_up = gscal_ref[4]
+    reg_down = gscal_ref[5]
+    reg_min = gscal_ref[6]
+    reg_max = gscal_ref[7]
+    q_l = qmat_ref[:]
+    r_l = rmat_ref[:]
+    r2_l = 2.0 * r_l
+    g2 = g_ref[:]
+    g1 = g_ref[0]
+    m_inv = minv_ref[0]
+    ju = ju_ref[:]
+    ju_t = L.transpose(ju)
+    extra = extra_ref[:]
+    i_l = i_ref[:]
+    iinv_l = iinv_ref[:]
+    u_dim = ju.shape[1]
+    lo = lane_model.ju_lo
+    bt = q_l.shape[-1]
+    dtype = q_l.dtype
+    zeros1 = jnp.zeros((1, bt), dtype)
+    ez = jnp.concatenate(
+        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+    )
+    n_full = n_stages // chunk
+    rem = n_stages % chunk
+
+    def get(r):
+        return st_ref[r : r + 1]
+
+    def put(r, val):
+        st_ref[r : r + 1] = val
+
+    def conv(cur, new):
+        diff = jnp.abs(cur - new)
+        return jnp.logical_or(diff < rtol * jnp.abs(cur), diff < atol)
+
+    # ---- DMA plumbing (sync; kernels/stream.py module docstring) ----------
+    def copy(src, dst, slot):
+        cp = pltpu.make_async_copy(src, dst, sems.at[slot])
+        cp.start()
+        return cp
+
+    def load_stages(s, w, with_gains=False, with_defs=False):
+        cps = [
+            copy(
+                live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
+                tbuf.at[pl.ds(0, w)],
+                0,
+            ),
+            copy(
+                des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)],
+                dbuf.at[pl.ds(0, w)],
+                1,
+            ),
+        ]
+        if with_gains:
+            cps.append(copy(gains_ref.at[pl.ds(s, w)], gbuf.at[pl.ds(0, w)], 2))
+        if with_defs:
+            cps.append(copy(defs_ref.at[pl.ds(s, w)], fbuf.at[pl.ds(0, w)], 4))
+        for cp in cps:
+            cp.wait()
+
+    def store_gains(s, w):
+        copy(gbuf.at[pl.ds(0, w)], gains_ref.at[pl.ds(s, w)], 2).wait()
+
+    def store_traj(s, w):
+        copy(
+            tbuf.at[pl.ds(0, w)],
+            live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
+            3,
+        ).wait()
+
+    def sweep(process, carry0, reverse=False):
+        """Run `process(start, width, carry)` over every horizon chunk
+        (width static: chunk for full chunks, rem for the tail)."""
+        if reverse:
+            carry = process(n_full * chunk, rem, carry0) if rem else carry0
+            return jax.lax.fori_loop(
+                0,
+                n_full,
+                lambda c, cr: process((n_full - 1 - c) * chunk, chunk, cr),
+                carry,
+            )
+        carry = jax.lax.fori_loop(
+            0, n_full, lambda c, cr: process(c * chunk, chunk, cr), carry0
+        )
+        return process(n_full * chunk, rem, carry) if rem else carry
+
+    # ---- packed-row helpers ------------------------------------------------
+    def unpack(row):
+        return row[0:4], row[4:7], row[7:13], row[13 : 13 + u_dim]
+
+    def feedback(grow, dx):
+        return jnp.concatenate(
+            [
+                L.dot_lanes(grow[u_dim + 12 * r : u_dim + 12 * r + 12], dx)
+                for r in range(u_dim)
+            ],
+            axis=0,
+        )
+
+    def stage_weight(drow):
+        return drow[13 + u_dim : 14 + u_dim]  # (1, bt)
+
+    def stage_cost(quat, trans, vel, u, drow):
+        dq, dtr, dv, du = unpack(drow)
+        dxd = _state_minus(quat, trans, vel, dq, dtr, dv)
+        duv = u - du
+        c = L.dot_lanes(dxd, L.matvec(q_l, dxd)) + L.dot_lanes(
+            duv, L.matvec(r_l, duv)
+        )
+        return stage_weight(drow) * c if use_weights else c
+
+    def pack_defect(dk):
+        return jnp.concatenate([dk, jnp.zeros((4, bt), dtype)], axis=0)
+
+    # ---- init: live trajectory := input; seed the TRUE cost ---------------
+    copy(
+        tin_ref.at[:, :, pl.ds(lane0, TILE)],
+        live_ref.at[:, :, pl.ds(lane0, TILE)],
+        0,
+    ).wait()
+    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+
+    def cchunk(s, w, c):
+        load_stages(s, w)
+
+        def cstage(i, cc):
+            quat, trans, vel, u = unpack(tbuf[i])
+            return cc + stage_cost(quat, trans, vel, u, dbuf[i])
+
+        return jax.lax.fori_loop(0, w, cstage, c)
+
+    put(_COST, sweep(cchunk, zeros1))
+
+    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+
+    def trip(i, tok):
+        @pl.when(flag_ref[0] < 0.5)
+        def _():
+            # ---- defects + feasibility gap (solver/fddp.defects) ----------
+            # each chunk: ONE boundary defect (stage s-1, from the previous
+            # chunk's dynamics carry) through brow, then the interior
+            # defects (stages s..s+w-2, static width w-1) through fbuf;
+            # d_{N-1} = 0 is stored after the sweep.
+            def dchunk(s, w, carry):
+                pq, pt, pv, gap = carry
+                load_stages(s, w)
+                row0 = tbuf[0]
+                q0, t0, v0, _ = unpack(row0)
+                db = _state_minus(pq, pt, pv, q0, t0, v0)  # d_{s-1}
+                brow[0] = pack_defect(db)
+
+                @pl.when(s > 0)
+                def _():
+                    copy(brow, defs_ref.at[pl.ds(s - 1, 1)], 5).wait()
+
+                gap = jnp.where(
+                    s > 0,
+                    jnp.maximum(gap, jnp.max(jnp.abs(db), axis=0, keepdims=True)),
+                    gap,
+                )
+
+                def dstage(j, cr):
+                    # interior defect d_{s+j} = f(x_{s+j}, u_{s+j}) (-) x_{s+j+1}
+                    gap2 = cr
+                    quat, trans, vel, u = unpack(tbuf[j])
+                    nq, nt, nv = lane_model.dynamics_step(
+                        dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                        quat, trans, vel, u,
+                    )
+                    q1, t1, v1, _ = unpack(tbuf[j + 1])
+                    dk = _state_minus(nq, nt, nv, q1, t1, v1)
+                    fbuf[j] = pack_defect(dk)
+                    return jnp.maximum(
+                        gap2, jnp.max(jnp.abs(dk), axis=0, keepdims=True)
+                    )
+
+                gap = jax.lax.fori_loop(0, w - 1, dstage, gap) if w > 1 else gap
+                if w > 1:
+                    copy(
+                        fbuf.at[pl.ds(0, w - 1)], defs_ref.at[pl.ds(s, w - 1)], 4
+                    ).wait()
+                # dynamics carry across the chunk boundary: f(x_{s+w-1}, ...)
+                quat, trans, vel, u = unpack(tbuf[w - 1])
+                nq, nt, nv = lane_model.dynamics_step(
+                    dt, g1, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+                )
+                return (nq, nt, nv, gap)
+
+            dinit = (
+                jnp.zeros((4, bt), dtype),
+                jnp.zeros((3, bt), dtype),
+                jnp.zeros((6, bt), dtype),
+                zeros1,
+            )
+            *_, gap = sweep(dchunk, dinit)
+            brow[0] = jnp.zeros((DEFECT_ROWS, bt), dtype)
+            copy(brow, defs_ref.at[pl.ds(n_stages - 1, 1)], 5).wait()
+
+            current = get(_COST)
+            done = get(_DONE) > 0.5
+            active = jnp.logical_not(done)
+            mu = get(_MU)
+            quu_reg = quu_reg_floor + mu  # (1, bt): per-lane Levenberg
+
+            # ---- gap-transported backward sweep (kernels/fddp.py) ---------
+            def bchunk(s, w, carry):
+                load_stages(s, w, with_defs=True)
+
+                def bstage(j, cr):
+                    idx = w - 1 - j
+                    v_x, v_xx = cr
+                    quat, trans, vel, u = unpack(tbuf[idx])
+                    dq, dtr, dv, du = unpack(dbuf[idx])
+                    v_x_eff = v_x + L.matvec(v_xx, fbuf[idx, 0:12])
+                    k, big_k, v_x2, v_xx2, _, _ = _riccati_stage(
+                        dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
+                        quat, trans, vel, u, dq, dtr, dv, du, v_x_eff, v_xx,
+                        ju_lo_row=lo,
+                        w=stage_weight(dbuf[idx]) if use_weights else None,
+                    )
+                    gbuf[idx, 0:u_dim] = k
+                    for r in range(u_dim):
+                        gbuf[idx, u_dim + 12 * r : u_dim + 12 * r + 12] = big_k[r]
+                    return (v_x2, v_xx2)
+
+                carry = jax.lax.fori_loop(0, w, bstage, carry)
+                store_gains(s, w)
+                return carry
+
+            binit = (
+                jnp.zeros((12, bt), dtype),
+                jnp.zeros((12, 12, bt), dtype),
+            )
+            sweep(bchunk, binit, reverse=True)
+
+            # ---- exact quadratic line-search model (forward sweep) --------
+            def qmchunk(s, w, carry):
+                load_stages(s, w, with_gains=True, with_defs=True)
+
+                def qmstage(j, cr):
+                    p, l1, l2 = cr
+                    quat, trans, vel, u = unpack(tbuf[j])
+                    drow = dbuf[j]
+                    dq, dtr, dv, du_d = unpack(drow)
+                    blocks = _stage_jx_blocks(dt, g2, vel, quat, i_l, iinv_l)
+                    _, c_x, c_xx, du = _stage_cost_diffs(
+                        quat, trans, vel, u, dq, dtr, dv, du_d, q_l
+                    )
+                    r2w = r2_l
+                    if use_weights:
+                        wrow = stage_weight(drow)
+                        c_x = wrow * c_x
+                        c_xx = wrow * c_xx
+                        r2w = wrow * r2_l
+                    c_u = L.matvec(r2w, du)
+                    grow = gbuf[j]
+                    wv = grow[0:u_dim] + feedback(grow, p)
+                    l1 = l1 + L.dot_lanes(c_x, p) + L.dot_lanes(c_u, wv)
+                    l2 = l2 + 0.5 * (
+                        L.dot_lanes(p, L.matvec(c_xx, p))
+                        + L.dot_lanes(wv, L.matvec(r2w, wv))
+                    )
+                    p2 = _jx_vec(p, *blocks)
+                    p2 = jnp.concatenate(
+                        [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)], axis=0
+                    )
+                    return (p2 + fbuf[j, 0:12], l1, l2)
+
+                return jax.lax.fori_loop(0, w, qmstage, carry)
+
+            _, l1, l2 = sweep(
+                qmchunk, (jnp.zeros((12, bt), dtype), zeros1, zeros1)
+            )
+
+            # ---- rollout sweep (cost-only probes + the apply sweep) -------
+            def rollout_sweep(alpha, write_mask):
+                def rchunk(s, w, carry):
+                    load_stages(s, w, with_gains=True, with_defs=True)
+
+                    def rstage(j, cr):
+                        quat, trans, vel, c = cr
+                        row = tbuf[j]
+                        oq, ot, ov, ou = unpack(row)
+                        first = (s + j) == 0
+                        quat = jnp.where(first, oq, quat)
+                        trans = jnp.where(first, ot, trans)
+                        vel = jnp.where(first, ov, vel)
+                        dx = _state_minus(quat, trans, vel, oq, ot, ov)
+                        grow = gbuf[j]
+                        u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
+                        c = c + stage_cost(quat, trans, vel, u, dbuf[j])
+                        if write_mask is not None:
+                            tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
+                            tbuf[j, 4:7] = jnp.where(write_mask, trans, ot)
+                            tbuf[j, 7:13] = jnp.where(write_mask, vel, ov)
+                            tbuf[j, 13 : 13 + u_dim] = jnp.where(
+                                write_mask, u, ou
+                            )
+                        qn, tn, vn = lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                            quat, trans, vel, u,
+                        )
+                        # gap contraction (solver/fddp.rollout_gap)
+                        tau = -(1.0 - alpha) * fbuf[j, 0:12]
+                        qe, te = L.se3_exp(tau[0:6])
+                        qn, tn = L.se3_multiply(qn, tn, qe, te)
+                        vn = vn + tau[6:12]
+                        return (qn, tn, vn, c)
+
+                    carry = jax.lax.fori_loop(0, w, rstage, carry)
+                    if write_mask is not None:
+                        store_traj(s, w)
+                    return carry
+
+                rinit = (
+                    jnp.zeros((4, bt), dtype),
+                    jnp.zeros((3, bt), dtype),
+                    jnp.zeros((6, bt), dtype),
+                    zeros1,
+                )
+                return sweep(rchunk, rinit)[3]
+
+            # ---- Goldstein line search: cost-only probes -------------------
+            put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_BESTC, current)
+            flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            def ls_trip(j, tok2):
+                @pl.when(flag_ref[1] > 0.5)
+                def _():
+                    accepted = get(_ACCEPTED) > 0.5
+                    pending = jnp.logical_and(active, jnp.logical_not(accepted))
+                    alpha = get(_ALPHA)
+                    cand_cost = rollout_sweep(alpha, None)
+                    dj = alpha * l1 + alpha * alpha * l2
+                    actual = cand_cost - current
+                    ok = jnp.where(
+                        dj <= 0, actual <= gf * dj, actual <= gub * dj
+                    )
+                    ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)
+                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+                    accepted2 = jnp.logical_or(
+                        accepted, jnp.logical_and(pending, ok)
+                    )
+                    put(_ACCEPTED, accepted2.astype(dtype))
+                    put(
+                        _ALPHA,
+                        jnp.where(
+                            jnp.logical_or(accepted2, jnp.logical_not(active)),
+                            alpha,
+                            alpha * ls_step,
+                        ),
+                    )
+                    flag_ref[1] = jnp.sum(
+                        jnp.logical_and(
+                            active, jnp.logical_not(accepted2)
+                        ).astype(dtype)
+                    )
+
+                return tok2
+
+            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+
+            # ---- apply sweep: merge ACCEPTED lanes at their frozen alpha
+            # (rejected lanes keep the trajectory for the mu retry) ---------
+            accepted = get(_ACCEPTED) > 0.5
+            take = jnp.logical_and(active, accepted)
+
+            @pl.when(jnp.sum(take.astype(dtype)) > 0.5)
+            def _():
+                rollout_sweep(get(_ALPHA), take)
+
+            best_cost = get(_BESTC)
+            put(_COST, jnp.where(take, best_cost, current))
+
+            # per-lane Levenberg schedule (solver/fddp.py retry_body)
+            headroom = mu < reg_max
+            terminal = jnp.logical_and(
+                active,
+                jnp.logical_and(
+                    jnp.logical_not(accepted), jnp.logical_not(headroom)
+                ),
+            )
+            mu_accept = mu * reg_down
+            mu_accept = jnp.where(mu_accept < reg_min, 0.0, mu_accept)
+            mu_retry = jnp.where(
+                mu == 0.0, reg_init, jnp.minimum(mu * reg_up, reg_max)
+            )
+            mu_next = jnp.where(
+                accepted, mu_accept, jnp.where(headroom, mu_retry, mu)
+            )
+            put(_MU, jnp.where(active, mu_next, mu))
+
+            feasible = gap < gap_tol
+            post_conv = jnp.logical_and(
+                jnp.logical_and(take, feasible), conv(current, best_cost)
+            )
+            status = get(_STATUS)
+            status = jnp.where(
+                terminal,
+                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+                jnp.where(post_conv, jnp.asarray(1.0, dtype), status),
+            )
+            put(_STATUS, status)
+            done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
+            put(_DONE, done2.astype(dtype))
+            put(_ITERS, get(_ITERS) + active.astype(dtype))
+            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
+            flag_ref[0] = jnp.where(
+                n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
+
+        return tok
+
+    jax.lax.fori_loop(0, max_iters, trip, 0)
+
+    ocost_ref[:] = get(_COST)
+    oiter_ref[:] = get(_ITERS)
+    ostat_ref[:] = get(_STATUS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "batch",
+        "max_iters",
+        "ls_max_iters",
+        "chunk",
+        "lane_model",
+        "use_weights",
+        "cost_batched",
+        "params_batched",
+        "interpret",
+    ),
+)
+def _stream_fddp_call(
+    fscal,
+    gscal,
+    traj_packed,
+    des_packed,
+    q_mat,
+    r_mat,
+    g,
+    m_inv,
+    ju,
+    extra,
+    inertia,
+    inertia_inv,
+    n,
+    batch,
+    max_iters,
+    ls_max_iters,
+    chunk,
+    lane_model,
+    use_weights,
+    cost_batched,
+    params_batched,
+    interpret,
+):
+    n_tiles = batch // TILE
+    dtype = traj_packed.dtype
+    w = min(chunk, n)
+    u = lane_model.u_dim
+    tr = traj_rows(u)
+    dr = des_rows(u, use_weights)
+    gr = gain_rows(u)
+    extra_core = extra.shape[:-1]
+    lane_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,),
+        lambda i: (0,) * len(shape) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    fixed_block = lambda shape: pl.BlockSpec(
+        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    cost_block = lane_block if cost_batched else fixed_block
+    param_block = lane_block if params_batched else fixed_block
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = functools.partial(
+        _stream_fddp_kernel,
+        n,
+        max_iters,
+        ls_max_iters,
+        w,
+        cost_batched,
+        lane_model,
+        use_weights,
+    )
+    live, _, _, ocost, oiter, ostat = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            hbm,
+            hbm,
+            cost_block((12, 12)),
+            cost_block((u, u)),
+            param_block((1, 1)),
+            param_block((1, 1)),
+            param_block((12, u)),
+            param_block(extra_core),
+            param_block((3, 3)),
+            param_block((3, 3)),
+        ],
+        out_specs=[
+            hbm,
+            hbm,
+            hbm,
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, tr, batch), dtype),
+            jax.ShapeDtypeStruct((n, gr, TILE), dtype),
+            jax.ShapeDtypeStruct((n, DEFECT_ROWS, TILE), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w, tr, TILE), dtype),
+            pltpu.VMEM((w, dr, TILE), dtype),
+            pltpu.VMEM((w, gr, TILE), dtype),
+            pltpu.VMEM((w, DEFECT_ROWS, TILE), dtype),
+            pltpu.VMEM((1, DEFECT_ROWS, TILE), dtype),
+            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.SMEM((2,), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        fscal,
+        gscal,
+        traj_packed,
+        des_packed,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        extra,
+        inertia,
+        inertia_inv,
+    )
+    return live, ocost, oiter, ostat
+
+
+def solve_fddp_streamed(
+    params,
+    cost,
+    traj,
+    dt_s,
+    options,
+    fddp_options=None,
+    interpret=False,
+    chunk=DEFAULT_CHUNK,
+    model=None,
+):
+    """Streamed whole-solve FDDP for (B, N, ...) trajectories, B a multiple
+    of 128, ANY horizon (HBM-bound). Lane-for-lane identical to
+    kernels/fddp.solve_fddp_fused / vmap(solver.fddp.solve_fddp); same
+    tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
+    i32)."""
+    from ..lie.se3 import SE3
+    from ..models.quadrotor import State
+    from ..solver.fddp import FDDPOptions
+    from ..solver.ilqr import Trajectory
+    from .models import lane_model_for
+
+    fo = FDDPOptions() if fddp_options is None else fddp_options
+    lm = lane_model_for(params, model)
+    controls = traj.controls
+    batch, n = controls.shape[0], controls.shape[1]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    dtype = controls.dtype
+    ls = options.line_search_params
+    if int(ls.max_iters) < 1:
+        raise ValueError(
+            "line_search_params.max_iters must be >= 1 on the streamed "
+            "FDDP kernel"
+        )
+    cc = options.convergence_criteria
+
+    des_q, des_t, des_v, des_u, q_mat, r_mat, w_op, cost_batched = _prep_cost(
+        cost, batch, dtype, r_scale=1.0
+    )
+    use_weights = cost.stage_weights is not None
+    g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
+        params, dt_s, dtype
+    )
+    fscal = jnp.asarray(
+        [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
+        dtype,
+    )
+    gscal = jnp.asarray(
+        [
+            fo.goldstein_frac,
+            fo.goldstein_ub,
+            fo.gap_tol,
+            fo.reg_init,
+            fo.reg_scale_up,
+            fo.reg_scale_down,
+            fo.reg_min,
+            fo.reg_max,
+        ],
+        dtype,
+    )
+    traj_packed = _pack_stages(
+        _to_lanes(traj.states.pose.quat),
+        _to_lanes(traj.states.pose.trans),
+        _to_lanes(traj.states.vel),
+        _to_lanes(controls),
+    )
+    des_packed = _pack_stages(
+        des_q, des_t, des_v, des_u, w_op if use_weights else None
+    )
+
+    live, ocost, oiter, ostat = _stream_fddp_call(
+        fscal,
+        gscal,
+        traj_packed,
+        des_packed,
+        q_mat,
+        r_mat,
+        g,
+        m_inv,
+        ju,
+        extra,
+        inertia,
+        inertia_inv,
+        n,
+        batch,
+        int(cc.max_iters),
+        int(ls.max_iters),
+        chunk,
+        lm,
+        use_weights,
+        cost_batched,
+        params_batched,
+        interpret,
+    )
+    unpack = lambda lo_, hi_: jnp.moveaxis(live[:, lo_:hi_, :], -1, 0)
+    new_traj = Trajectory(
+        times=traj.times,
+        states=State(
+            pose=SE3(quat=unpack(0, 4), trans=unpack(4, 7)),
+            vel=unpack(7, 13),
+        ),
+        controls=unpack(13, 13 + lm.u_dim),
+    )
+    return (
+        new_traj,
+        ocost[0],
+        oiter[0].astype(jnp.int32),
+        ostat[0].astype(jnp.int32),
+    )

@@ -59,7 +59,10 @@ def solve_batch(
     semantics, default), "ddp" (full DDP curvature, solver/ddp.py), "fddp"
     / "fddp-ddp" (robust infeasible-start loop, solver/fddp.py — the
     recommended settings for aggressive scenario distributions; see
-    benchmarks/solvers_bench.py for the measured trade-offs).
+    benchmarks/solvers_bench.py for the measured trade-offs). These all
+    run the vmapped XLA solvers; the KERNEL engines are
+    solver/batched.solve_batch_latency (exact loop) and
+    solver/batched.solve_batch_fddp (robust loop).
 
     `limits=(lo, hi)` adds control boxes: "ilqr" routes to the exact
     projected-Newton box solver (solver/constrained.solve_box), the fddp

@@ -446,13 +446,17 @@ def solve_batch_fddp(
     rollouts — in one Pallas kernel per 128-lane tile (kernels/fddp.py),
     lane-for-lane identical to vmap(solve_fddp).
 
-    Requests the kernel cannot serve route to the vmapped XLA path with
+    Horizons beyond the VMEM kernel's budget route to the STREAMED FDDP
+    kernel (kernels/stream_fddp.py — same single-program structure,
+    per-stage data DMA'd through a fixed VMEM window, any horizon).
+    Requests no kernel can serve route to the vmapped XLA path with
     identical semantics: `ddp=True` (exact-curvature tensors), control
-    `limits` (box-QP stage), horizons beyond the kernel's VMEM budget,
-    and zero-probe line searches. `options.populate_debug` is unsupported
-    on both paths (solve_fddp returns debug=None)."""
+    `limits` (box-QP stage), and zero-probe line searches.
+    `options.populate_debug` is unsupported on both paths (solve_fddp
+    returns debug=None)."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
     from ..kernels.models import lane_model_for
+    from ..kernels.stream_fddp import solve_fddp_streamed
     from .fddp import FDDPOptions, solve_fddp
 
     if fddp_options is None:
@@ -463,9 +467,6 @@ def solve_batch_fddp(
         not ddp
         and limits is None
         and options.line_search_params.max_iters >= 1
-        and horizon <= max_horizon_for_fddp(
-            lane_model_for(params, model).u_dim
-        )
     )
     if not kernel_ok:
         params_batched = jnp.ndim(params.mass_kg) >= 1
@@ -511,7 +512,12 @@ def solve_batch_fddp(
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
-    traj, cost_v, iterations, status = solve_fddp_fused(
+    engine = (
+        solve_fddp_streamed
+        if horizon > max_horizon_for_fddp(lane_model_for(params, model).u_dim)
+        else solve_fddp_fused
+    )
+    traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         fddp_options=fddp_options, interpret=interpret, model=model,
     )

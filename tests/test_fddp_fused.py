@@ -228,6 +228,82 @@ def test_fddp_f32_gap_tol_floor():
     assert np.isfinite(np.asarray(loose.cost)[conv]).all()
 
 
+def test_fddp_streamed_matches_vmem_kernel():
+    """Streamed FDDP (kernels/stream_fddp.py, HBM-windowed — any horizon)
+    is lane-for-lane identical to the VMEM FDDP kernel, including uneven
+    tail chunks and the cross-chunk boundary defects."""
+    from quadrotorilqr_tpu.kernels.fddp import solve_fddp_fused
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+
+    params, cost, trajs, dt = _mixed_problem(n=12)
+    rt, rc, ri, rs = solve_fddp_fused(
+        params, cost, trajs, dt, _OPTS, interpret=True
+    )
+    for chunk in (4, 5, 64):  # interior-only, uneven tail, whole-horizon
+        st, sc, si, ss = solve_fddp_streamed(
+            params, cost, trajs, dt, _OPTS, interpret=True, chunk=chunk
+        )
+        np.testing.assert_array_equal(np.asarray(ss), np.asarray(rs))
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(rc), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(st.controls), np.asarray(rt.controls), atol=1e-9
+        )
+
+
+def test_fddp_streamed_weights_and_batched_params():
+    """Stage weights ride the desired stream; per-scenario params are lane
+    tiles — both through the streamed FDDP engine."""
+    from dataclasses import replace
+
+    from quadrotorilqr_tpu.kernels.fddp import solve_fddp_fused
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+
+    params, cost, trajs, dt = _mixed_problem(n=10)
+    batch = trajs.controls.shape[0]
+    w = jnp.ones((10,), F64).at[-1].set(25.0)
+    cost_w = replace(cost, stage_weights=w)
+    rng = np.random.default_rng(5)
+    params_b = qm.QuadrotorParams(
+        mass_kg=jnp.asarray(rng.uniform(0.8, 1.6, size=(batch,)), F64),
+        inertia=jnp.broadcast_to(params.inertia, (batch, 3, 3)),
+        arm_length_m=jnp.broadcast_to(params.arm_length_m, (batch,)),
+        torque_to_thrust_ratio_m=jnp.broadcast_to(
+            params.torque_to_thrust_ratio_m, (batch,)
+        ),
+        g_mpss=jnp.broadcast_to(params.g_mpss, (batch,)),
+    )
+    rt, rc, ri, rs = solve_fddp_fused(
+        params_b, cost_w, trajs, dt, _OPTS, interpret=True
+    )
+    st, sc, si, ss = solve_fddp_streamed(
+        params_b, cost_w, trajs, dt, _OPTS, interpret=True, chunk=4
+    )
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(rc), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(st.controls), np.asarray(rt.controls), atol=1e-9
+    )
+
+
+def test_fddp_long_horizon_routes_to_streamed():
+    """solve_batch_fddp routes horizons beyond the VMEM kernel's budget to
+    the streamed engine with identical per-lane semantics (checked vs the
+    vmapped XLA solver on a reduced budget)."""
+    from quadrotorilqr_tpu.kernels.fddp import max_horizon_for_fddp
+
+    n = max_horizon_for_fddp(4) + 9  # past the VMEM bound, uneven tail
+    params, cost, trajs, dt = _mixed_problem(n=n, dt=0.03, hard_scale=0.8)
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 12),
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 6),
+    )
+    got = solve_batch_fddp(params, cost, trajs, dt, opts, interpret=True)
+    ref = jax.vmap(lambda t: solve_fddp(params, cost, t, dt, opts))(trajs)
+    _assert_lane_parity(got, ref, atol=1e-8)
+
+
 def test_fddp_fused_wrench_model():
     """Second model family (SE(3) body wrench, 6 controls) on the FDDP
     kernel — the engine is model-generic via kernels/models.py."""

@@ -158,6 +158,34 @@ def main():
     )
     failures += 0 if ok else 1
 
+    # control limits on the whole-solve engines (box-QP stage under Mosaic
+    # was previously batch-loop only): whole-solve + streamed vs batch loop.
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency as _lat
+
+    params, cost, trajs = _problem(128, 60)
+    lim = (0.0, 7.0)
+    res_b = _lat(params, cost, trajs, 0.02, options, limits=lim)
+    ref_b = solve_batch_fused(params, cost, trajs, 0.02, options, limits=lim)
+    cb, crb = np.asarray(res_b.cost), np.asarray(ref_b.cost)
+    relb = np.abs(cb - crb) / np.maximum(1e-6, np.abs(crb))
+    st_b, _, _, ss_b = solve_fused_streamed(
+        params, cost, trajs, 0.02, options, chunk=32, limits=lim
+    )
+    ub = np.asarray(st_b.controls)
+    ok = (
+        np.isfinite(cb).all()
+        and np.median(relb) < 1e-4
+        and ub.max() <= 7.0 + 1e-5
+        and ub.min() >= -1e-5
+    )
+    print(
+        ("OK   " if ok else "FAIL ")
+        + f"box n=60 b=128: whole-vs-loop relcost={np.median(relb):.2e} "
+        f"streamed u in [{ub.min():.2f}, {ub.max():.2f}]",
+        flush=True,
+    )
+    failures += 0 if ok else 1
+
     # streamed FDDP (kernels/stream_fddp.py): long horizon past the VMEM
     # FDDP bound, odd chunk -> boundary-defect DMA machinery under Mosaic.
     from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed

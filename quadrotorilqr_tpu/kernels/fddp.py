@@ -42,10 +42,12 @@ cannot lower vector-carry while_loops, same mapping as kernels/solve.py):
     already below gap_tol plus the cost criterion (ilqr.hh:196-205) — a
     converged lane is always dynamically feasible.
 
-Not in this kernel (route to the XLA path, solver/batched.solve_batch_fddp
-does so automatically): ddp=True (exact curvature needs f_xx tensors),
-control limits (the box-QP stage lives in the per-pass kernels), and
-horizons beyond the VMEM budget (no streamed FDDP variant yet).
+`limits=(lo, hi)` swaps the stage gain solve for the projected-Newton
+box-QP and clamps every rollout control (solve_fddp(limits=...)
+semantics — robust solving under rotor saturation at kernel speed).
+Not in this kernel: ddp=True (exact curvature needs f_xx tensors — routed
+to the XLA path by solver/batched.solve_batch_fddp); horizons beyond the
+VMEM budget route to the streamed variant (kernels/stream_fddp.py).
 """
 
 from __future__ import annotations
@@ -88,6 +90,7 @@ def _fddp_kernel(
     ls_max_iters,
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights active (w_ref read)
+    use_box,  # static: control limits active (lo/hi refs read)
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
     gscal_ref,  # SMEM (8,): [goldstein_frac, goldstein_ub, gap_tol,
     #             reg_init, reg_scale_up, reg_scale_down, reg_min, reg_max]
@@ -108,6 +111,8 @@ def _fddp_kernel(
     extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
     ot_ref,
     ov_ref,
@@ -149,6 +154,7 @@ def _fddp_kernel(
     extra = extra_ref[:]
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
+    box = (lo_ref[:], hi_ref[:]) if use_box else None
     bt = q_l.shape[-1]
     dtype = q_l.dtype
     lo = lane_model.ju_lo
@@ -233,6 +239,7 @@ def _fddp_kernel(
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
                     v_x_eff, v_xx,
                     ju_lo_row=lo,
+                    box=box,
                     w=w_ref[n] if use_weights else None,
                 )
                 ks_ref[n] = k
@@ -303,6 +310,8 @@ def _fddp_kernel(
                             + alpha * ks_ref[n]
                             + L.matvec(bigks_ref[n], dx)
                         )
+                        if use_box:
+                            u = jnp.clip(u, lo_ref[:], hi_ref[:])
                         c = c + stage_cost(quat, trans, vel, u, n)
                         bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
                         bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
@@ -430,6 +439,7 @@ def _fddp_kernel(
         "ls_max_iters",
         "lane_model",
         "use_weights",
+        "use_box",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -455,12 +465,15 @@ def _fddp_call(
     extra,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     n,
     batch,
     max_iters,
     ls_max_iters,
     lane_model,
     use_weights,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -478,8 +491,10 @@ def _fddp_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     kernel = functools.partial(
-        _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights
+        _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights,
+        use_box,
     )
     oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -504,6 +519,8 @@ def _fddp_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -558,6 +575,8 @@ def _fddp_call(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return oq, ot, ov, ou, ocost, oiter, ostat
 
@@ -571,11 +590,14 @@ def solve_fddp_fused(
     fddp_options=None,
     interpret=False,
     model=None,
+    limits=None,
 ):
     """Whole-solve single-kernel FDDP for (B, N, ...) trajectories, B a
-    multiple of 128. Same inputs as solver/fddp.solve_fddp (ddp/limits are
+    multiple of 128. Same inputs as solver/fddp.solve_fddp (`ddp=True` is
     NOT supported here — use solver/batched.solve_batch_fddp, which routes
-    them to the XLA path). Returns the batch-engine tuple layout:
+    it to the XLA path). `limits=(lo, hi)` runs the box-QP stage + clamped
+    gap rollouts (solve_fddp(limits=...) semantics). Returns the
+    batch-engine tuple layout:
     (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
@@ -610,6 +632,9 @@ def solve_fddp_fused(
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    from .backward import _prep_limits
+
+    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
         dtype,
@@ -648,12 +673,15 @@ def solve_fddp_fused(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
         n,
         batch,
         int(cc.max_iters),
         int(ls.max_iters),
         lm,
         use_weights,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

@@ -160,6 +160,7 @@ def _solve_kernel(
     continuation,
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights active (w_ref read)
+    use_box,  # static: control limits active (lo/hi refs read)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     q_ref,  # (N, 4, Bt) initial state quats
     t_ref,  # (N, 3, Bt)
@@ -178,6 +179,8 @@ def _solve_kernel(
     extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
     ot_ref,
     ov_ref,
@@ -211,6 +214,7 @@ def _solve_kernel(
     extra = extra_ref[:]
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
+    box = (lo_ref[:], hi_ref[:]) if use_box else None
     bt = q_l.shape[-1]
     dtype = q_l.dtype
     zeros1 = jnp.zeros((1, bt), dtype)
@@ -267,6 +271,7 @@ def _solve_kernel(
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
                     v_x, v_xx,
                     ju_lo_row=lane_model.ju_lo,
+                    box=box,
                     w=w_ref[n] if use_weights else None,
                 )
                 ks_ref[n] = k
@@ -308,6 +313,8 @@ def _solve_kernel(
                             + alpha * ks_ref[n]
                             + L.matvec(bigks_ref[n], dx)
                         )
+                        if use_box:
+                            u = jnp.clip(u, lo_ref[:], hi_ref[:])
                         c = c + stage_cost(quat, trans, vel, u, n)
                         bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
                         bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
@@ -370,6 +377,7 @@ def _solve_kernel(
         "continuation",
         "lane_model",
         "use_weights",
+        "use_box",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -394,6 +402,8 @@ def _solve_call(
     extra,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     n,
     batch,
     max_iters,
@@ -401,6 +411,7 @@ def _solve_call(
     continuation,
     lane_model,
     use_weights,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -418,9 +429,10 @@ def _solve_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     kernel = functools.partial(
         _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
-        use_weights,
+        use_weights, use_box,
     )
     oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -444,6 +456,8 @@ def _solve_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -496,6 +510,8 @@ def _solve_call(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return oq, ot, ov, ou, ocost, oiter, ostat
 
@@ -509,6 +525,7 @@ def solve_fused_whole(
     interpret=False,
     continuation=False,
     model=None,
+    limits=None,
 ):
     """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
     multiple of 128. Latency-optimized: use solver/batched.py for huge
@@ -516,7 +533,10 @@ def solve_fused_whole(
     solves. `model` selects the model family (kernels/models.py
     lane_model_for; default inferred from the params type). Returns the
     same tuple layout as the batch loop:
-    (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
+    (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32).
+    `limits=(lo, hi)` (scalars or (u,) arrays shared across the batch)
+    switches the stage gain solve to the projected-Newton box-QP and clamps
+    every rollout control (solver/constrained.py semantics)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
@@ -555,6 +575,9 @@ def solve_fused_whole(
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    from .backward import _prep_limits
+
+    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [
             dt_s,
@@ -588,6 +611,8 @@ def solve_fused_whole(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
         n,
         batch,
         int(cc.max_iters),
@@ -595,6 +620,7 @@ def solve_fused_whole(
         continuation,
         lm,
         use_weights,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

@@ -117,6 +117,7 @@ def _stream_kernel(
     cost_batched,
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights ride the desired stream
+    use_box,  # static: control limits active (lo/hi refs read)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory (TR = traj_rows(u))
     des_ref,  # HBM (N, TR, Bd) packed desired (Bd = B batched / TILE shared)
@@ -128,6 +129,8 @@ def _stream_kernel(
     extra_ref,  # per-model operand (quadrotor: (3, u, Bt) I^-1 @ moment_arms)
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     live_ref,  # out HBM (N, TR, B): live/final packed trajectory
     gains_ref,  # out HBM (N, GR, TILE): per-tile gains scratch (reused)
     ocost_ref,  # out VMEM (1, Bt)
@@ -162,6 +165,7 @@ def _stream_kernel(
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     u_dim = ju.shape[1]  # control dimension (static)
+    box = (lo_ref[:], hi_ref[:]) if use_box else None
     bt = q_l.shape[-1]
     dtype = q_l.dtype
     zeros1 = jnp.zeros((1, bt), dtype)
@@ -302,6 +306,7 @@ def _stream_kernel(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
                         quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
                         ju_lo_row=lane_model.ju_lo,
+                        box=box,
                         w=stage_weight(drow) if use_weights else None,
                     )
                     gbuf[idx, 0:u_dim] = k
@@ -345,6 +350,8 @@ def _stream_kernel(
                         dx = _state_minus(quat, trans, vel, oq, ot, ov)
                         grow = gbuf[j]
                         u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
+                        if use_box:
+                            u = jnp.clip(u, lo_ref[:], hi_ref[:])
                         c = c + stage_cost(quat, trans, vel, u, dbuf[j])
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
@@ -430,6 +437,7 @@ def _stream_kernel(
         "chunk",
         "lane_model",
         "use_weights",
+        "use_box",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -447,6 +455,8 @@ def _stream_call(
     extra,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     n,
     batch,
     max_iters,
@@ -455,6 +465,7 @@ def _stream_call(
     chunk,
     lane_model,
     use_weights,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -478,6 +489,7 @@ def _stream_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     kernel = functools.partial(
         _stream_kernel,
         n,
@@ -488,6 +500,7 @@ def _stream_call(
         cost_batched,
         lane_model,
         use_weights,
+        use_box,
     )
     live, _, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -504,6 +517,8 @@ def _stream_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             hbm,
@@ -544,6 +559,8 @@ def _stream_call(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return live, ocost, oiter, ostat
 
@@ -574,13 +591,16 @@ def solve_fused_streamed(
     continuation=False,
     chunk=DEFAULT_CHUNK,
     model=None,
+    limits=None,
 ):
     """Streamed whole-solve iLQR for (B, N, ...) trajectories, B a multiple
     of 128, any horizon (HBM-bound rather than VMEM-bound). Lane-for-lane
     identical to solve_fused_whole / solve_batch_fused; `model` selects the
     model family (kernels/models.py lane_model_for); returns the same
     tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
-    i32)."""
+    i32). `limits=(lo, hi)` (scalars or (u,) arrays shared across the
+    batch) switches the stage gain solve to the projected-Newton box-QP and
+    clamps every rollout control (solver/constrained.py semantics)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
@@ -610,6 +630,9 @@ def solve_fused_streamed(
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    from .backward import _prep_limits
+
+    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [
             dt_s,
@@ -645,6 +668,8 @@ def solve_fused_streamed(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
         n,
         batch,
         int(cc.max_iters),
@@ -653,6 +678,7 @@ def solve_fused_streamed(
         chunk,
         lm,
         use_weights,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

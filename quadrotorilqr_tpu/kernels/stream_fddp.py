@@ -73,6 +73,7 @@ def _stream_fddp_kernel(
     cost_batched,
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights ride the desired stream
+    use_box,  # static: control limits active (lo/hi refs read)
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
     gscal_ref,  # SMEM (8,): [gf, gub, gap_tol, reg_init, up, down, min, max]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory
@@ -85,6 +86,8 @@ def _stream_fddp_kernel(
     extra_ref,  # per-model operand
     i_ref,  # (3, 3, Bt)
     iinv_ref,  # (3, 3, Bt)
+    lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
+    hi_ref,  # (u, Bt) upper bounds
     live_ref,  # out HBM (N, TR, B): live/final packed trajectory
     gains_ref,  # out HBM (N, GR, TILE): per-tile gains scratch (reused)
     defs_ref,  # out HBM (N, 16, TILE): per-tile defects scratch (reused)
@@ -129,6 +132,7 @@ def _stream_fddp_kernel(
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     u_dim = ju.shape[1]
+    box = (lo_ref[:], hi_ref[:]) if use_box else None
     lo = lane_model.ju_lo
     bt = q_l.shape[-1]
     dtype = q_l.dtype
@@ -333,6 +337,7 @@ def _stream_fddp_kernel(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
                         quat, trans, vel, u, dq, dtr, dv, du, v_x_eff, v_xx,
                         ju_lo_row=lo,
+                        box=box,
                         w=stage_weight(dbuf[idx]) if use_weights else None,
                     )
                     gbuf[idx, 0:u_dim] = k
@@ -405,6 +410,8 @@ def _stream_fddp_kernel(
                         dx = _state_minus(quat, trans, vel, oq, ot, ov)
                         grow = gbuf[j]
                         u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
+                        if use_box:
+                            u = jnp.clip(u, lo_ref[:], hi_ref[:])
                         c = c + stage_cost(quat, trans, vel, u, dbuf[j])
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
@@ -547,6 +554,7 @@ def _stream_fddp_kernel(
         "chunk",
         "lane_model",
         "use_weights",
+        "use_box",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -565,6 +573,8 @@ def _stream_fddp_call(
     extra,
     inertia,
     inertia_inv,
+    lo,
+    hi,
     n,
     batch,
     max_iters,
@@ -572,6 +582,7 @@ def _stream_fddp_call(
     chunk,
     lane_model,
     use_weights,
+    use_box,
     cost_batched,
     params_batched,
     interpret,
@@ -595,6 +606,7 @@ def _stream_fddp_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     kernel = functools.partial(
         _stream_fddp_kernel,
         n,
@@ -604,6 +616,7 @@ def _stream_fddp_call(
         cost_batched,
         lane_model,
         use_weights,
+        use_box,
     )
     live, _, _, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -621,6 +634,8 @@ def _stream_fddp_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
+            fixed_block(bound_core),
+            fixed_block(bound_core),
         ],
         out_specs=[
             hbm,
@@ -666,6 +681,8 @@ def _stream_fddp_call(
         extra,
         inertia,
         inertia_inv,
+        lo,
+        hi,
     )
     return live, ocost, oiter, ostat
 
@@ -680,10 +697,12 @@ def solve_fddp_streamed(
     interpret=False,
     chunk=DEFAULT_CHUNK,
     model=None,
+    limits=None,
 ):
     """Streamed whole-solve FDDP for (B, N, ...) trajectories, B a multiple
     of 128, ANY horizon (HBM-bound). Lane-for-lane identical to
-    kernels/fddp.solve_fddp_fused / vmap(solver.fddp.solve_fddp); same
+    kernels/fddp.solve_fddp_fused / vmap(solver.fddp.solve_fddp);
+    `limits=(lo, hi)` runs the box-QP stage + clamped gap rollouts; same
     tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
     i32)."""
     from ..lie.se3 import SE3
@@ -714,6 +733,9 @@ def solve_fddp_streamed(
     g, m_inv, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
+    from .backward import _prep_limits
+
+    lo_b, hi_b, use_box = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
         dtype,
@@ -754,6 +776,8 @@ def solve_fddp_streamed(
         extra,
         inertia,
         inertia_inv,
+        lo_b,
+        hi_b,
         n,
         batch,
         int(cc.max_iters),
@@ -761,6 +785,7 @@ def solve_fddp_streamed(
         chunk,
         lm,
         use_weights,
+        use_box,
         cost_batched,
         params_batched,
         interpret,

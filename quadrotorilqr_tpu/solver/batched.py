@@ -365,13 +365,7 @@ def solve_batch_latency(
     from ..kernels.solve import max_horizon_for, solve_fused_whole
     from ..kernels.stream import solve_fused_streamed
 
-    if (
-        options.populate_debug
-        or options.line_search_params.max_iters < 1
-        or limits is not None
-    ):
-        # control limits run on the batch-level kernel loop (the box-QP
-        # stage + clamped rollouts live in the per-pass kernels)
+    if options.populate_debug or options.line_search_params.max_iters < 1:
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
@@ -399,6 +393,7 @@ def solve_batch_latency(
             interpret=interpret,
             continuation=continuation,
             model=model,
+            limits=limits,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -411,6 +406,7 @@ def solve_batch_latency(
     traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         interpret=interpret, continuation=continuation, model=model,
+        limits=limits,
     )
     return SolveResult(
         trajectory=traj,
@@ -449,9 +445,10 @@ def solve_batch_fddp(
     Horizons beyond the VMEM kernel's budget route to the STREAMED FDDP
     kernel (kernels/stream_fddp.py — same single-program structure,
     per-stage data DMA'd through a fixed VMEM window, any horizon).
-    Requests no kernel can serve route to the vmapped XLA path with
-    identical semantics: `ddp=True` (exact-curvature tensors), control
-    `limits` (box-QP stage), and zero-probe line searches.
+    `limits=(lo, hi)` runs the box-QP stage + clamped gap rollouts inside
+    the kernels. Requests no kernel can serve route to the vmapped XLA
+    path with identical semantics: `ddp=True` (exact-curvature tensors)
+    and zero-probe line searches.
     `options.populate_debug` is unsupported on both paths (solve_fddp
     returns debug=None)."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
@@ -464,9 +461,7 @@ def solve_batch_fddp(
     batch = initial_trajs.controls.shape[0]
     horizon = initial_trajs.controls.shape[1]
     kernel_ok = (
-        not ddp
-        and limits is None
-        and options.line_search_params.max_iters >= 1
+        not ddp and options.line_search_params.max_iters >= 1
     )
     if not kernel_ok:
         params_batched = jnp.ndim(params.mass_kg) >= 1
@@ -509,6 +504,7 @@ def solve_batch_fddp(
             fddp_options=fddp_options,
             interpret=interpret,
             model=model,
+            limits=limits,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -520,6 +516,7 @@ def solve_batch_fddp(
     traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         fddp_options=fddp_options, interpret=interpret, model=model,
+        limits=limits,
     )
     return SolveResult(
         trajectory=traj,

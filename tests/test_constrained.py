@@ -215,3 +215,24 @@ def test_box_on_fused_kernel_path():
     np.testing.assert_allclose(
         np.asarray(lat.cost), np.asarray(f.cost), rtol=1e-12
     )
+    np.testing.assert_allclose(
+        np.asarray(lat.trajectory.controls),
+        np.asarray(f.trajectory.controls),
+        atol=1e-10,
+    )
+    assert (np.asarray(lat.status) == np.asarray(f.status)).all()
+
+    # streamed whole-solve engine with limits (kernels/stream.py use_box)
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+
+    st, sc, _, ss = solve_fused_streamed(
+        params, cost, init_b, DT, _OPTIONS, interpret=True, chunk=5,
+        limits=(lo, hi),
+    )
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(f.cost), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(st.controls),
+        np.asarray(f.trajectory.controls),
+        atol=1e-10,
+    )
+    assert (np.asarray(ss) == np.asarray(f.status)).all()

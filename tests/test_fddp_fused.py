@@ -177,9 +177,9 @@ def test_fddp_fused_padding():
     )
 
 
-def test_fddp_fused_routes_ddp_and_limits_to_xla():
-    """ddp=True and control limits fall back to the vmapped XLA solver with
-    identical results (the kernel serves neither)."""
+def test_fddp_fused_routes_ddp_to_xla():
+    """ddp=True falls back to the vmapped XLA solver with identical
+    results (the kernel has no exact-curvature tensors)."""
     params, cost, trajs, dt = _mixed_problem(n=8)
     small = jax.tree.map(lambda a: a[:4], trajs)
 
@@ -189,12 +189,35 @@ def test_fddp_fused_routes_ddp_and_limits_to_xla():
     got = solve_batch_fddp(params, cost, small, dt, _OPTS, ddp=True)
     _assert_lane_parity(got, ref)
 
+
+def test_fddp_fused_control_limits():
+    """Control limits on the FDDP kernels (box-QP stage + clamped gap
+    rollouts): lane-for-lane parity with vmap(solve_fddp(limits=...)) on
+    both the VMEM and streamed engines, with the bounds actually binding."""
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+
+    params, cost, trajs, dt = _mixed_problem(n=10, hard_scale=1.2)
     lim = (0.0, 6.0)
-    ref_l = jax.vmap(
+    ref = jax.vmap(
         lambda t: solve_fddp(params, cost, t, dt, _OPTS, limits=lim)
-    )(small)
-    got_l = solve_batch_fddp(params, cost, small, dt, _OPTS, limits=lim)
-    _assert_lane_parity(got_l, ref_l)
+    )(trajs)
+    got = solve_batch_fddp(
+        params, cost, trajs, dt, _OPTS, interpret=True, limits=lim
+    )
+    _assert_lane_parity(got, ref)
+    u = np.asarray(got.trajectory.controls)
+    assert u.max() <= 6.0 + 1e-12 and u.min() >= -1e-12
+    assert (u >= 6.0 - 1e-9).sum() > 0, "bounds must actually bind"
+
+    st, sc, si, ss = solve_fddp_streamed(
+        params, cost, trajs, dt, _OPTS, interpret=True, chunk=4, limits=lim
+    )
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(got.status))
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(got.iterations))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(got.cost), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(st.controls), np.asarray(got.trajectory.controls), atol=1e-9
+    )
 
 
 def test_fddp_f32_gap_tol_floor():

@@ -81,7 +81,7 @@ def mpc_warm_start(desired_full: Trajectory, x0: State, horizon: int) -> Traject
 def _mpc_step_impl(
     params, q_weight, r_weight, desired_full, x, warm, k,
     horizon, dt_s, options, interpret, latency_kernel=False,
-    stage_weights=None,
+    stage_weights=None, limits=None, solver="ilqr", fddp_options=None,
 ):
     """One receding-horizon step (shared by the scanned loop and the
     host-driven single-step path): window targets, warm-started solve,
@@ -89,7 +89,14 @@ def _mpc_step_impl(
     solve as ONE whole-solve Pallas program (kernels/solve.py) — fewer
     launches per step for small fleets. `stage_weights` ((horizon,)) weights
     the window's stage costs — the standard MPC terminal-emphasis pattern
-    (w = [1..1, w_T]); runs at kernel speed (costs/quadratic.py)."""
+    (w = [1..1, w_T]); runs at kernel speed (costs/quadratic.py).
+    `limits=(lo, hi)` enforces rotor saturation exactly (box-QP stage +
+    clamped rollouts inside the kernels); APPLIED controls then respect the
+    box by construction. `solver="fddp"` swaps in the robust
+    multiple-shooting kernel (solver/batched.solve_batch_fddp) — for
+    aggressive disturbance recovery where the exact loop's trip-0 rollout
+    can diverge; `fddp_options` tunes it (f32 runs need gap_tol~1e-5,
+    solver/fddp.FDDPOptions)."""
     win = _window(desired_full, k, horizon, axis=0)
     cost_k = QuadraticTrackingCost(
         Q=q_weight,
@@ -103,10 +110,19 @@ def _mpc_step_impl(
         states=_set_first_state(warm.states, x),
         controls=warm.controls,
     )
-    solver = solve_batch_latency if latency_kernel else solve_batch_fused
-    res = solver(
-        params, cost_k, init_traj, dt_s, options, interpret=interpret
-    )
+    if solver == "fddp":
+        from ..solver.batched import solve_batch_fddp
+
+        res = solve_batch_fddp(
+            params, cost_k, init_traj, dt_s, options,
+            fddp_options=fddp_options, interpret=interpret, limits=limits,
+        )
+    else:
+        engine = solve_batch_latency if latency_kernel else solve_batch_fused
+        res = engine(
+            params, cost_k, init_traj, dt_s, options, interpret=interpret,
+            limits=limits,
+        )
     u0 = res.trajectory.controls[:, 0]
     x_next = qm.discrete_dynamics(params, x, u0, dt_s)
     warm_next = _shift(res.trajectory)
@@ -115,7 +131,10 @@ def _mpc_step_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("horizon", "dt_s", "options", "interpret", "latency_kernel"),
+    static_argnames=(
+        "horizon", "dt_s", "options", "interpret", "latency_kernel",
+        "solver", "fddp_options",
+    ),
 )
 def mpc_step(
     params,
@@ -131,6 +150,9 @@ def mpc_step(
     interpret: bool = False,
     latency_kernel: bool = False,
     stage_weights=None,
+    limits=None,
+    solver: str = "ilqr",
+    fddp_options=None,
 ):
     """One compiled MPC step for HOST-DRIVEN deployment loops, where the tail
     of the per-dispatch latency distribution (p99/max vs the control period)
@@ -140,6 +162,7 @@ def mpc_step(
     x_next, warm_next, u0, _ = _mpc_step_impl(
         params, q_weight, r_weight, desired_full, x, warm, k,
         horizon, dt_s, options, interpret, latency_kernel, stage_weights,
+        limits, solver, fddp_options,
     )
     return x_next, warm_next, u0
 
@@ -147,7 +170,8 @@ def mpc_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "horizon", "dt_s", "options", "interpret", "latency_kernel"
+        "n_steps", "horizon", "dt_s", "options", "interpret",
+        "latency_kernel", "solver", "fddp_options",
     ),
 )
 def run_mpc(
@@ -163,6 +187,9 @@ def run_mpc(
     interpret: bool = False,
     latency_kernel: bool = False,
     stage_weights=None,
+    limits=None,
+    solver: str = "ilqr",
+    fddp_options=None,
 ):
     """Run `n_steps` of warm-started receding-horizon control.
 
@@ -191,6 +218,7 @@ def run_mpc(
         x_next, warm_next, u0, res = _mpc_step_impl(
             params, q_weight, r_weight, desired_full, x, warm, k,
             horizon, dt_s, options, interpret, latency_kernel, stage_weights,
+            limits, solver, fddp_options,
         )
         out = {
             "u": u0,

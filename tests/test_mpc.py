@@ -127,3 +127,85 @@ def test_mpc_terminal_weight_improves_tracking():
 
     assert final_err(term) < 1.5 * final_err(base)
     assert (np.asarray(term["status"]) != 2).all()
+
+
+def test_mpc_with_control_limits():
+    """limits=(lo, hi) enforces rotor saturation inside the MPC solves: the
+    applied controls respect the box by construction, the bounds actually
+    bind during the aggressive transient, and the fleet still regulates."""
+    params, q, r, desired, x0 = _setup()
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3)
+    )
+    lo, hi = 0.0, 2.9  # hover thrust ~2.45 N/rotor: binds while braking
+    out = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=25, horizon=16, dt_s=DT, options=options, interpret=True,
+        limits=(lo, hi),
+    )
+    u = np.asarray(out["u"])
+    assert u.max() <= hi + 1e-9 and u.min() >= lo - 1e-9
+    assert (u >= hi - 1e-6).sum() > 0, "bounds must actually bind"
+    final_dist = np.linalg.norm(np.asarray(out["x_final"].pose.trans), axis=-1)
+    initial_dist = np.linalg.norm(np.asarray(out["x_trans"][:, 0]), axis=-1)
+    assert float(np.mean(final_dist)) < 0.8 * float(np.mean(initial_dist))
+
+
+def test_mpc_robust_fddp_recovers_tumble():
+    """solver="fddp" runs the robust multiple-shooting kernel inside the MPC
+    loop: a tumbling fleet whose FIRST window kills the exact loop (trip-0
+    rollout divergence -> line-search failure) is recovered."""
+    from quadrotorilqr_tpu.models.quadrotor import STATE_DIM  # noqa: F401
+    from quadrotorilqr_tpu.solver import STATUS_LINE_SEARCH_FAILED
+
+    dtype = jnp.float64
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.asarray(np.diag([0.01, 0.012, 0.02]), dtype),
+        arm_length_m=0.17,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    n_total = 60
+    dt = 0.1  # coarse: the gyroscopic-blowup regime
+    hover_u = jnp.full((n_total, 4), 9.81 / 4.0, dtype)
+    desired = Trajectory(
+        times=jnp.arange(n_total, dtype=dtype) * dt,
+        states=State(
+            pose=se3.identity((n_total,), dtype),
+            vel=jnp.zeros((n_total, 6), dtype),
+        ),
+        controls=hover_u,
+    )
+    q = jnp.diag(jnp.asarray([100.0] * 6 + [1.0] * 6, dtype))
+    r = 1e-3 * jnp.eye(4, dtype=dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x0 = State(
+        pose=se3.exp(2.0 * jax.random.normal(k1, (B, 6), dtype)),
+        vel=2.0 * jax.random.normal(k2, (B, 6), dtype),
+    )
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 8)
+    )
+    exact = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=6, horizon=16, dt_s=dt, options=options, interpret=True,
+    )
+    robust = run_mpc(
+        params, q, r, desired, x0,
+        n_steps=6, horizon=16, dt_s=dt, options=options, interpret=True,
+        solver="fddp",
+    )
+    # premise: the exact loop loses a meaningful slice of the fleet on the
+    # first window (diverged rollout -> failed line search / nonfinite cost)
+    exact_first = np.asarray(exact["status"][:, 0])
+    assert (exact_first == STATUS_LINE_SEARCH_FAILED).mean() > 0.1
+    # the robust solver never line-search-fails and keeps every cost finite
+    rob_status = np.asarray(robust["status"])
+    assert (rob_status == STATUS_LINE_SEARCH_FAILED).mean() == 0.0
+    assert np.isfinite(np.asarray(robust["cost"])).all()
+    assert np.isfinite(np.asarray(robust["u"])).all()
+    # and the tumble is actually being arrested (angular rate drops)
+    w_final = np.linalg.norm(np.asarray(robust["x_final"].vel[:, 3:6]), axis=-1)
+    w_init = np.linalg.norm(np.asarray(x0.vel[:, 3:6]), axis=-1)
+    assert float(np.median(w_final)) < float(np.median(w_init))

@@ -401,6 +401,38 @@ def main():
         solves_per_s=round(batch / p50, 1),
         device=str(jax.devices()[0].device_kind),
     )
+
+    # FDDP whole-solve kernel on the same workload (robust mode's
+    # speed-of-light accounting, fddp_solve_flops work model; gap_tol 1e-5
+    # is the f32 feasibility floor, FDDPOptions docstring)
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions
+
+    @jax.jit
+    def run_fddp(p, c, t):
+        res = solve_batch_fddp(
+            p, c, t, dt, options, fddp_options=FDDPOptions(gap_tol=1e-5)
+        )
+        tile_iters = jnp.max(res.iterations.reshape(-1, 128), axis=1)
+        return jnp.stack(
+            [jnp.sum(res.cost), jnp.mean(tile_iters.astype(jnp.float32))]
+        )
+
+    compiled_f = run_fddp.lower(params, cost, trajs).compile()
+    out_f = np.asarray(compiled_f(params, cost, trajs))
+    p50_f = _time_compiled(compiled_f, (params, cost, trajs))
+    device_f = max(p50_f - floor, 1e-6)
+    trips_f = float(out_f[1])
+    flops_f = fddp_solve_flops(n, batch, trips_f)
+    ach_f = flops_f / device_f / 1e9
+    rep["fddp"] = {
+        "analytic_flops_per_solve": flops_f / batch,
+        "trips": round(trips_f, 1),
+        "achieved_gflops": round(ach_f, 1),
+        "pct_vpu_peak": round(100 * ach_f / vpu, 1),
+        "solves_per_s": round(batch / p50_f, 1),
+        "device_s": round(device_f, 4),
+    }
     print(json.dumps(rep))
 
 

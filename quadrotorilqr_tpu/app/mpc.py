@@ -117,12 +117,16 @@ def _mpc_step_impl(
             params, cost_k, init_traj, dt_s, options,
             fddp_options=fddp_options, interpret=interpret, limits=limits,
         )
-    else:
+    elif solver == "ilqr":
         engine = solve_batch_latency if latency_kernel else solve_batch_fused
         res = engine(
             params, cost_k, init_traj, dt_s, options, interpret=interpret,
             limits=limits,
         )
+    else:
+        # fail loudly: a typo (or solve_batch's "fddp-ddp") silently running
+        # the divergence-prone exact loop defeats the robust-mode request
+        raise ValueError(f"unknown MPC solver {solver!r} (use 'ilqr'/'fddp')")
     u0 = res.trajectory.controls[:, 0]
     x_next = qm.discrete_dynamics(params, x, u0, dt_s)
     warm_next = _shift(res.trajectory)

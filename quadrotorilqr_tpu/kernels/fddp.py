@@ -84,6 +84,94 @@ def max_horizon_for_fddp(u_dim):
     return (MAX_HORIZON * 112) // (60 + 16 * u_dim)
 
 
+# ---------------------------------------------------------------------------
+# FDDP trip / line-search state machine, shared with the STREAMED FDDP
+# kernel (kernels/stream_fddp.py) — same convention as the exact-loop pair
+# (kernels/solve._ls_probe_commit/_trip_close): the bookkeeping has ONE
+# definition so any semantic change lands in both kernels by construction.
+# `get`/`put` are the per-lane solver-state row accessors.
+# ---------------------------------------------------------------------------
+
+
+def _goldstein_probe_commit(
+    get, put, gf, gub, ls_step, active, current, l1, l2,
+    cand_cost, pending, accepted, alpha,
+):
+    """Accept/backtrack bookkeeping for one Goldstein probe
+    (solver/fddp.line_search: the band tolerates the legitimate cost
+    INCREASE of closing gaps). Returns the still-pending mask for the
+    caller's SMEM probe counter."""
+    dj = alpha * l1 + alpha * alpha * l2
+    actual = cand_cost - current
+    ok = jnp.where(dj <= 0, actual <= gf * dj, actual <= gub * dj)
+    # |x| < inf == isfinite (NaN compares false) — plain compare ops only,
+    # guaranteed to lower in Mosaic
+    ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)
+    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
+    accepted2 = jnp.logical_or(accepted, jnp.logical_and(pending, ok))
+    put(_ACCEPTED, accepted2.astype(cand_cost.dtype))
+    put(
+        _ALPHA,
+        jnp.where(
+            jnp.logical_or(accepted2, jnp.logical_not(active)),
+            alpha,
+            alpha * ls_step,
+        ),
+    )
+    return jnp.logical_and(active, jnp.logical_not(accepted2))
+
+
+def _fddp_trip_close(
+    get, put, conv, dtype, active, done, current, mu, gap,
+    gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
+):
+    """Post-line-search cost commit, per-lane Levenberg schedule
+    (solver/fddp.py retry_body), and convergence/status/iteration
+    bookkeeping. The caller must have merged accepted candidates into the
+    live trajectory FIRST (merge masks differ between the VMEM and streamed
+    kernels). Returns the count of still-open lanes for the caller's
+    all-done SMEM flag."""
+    accepted = get(_ACCEPTED) > 0.5
+    take = jnp.logical_and(active, accepted)
+    best_cost = get(_BESTC)
+    put(_COST, jnp.where(take, best_cost, current))
+
+    headroom = mu < reg_max
+    terminal = jnp.logical_and(
+        active,
+        jnp.logical_and(
+            jnp.logical_not(accepted), jnp.logical_not(headroom)
+        ),
+    )
+    mu_accept = mu * reg_down
+    mu_accept = jnp.where(mu_accept < reg_min, 0.0, mu_accept)
+    mu_retry = jnp.where(
+        mu == 0.0, reg_init, jnp.minimum(mu * reg_up, reg_max)
+    )
+    mu_next = jnp.where(
+        accepted, mu_accept, jnp.where(headroom, mu_retry, mu)
+    )
+    put(_MU, jnp.where(active, mu_next, mu))
+
+    # CONVERGED requires an accepted step from an already-feasible iterate
+    # (pre-update gap) plus the cost criterion
+    feasible = gap < gap_tol
+    post_conv = jnp.logical_and(
+        jnp.logical_and(take, feasible), conv(current, best_cost)
+    )
+    status = get(_STATUS)
+    status = jnp.where(
+        terminal,
+        jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
+        jnp.where(post_conv, jnp.asarray(1.0, dtype), status),
+    )
+    put(_STATUS, status)
+    done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
+    put(_DONE, done2.astype(dtype))
+    put(_ITERS, get(_ITERS) + active.astype(dtype))
+    return jnp.sum(jnp.logical_not(done2).astype(dtype))
+
+
 def _fddp_kernel(
     n_stages,
     max_iters,
@@ -334,32 +422,11 @@ def _fddp_kernel(
                         0, n_stages, rstage, rinit
                     )
 
-                    # Goldstein band (solver/fddp.line_search): tolerate the
-                    # legitimate cost INCREASE of closing gaps
-                    dj = alpha * l1 + alpha * alpha * l2
-                    actual = cand_cost - current
-                    ok = jnp.where(dj <= 0, actual <= gf * dj, actual <= gub * dj)
-                    # |x| < inf == isfinite (NaN compares false) — plain
-                    # compare ops only, guaranteed to lower in Mosaic
-                    ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)
-                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
-                    accepted2 = jnp.logical_or(
-                        accepted, jnp.logical_and(pending, ok)
+                    still_pending = _goldstein_probe_commit(
+                        get, put, gf, gub, ls_step, active, current, l1, l2,
+                        cand_cost, pending, accepted, alpha,
                     )
-                    put(_ACCEPTED, accepted2.astype(dtype))
-                    put(
-                        _ALPHA,
-                        jnp.where(
-                            jnp.logical_or(accepted2, jnp.logical_not(active)),
-                            alpha,
-                            alpha * ls_step,
-                        ),
-                    )
-                    flag_ref[1] = jnp.sum(
-                        jnp.logical_and(
-                            active, jnp.logical_not(accepted2)
-                        ).astype(dtype)
-                    )
+                    flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
                 return tok2
 
@@ -367,8 +434,7 @@ def _fddp_kernel(
 
             # ---- close: merge ACCEPTED lanes only (a rejected trip keeps
             # the trajectory — the next trip is the adaptive-mu retry) ----
-            accepted = get(_ACCEPTED) > 0.5
-            take = jnp.logical_and(active, accepted)
+            take = jnp.logical_and(active, get(_ACCEPTED) > 0.5)
 
             def mstage(n, tok3):
                 oq_ref[n] = jnp.where(take, bq_ref[n], oq_ref[n])
@@ -379,44 +445,10 @@ def _fddp_kernel(
 
             jax.lax.fori_loop(0, n_stages, mstage, 0)
 
-            best_cost = get(_BESTC)
-            put(_COST, jnp.where(take, best_cost, current))
-
-            # per-lane Levenberg schedule (solver/fddp.py retry_body)
-            headroom = mu < reg_max
-            terminal = jnp.logical_and(
-                active,
-                jnp.logical_and(
-                    jnp.logical_not(accepted), jnp.logical_not(headroom)
-                ),
+            n_open = _fddp_trip_close(
+                get, put, conv, dtype, active, done, current, mu, gap,
+                gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
             )
-            mu_accept = mu * reg_down
-            mu_accept = jnp.where(mu_accept < reg_min, 0.0, mu_accept)
-            mu_retry = jnp.where(
-                mu == 0.0, reg_init, jnp.minimum(mu * reg_up, reg_max)
-            )
-            mu_next = jnp.where(
-                accepted, mu_accept, jnp.where(headroom, mu_retry, mu)
-            )
-            put(_MU, jnp.where(active, mu_next, mu))
-
-            # CONVERGED requires an accepted step from an already-feasible
-            # iterate (pre-update gap) plus the cost criterion
-            feasible = gap < gap_tol
-            post_conv = jnp.logical_and(
-                jnp.logical_and(take, feasible), conv(current, best_cost)
-            )
-            status = get(_STATUS)
-            status = jnp.where(
-                terminal,
-                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
-                jnp.where(post_conv, jnp.asarray(1.0, dtype), status),
-            )
-            put(_STATUS, status)
-            done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
-            put(_DONE, done2.astype(dtype))
-            put(_ITERS, get(_ITERS) + active.astype(dtype))
-            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )

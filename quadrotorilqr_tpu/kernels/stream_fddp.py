@@ -51,7 +51,18 @@ from .backward import (
     _stage_jx_blocks,
     _to_lanes,
 )
-from .fddp import _ACCEPTED, _ALPHA, _BESTC, _COST, _DONE, _ITERS, _MU, _STATUS
+from .fddp import (
+    _ACCEPTED,
+    _ALPHA,
+    _BESTC,
+    _COST,
+    _DONE,
+    _ITERS,
+    _MU,
+    _STATUS,
+    _fddp_trip_close,
+    _goldstein_probe_commit,
+)
 from .rollout import _state_minus
 from .stream import (
     DEFAULT_CHUNK,
@@ -457,30 +468,11 @@ def _stream_fddp_kernel(
                     pending = jnp.logical_and(active, jnp.logical_not(accepted))
                     alpha = get(_ALPHA)
                     cand_cost = rollout_sweep(alpha, None)
-                    dj = alpha * l1 + alpha * alpha * l2
-                    actual = cand_cost - current
-                    ok = jnp.where(
-                        dj <= 0, actual <= gf * dj, actual <= gub * dj
+                    still_pending = _goldstein_probe_commit(
+                        get, put, gf, gub, ls_step, active, current, l1, l2,
+                        cand_cost, pending, accepted, alpha,
                     )
-                    ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)
-                    put(_BESTC, jnp.where(pending, cand_cost, get(_BESTC)))
-                    accepted2 = jnp.logical_or(
-                        accepted, jnp.logical_and(pending, ok)
-                    )
-                    put(_ACCEPTED, accepted2.astype(dtype))
-                    put(
-                        _ALPHA,
-                        jnp.where(
-                            jnp.logical_or(accepted2, jnp.logical_not(active)),
-                            alpha,
-                            alpha * ls_step,
-                        ),
-                    )
-                    flag_ref[1] = jnp.sum(
-                        jnp.logical_and(
-                            active, jnp.logical_not(accepted2)
-                        ).astype(dtype)
-                    )
+                    flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
                 return tok2
 
@@ -488,49 +480,16 @@ def _stream_fddp_kernel(
 
             # ---- apply sweep: merge ACCEPTED lanes at their frozen alpha
             # (rejected lanes keep the trajectory for the mu retry) ---------
-            accepted = get(_ACCEPTED) > 0.5
-            take = jnp.logical_and(active, accepted)
+            take = jnp.logical_and(active, get(_ACCEPTED) > 0.5)
 
             @pl.when(jnp.sum(take.astype(dtype)) > 0.5)
             def _():
                 rollout_sweep(get(_ALPHA), take)
 
-            best_cost = get(_BESTC)
-            put(_COST, jnp.where(take, best_cost, current))
-
-            # per-lane Levenberg schedule (solver/fddp.py retry_body)
-            headroom = mu < reg_max
-            terminal = jnp.logical_and(
-                active,
-                jnp.logical_and(
-                    jnp.logical_not(accepted), jnp.logical_not(headroom)
-                ),
+            n_open = _fddp_trip_close(
+                get, put, conv, dtype, active, done, current, mu, gap,
+                gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
             )
-            mu_accept = mu * reg_down
-            mu_accept = jnp.where(mu_accept < reg_min, 0.0, mu_accept)
-            mu_retry = jnp.where(
-                mu == 0.0, reg_init, jnp.minimum(mu * reg_up, reg_max)
-            )
-            mu_next = jnp.where(
-                accepted, mu_accept, jnp.where(headroom, mu_retry, mu)
-            )
-            put(_MU, jnp.where(active, mu_next, mu))
-
-            feasible = gap < gap_tol
-            post_conv = jnp.logical_and(
-                jnp.logical_and(take, feasible), conv(current, best_cost)
-            )
-            status = get(_STATUS)
-            status = jnp.where(
-                terminal,
-                jnp.asarray(2.0, dtype),  # STATUS_LINE_SEARCH_FAILED
-                jnp.where(post_conv, jnp.asarray(1.0, dtype), status),
-            )
-            put(_STATUS, status)
-            done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
-            put(_DONE, done2.astype(dtype))
-            put(_ITERS, get(_ITERS) + active.astype(dtype))
-            n_open = jnp.sum(jnp.logical_not(done2).astype(dtype))
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )

@@ -522,6 +522,12 @@ def _backward_call(
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
+    )
     # dummy weights are a single broadcast tile — never lane-indexed
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     kernel = functools.partial(_backward_kernel, n, ju_lo, use_box, use_weights)
@@ -546,8 +552,8 @@ def _backward_call(
             param_block((12, u)),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             lane_block((n, u)),
@@ -588,16 +594,26 @@ def _backward_call(
 
 
 def _prep_limits(limits, u_dim, dtype):
-    """Control-bound lane tiles + static use_box flag. `limits` is None
-    (unconstrained — (1,) dummy tiles the kernel never reads) or a
-    (lo, hi) pair of scalars / (u_dim,) arrays shared across the batch."""
+    """Control-bound lane tiles + static (use_box, box_batched) flags.
+    `limits` is None (unconstrained — (1,) dummy tiles the kernel never
+    reads) or a (lo, hi) pair where each bound is a scalar / (u_dim,) array
+    shared across the batch, or a (B, u_dim) array per scenario
+    (Monte-Carlo over actuator derating). Mixed shared/batched bounds are
+    broadcast up to batched."""
     if limits is None:
         dummy = _bcast_tile(jnp.zeros((1,), dtype), dtype)
-        return dummy, dummy, False
-    lo, hi = limits
-    lo = jnp.broadcast_to(jnp.asarray(lo, dtype), (u_dim,))
-    hi = jnp.broadcast_to(jnp.asarray(hi, dtype), (u_dim,))
-    return _bcast_tile(lo, dtype), _bcast_tile(hi, dtype), True
+        return dummy, dummy, False, False
+    lo = jnp.asarray(limits[0], dtype)
+    hi = jnp.asarray(limits[1], dtype)
+    batched = lo.ndim == 2 or hi.ndim == 2
+    if batched:
+        b = (lo if lo.ndim == 2 else hi).shape[0]
+        lo = jnp.broadcast_to(lo, (b, u_dim))
+        hi = jnp.broadcast_to(hi, (b, u_dim))
+        return _to_lanes(lo), _to_lanes(hi), True, True
+    lo = jnp.broadcast_to(lo, (u_dim,))
+    hi = jnp.broadcast_to(hi, (u_dim,))
+    return _bcast_tile(lo, dtype), _bcast_tile(hi, dtype), True, False
 
 
 def backward_pass_fused(
@@ -614,8 +630,9 @@ def backward_pass_fused(
     lane; all-done tiles skip computation (stale outputs must be masked by
     the caller, as solver/batched.py does). `model` selects the model family
     (kernels/models.py lane_model_for; default inferred from the params
-    type). `limits=(lo, hi)` (scalars or (u,) arrays, shared across the
-    batch) switches the stage gain solve to the projected-Newton box-QP
+    type). `limits=(lo, hi)` (scalars / (u,) arrays shared across the
+    batch, or (B, u) per scenario) switches the stage gain solve to the
+    projected-Newton box-QP
     (solver/constrained.py semantics). Returns (ks (B,N,u),
     big_ks (B,N,u,12), qutk (B,), ktquuk (B,)).
     """
@@ -641,7 +658,7 @@ def backward_pass_fused(
     g, _, ju, _, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
-    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
 
     scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
     if tile_act is None:

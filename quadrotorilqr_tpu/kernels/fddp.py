@@ -524,6 +524,12 @@ def _fddp_call(
     param_block = lane_block if params_batched else fixed_block
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
+    )
     kernel = functools.partial(
         _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights,
         use_box,
@@ -551,8 +557,8 @@ def _fddp_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -666,7 +672,7 @@ def solve_fddp_fused(
     )
     from .backward import _prep_limits
 
-    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
         dtype,

@@ -196,12 +196,18 @@ def _rollout_call(
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     extra_core = extra.shape[:-1]  # per-model operand core dims
-    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     lane_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
     )
     fixed_block = lambda shape: pl.BlockSpec(
         shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+    )
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
     )
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
@@ -234,8 +240,8 @@ def _rollout_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -318,7 +324,7 @@ def rollout_cost_fused(
     g, m_inv, _, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
-    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
     if tile_act is None:
         tile_act = jnp.ones((batch // TILE,), jnp.int32)

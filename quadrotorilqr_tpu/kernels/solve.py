@@ -430,6 +430,12 @@ def _solve_call(
     param_block = lane_block if params_batched else fixed_block
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
+    )
     kernel = functools.partial(
         _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
         use_weights, use_box,
@@ -456,8 +462,8 @@ def _solve_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -534,9 +540,10 @@ def solve_fused_whole(
     lane_model_for; default inferred from the params type). Returns the
     same tuple layout as the batch loop:
     (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32).
-    `limits=(lo, hi)` (scalars or (u,) arrays shared across the batch)
-    switches the stage gain solve to the projected-Newton box-QP and clamps
-    every rollout control (solver/constrained.py semantics)."""
+    `limits=(lo, hi)` (scalars / (u,) arrays shared across the batch, or
+    (B, u) per scenario) switches the stage gain solve to the
+    projected-Newton box-QP and clamps every rollout control
+    (solver/constrained.py semantics)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
@@ -577,7 +584,7 @@ def solve_fused_whole(
     )
     from .backward import _prep_limits
 
-    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [
             dt_s,

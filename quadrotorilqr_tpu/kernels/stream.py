@@ -490,6 +490,12 @@ def _stream_call(
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
+    )
     kernel = functools.partial(
         _stream_kernel,
         n,
@@ -517,8 +523,8 @@ def _stream_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             hbm,
@@ -598,9 +604,10 @@ def solve_fused_streamed(
     identical to solve_fused_whole / solve_batch_fused; `model` selects the
     model family (kernels/models.py lane_model_for); returns the same
     tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
-    i32). `limits=(lo, hi)` (scalars or (u,) arrays shared across the
-    batch) switches the stage gain solve to the projected-Newton box-QP and
-    clamps every rollout control (solver/constrained.py semantics)."""
+    i32). `limits=(lo, hi)` (scalars / (u,) arrays shared across the batch, or
+    (B, u) per scenario) switches the stage gain solve to the
+    projected-Newton box-QP and clamps every rollout control
+    (solver/constrained.py semantics)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
@@ -632,7 +639,7 @@ def solve_fused_streamed(
     )
     from .backward import _prep_limits
 
-    lo, hi, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [
             dt_s,

@@ -566,6 +566,12 @@ def _stream_fddp_call(
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    # bounds may be shared (one (., TILE) broadcast tile; at a single tile
+    # the two index maps coincide, so shape inference is unambiguous) or
+    # per-scenario ((., B) lane tiles — backward._prep_limits)
+    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
+        bound_core
+    )
     kernel = functools.partial(
         _stream_fddp_kernel,
         n,
@@ -593,8 +599,8 @@ def _stream_fddp_call(
             param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
-            fixed_block(bound_core),
-            fixed_block(bound_core),
+            box_block,
+            box_block,
         ],
         out_specs=[
             hbm,
@@ -694,7 +700,7 @@ def solve_fddp_streamed(
     )
     from .backward import _prep_limits
 
-    lo_b, hi_b, use_box = _prep_limits(limits, lm.u_dim, dtype)
+    lo_b, hi_b, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     fscal = jnp.asarray(
         [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
         dtype,

@@ -236,3 +236,108 @@ def test_box_on_fused_kernel_path():
         atol=1e-10,
     )
     assert (np.asarray(ss) == np.asarray(f.status)).all()
+
+
+def test_box_per_scenario_limits():
+    """Per-scenario bounds ((B, u) lane tiles — Monte-Carlo over actuator
+    derating): lane-for-lane parity with per-lane vmapped solve_box on the
+    batch loop, whole-solve, and streamed engines."""
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_latency,
+    )
+
+    params, cost, init, desired = _problem()
+    rng = np.random.default_rng(33)
+    b = 128
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.15 * rng.normal(size=(b, 6)), DTYPE)),
+        vel=jnp.asarray(0.1 * rng.normal(size=(b, 6)), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    # per-scenario derated ceilings (and a shared floor broadcast up)
+    hi_b = jnp.asarray(rng.uniform(2.5, 3.2, size=(b, 4)), DTYPE)
+    lo_b = jnp.zeros((b, 4), DTYPE)
+
+    ref = jax.vmap(
+        lambda lo, hi, t: solve_box(params, cost, t, DT, lo, hi, _OPTIONS)
+    )(lo_b, hi_b, init_b)
+    f = solve_batch_fused(
+        params, cost, init_b, DT, _OPTIONS, interpret=True,
+        limits=(lo_b, hi_b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(f.cost), np.asarray(ref.cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(f.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+    assert (np.asarray(f.status) == np.asarray(ref.status)).all()
+    u = np.asarray(f.trajectory.controls)
+    assert (u <= np.asarray(hi_b)[:, None, :] + 1e-12).all()
+    assert (u >= np.asarray(hi_b)[:, None, :] - 1e-9).any(), "must bind"
+
+    lat = solve_batch_latency(
+        params, cost, init_b, DT, _OPTIONS, interpret=True,
+        limits=(lo_b, hi_b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat.cost), np.asarray(f.cost), rtol=1e-12
+    )
+    assert (np.asarray(lat.status) == np.asarray(f.status)).all()
+
+    st, sc, _, ss = solve_fused_streamed(
+        params, cost, init_b, DT, _OPTIONS, interpret=True, chunk=5,
+        limits=(lo_b, hi_b),
+    )
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(f.cost), rtol=1e-12)
+    assert (np.asarray(ss) == np.asarray(f.status)).all()
+
+
+def test_box_per_scenario_limits_fddp():
+    """Per-scenario bounds through the FDDP kernels vs per-lane vmapped
+    solve_fddp(limits=...)."""
+    from quadrotorilqr_tpu.solver import solve_fddp
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+    from quadrotorilqr_tpu.solver.options import (
+        ConvergenceCriteria,
+        ILQROptions,
+        LineSearchParams,
+    )
+
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 15),
+    )
+    params, cost, init, desired = _problem()
+    rng = np.random.default_rng(34)
+    b = 128
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.6 * rng.normal(size=(b, 6)), DTYPE)),
+        vel=jnp.asarray(0.4 * rng.normal(size=(b, 6)), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    hi_b = jnp.asarray(rng.uniform(2.6, 3.4, size=(b, 4)), DTYPE)
+    lo_b = jnp.zeros((b, 4), DTYPE)
+
+    ref = jax.vmap(
+        lambda lo, hi, t: solve_fddp(
+            params, cost, t, DT, opts, limits=(lo, hi)
+        )
+    )(lo_b, hi_b, init_b)
+    got = solve_batch_fddp(
+        params, cost, init_b, DT, opts, interpret=True, limits=(lo_b, hi_b)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+    assert (np.asarray(got.status) == np.asarray(ref.status)).all()
+    assert (np.asarray(got.iterations) == np.asarray(ref.iterations)).all()

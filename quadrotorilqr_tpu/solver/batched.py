@@ -53,6 +53,16 @@ def _where_lanes(mask, a, b):
     )
 
 
+
+def _pad_limits(limits, pad_lane):
+    """Pad PER-SCENARIO ((B, u)) bounds along with the batch; shared bounds
+    pass through untouched (kernels/backward._prep_limits)."""
+    if limits is None:
+        return None
+    lo, hi = limits
+    pad = lambda a: pad_lane(jnp.asarray(a)) if jnp.ndim(a) == 2 else a
+    return (pad(lo), pad(hi))
+
 @partial(
     jax.jit,
     static_argnames=("dt_s", "options", "interpret", "continuation", "model"),
@@ -123,7 +133,7 @@ def solve_batch_fused(
                 None if initial_status is None else pad_lane(initial_status)
             ),
             model=model,
-            limits=limits,
+            limits=_pad_limits(limits, pad_lane),
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -393,7 +403,7 @@ def solve_batch_latency(
             interpret=interpret,
             continuation=continuation,
             model=model,
-            limits=limits,
+            limits=_pad_limits(limits, pad_lane),
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -504,7 +514,7 @@ def solve_batch_fddp(
             fddp_options=fddp_options,
             interpret=interpret,
             model=model,
-            limits=limits,
+            limits=_pad_limits(limits, pad_lane),
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 

@@ -341,3 +341,31 @@ def test_box_per_scenario_limits_fddp():
     )
     assert (np.asarray(got.status) == np.asarray(ref.status)).all()
     assert (np.asarray(got.iterations) == np.asarray(ref.iterations)).all()
+
+
+def test_box_per_scenario_limits_padding():
+    """Per-scenario bounds survive the non-multiple-of-128 padding path
+    (the bounds pad with the batch; solver/batched._pad_limits)."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+
+    params, cost, init, desired = _problem()
+    rng = np.random.default_rng(35)
+    b = 130
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.15 * rng.normal(size=(b, 6)), DTYPE)),
+        vel=jnp.asarray(0.1 * rng.normal(size=(b, 6)), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    hi_b = jnp.asarray(rng.uniform(2.5, 3.2, size=(b, 4)), DTYPE)
+    lo_b = jnp.zeros((b, 4), DTYPE)
+    got = solve_batch_fused(
+        params, cost, init_b, DT, _OPTIONS, interpret=True,
+        limits=(lo_b, hi_b),
+    )
+    ref = jax.vmap(
+        lambda lo, hi, t: solve_box(params, cost, t, DT, lo, hi, _OPTIONS)
+    )(lo_b, hi_b, init_b)
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9
+    )
+    assert (np.asarray(got.status) == np.asarray(ref.status)).all()

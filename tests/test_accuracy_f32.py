@@ -143,3 +143,52 @@ def test_f32_weighted_path_drift_vs_f64_xla():
     # the invariant that matters for a branch flip.
     assert np.quantile(du, 0.9) < 2e-4, f"weighted f32 p90 drift {np.quantile(du, 0.9)}"
     assert cost_rel.max() < 1e-5, f"weighted f32 cost drift {cost_rel.max()}"
+
+
+def test_f32_fddp_kernel_drift_vs_f64_xla():
+    """Fixed-budget f32 accuracy bound for the ROBUST path: the f32 FDDP
+    kernel vs the f64 vmapped XLA solve_fddp (no oracle implements FDDP;
+    the XLA solver is itself pinned per-lane to the kernel in f64 and, on
+    zero-gap feasible starts, to the exact loop that IS oracle-pinned).
+    Convergence disabled (tol=0, gap_tol=0 can never certify) so both run
+    the identical trip count as long as every Goldstein probe accepts."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions, solve_fddp
+
+    params, cost, trajs, desired = _problem_f32()
+    options = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(0.0, 0.0, ITERS),
+    )
+    fo = FDDPOptions(gap_tol=0.0)
+    res32 = solve_batch_fddp(
+        params, cost, trajs, DT, options, fddp_options=fo, interpret=True
+    )
+
+    to64 = lambda leaf: jnp.asarray(np.asarray(leaf, np.float64))
+    params64 = jax.tree.map(to64, params)
+    cost64 = jax.tree.map(to64, cost)
+    trajs64 = jax.tree.map(to64, trajs)
+    ref = jax.vmap(
+        lambda t: solve_fddp(params64, cost64, t, DT, options, fo)
+    )(trajs64)
+
+    # both paths must have burned the identical budget (every trip accepted)
+    assert (np.asarray(res32.iterations) == ITERS).all()
+    assert (np.asarray(ref.iterations) == ITERS).all()
+    du = np.abs(
+        np.asarray(res32.trajectory.controls, np.float64)
+        - np.asarray(ref.trajectory.controls)
+    ).max(axis=(1, 2))
+    cost_rel = np.abs(
+        np.asarray(res32.cost, np.float64) - np.asarray(ref.cost)
+    ) / np.abs(np.asarray(ref.cost))
+    # measured: median du 6.5e-6 (the same arithmetic-drift scale as the
+    # exact loop) but ~25% of lanes flip a Goldstein accept boundary (du up
+    # to 7e-3) — the flip tail is identical when comparing the f32 kernel
+    # against the f32 XLA FDDP, i.e. it is inherent to f32 near the band
+    # edges, not a kernel artifact. The iterates on either side of a flip
+    # are equally good: cost_rel max 1.6e-6 across ALL lanes, which is the
+    # invariant that matters. Bound the bulk + the cost.
+    assert np.median(du) < 1e-4, f"fddp f32 median drift {np.median(du)}"
+    assert cost_rel.max() < 1e-5, f"fddp f32 cost drift {cost_rel.max()}"

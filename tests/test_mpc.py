@@ -209,3 +209,33 @@ def test_mpc_robust_fddp_recovers_tumble():
     w_final = np.linalg.norm(np.asarray(robust["x_final"].vel[:, 3:6]), axis=-1)
     w_init = np.linalg.norm(np.asarray(x0.vel[:, 3:6]), axis=-1)
     assert float(np.median(w_final)) < float(np.median(w_init))
+
+
+def test_mpc_per_scenario_params():
+    """A heterogeneous fleet (per-vehicle mass/inertia Monte-Carlo) through
+    the scanned MPC loop: the windowed solves and the plant step both
+    consume batched params, and the fleet still regulates."""
+    dtype = jnp.float64
+    rng = np.random.default_rng(6)
+    b = B
+    diags = rng.uniform(0.6, 1.4, size=(b, 3))
+    inertias = np.stack([np.diag(d) for d in diags])
+    params_b = QuadrotorParams(
+        mass_kg=jnp.asarray(rng.uniform(0.8, 1.3, size=(b,)), dtype),
+        inertia=jnp.asarray(inertias, dtype),
+        arm_length_m=jnp.full((b,), 0.2, dtype),
+        torque_to_thrust_ratio_m=jnp.full((b,), 0.016, dtype),
+        g_mpss=jnp.full((b,), 9.81, dtype),
+    )
+    _, q, r, desired, x0 = _setup()
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-8, 1e-8, 3)
+    )
+    out = run_mpc(
+        params_b, q, r, desired, x0,
+        n_steps=20, horizon=16, dt_s=DT, options=options, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out["u"])).all()
+    final_dist = np.linalg.norm(np.asarray(out["x_final"].pose.trans), axis=-1)
+    initial_dist = np.linalg.norm(np.asarray(out["x_trans"][:, 0]), axis=-1)
+    assert float(np.mean(final_dist)) < 0.8 * float(np.mean(initial_dist))

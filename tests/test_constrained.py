@@ -369,3 +369,41 @@ def test_box_per_scenario_limits_padding():
         np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9
     )
     assert (np.asarray(got.status) == np.asarray(ref.status)).all()
+
+
+def test_box_limits_through_compacted_refine():
+    """Control limits through the on-device compacted two-phase solver
+    (solve_batch_refine passes limits into both phases): lane-for-lane
+    equal to the single-phase box solve."""
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_refine,
+    )
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria
+
+    params, cost, init, desired = _problem()
+    rng = np.random.default_rng(36)
+    b = 128
+    x0 = State(
+        pose=se3.exp(jnp.asarray(0.15 * rng.normal(size=(b, 6)), DTYPE)),
+        vel=jnp.asarray(0.1 * rng.normal(size=(b, 6)), DTYPE),
+    )
+    init_b = initial_trajectory_from_state(x0, desired)
+    lim = (0.0, 2.8)
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 12)
+    )
+    one = solve_batch_fused(
+        params, cost, init_b, DT, opts, interpret=True, limits=lim
+    )
+    two = solve_batch_refine(
+        params, cost, init_b, DT, opts, phase1_iters=4, interpret=True,
+        limits=lim,
+    )
+    np.testing.assert_allclose(
+        np.asarray(two.cost), np.asarray(one.cost), rtol=1e-12
+    )
+    assert (np.asarray(two.status) == np.asarray(one.status)).all()
+    assert (np.asarray(two.iterations) == np.asarray(one.iterations)).all()
+    u = np.asarray(two.trajectory.controls)
+    assert u.max() <= 2.8 + 1e-12 and u.min() >= -1e-12

@@ -6,7 +6,7 @@ from . import integrators, multirotor, quadrotor, quadrotor_drag, se3_wrench
 from .multirotor import MultirotorParams
 from .quadrotor import QuadrotorParams, State
 from .quadrotor_drag import DragQuadrotorParams
-from .integrators import substepped
+from .integrators import rk4, substepped
 from .se3_wrench import WrenchParams
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "quadrotor_drag",
     "integrators",
     "substepped",
+    "rk4",
     "QuadrotorParams",
     "WrenchParams",
     "MultirotorParams",

@@ -165,3 +165,148 @@ def test_substeps_first_order_on_the_hard_case_physics():
     for a, b in zip(errs, errs[1:]):
         assert b < 0.62 * a, errs  # ~halves each doubling
     assert errs[-1] < 0.06 * errs[0]
+
+
+# ---------------------------------------------------------------------------
+# chart RK4 (models/integrators.rk4)
+# ---------------------------------------------------------------------------
+
+
+def test_rk4_fourth_order():
+    """Against a fine reference, halving the step cuts the one-stage chart
+    RK4 error by ~2^4 (classical RK4 on the exact chart ODE is genuinely
+    fourth order — no truncated-commutator loss on the attitude part)."""
+    from quadrotorilqr_tpu.models.integrators import rk4
+
+    params = _params()
+    x = _random_state(jax.random.PRNGKey(11), vel_scale=1.5)
+    u = jnp.asarray([3.5, 2.5, 3.8, 2.9], F64)
+    m = rk4(qm)
+    t = 0.4
+
+    def integrate(steps):
+        s = x
+        for _ in range(steps):
+            s = m.discrete_dynamics(params, s, u, t / steps)
+        return s
+
+    ref = integrate(256)
+
+    def err(steps):
+        return float(jnp.linalg.norm(qm.minus(integrate(steps), ref)))
+
+    e2, e4, e8 = err(2), err(4), err(8)
+    assert e4 < 0.10 * e2, (e2, e4)  # ~1/16 per halving, with slack
+    assert e8 < 0.10 * e4, (e4, e8)
+
+
+def test_rk4_beats_substeps_at_equal_work():
+    """One RK4 stage = 4 vector-field evaluations = substepped(qm, 4)'s
+    work; on the hard-case tumble physics the RK4 error is orders of
+    magnitude smaller."""
+    from quadrotorilqr_tpu.models.integrators import rk4
+
+    params = qm.QuadrotorParams.create(
+        1.0, jnp.asarray(np.diag([0.01, 0.012, 0.02]), F64), 0.17, 0.016, 9.81
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = qm.State(
+        pose=se3.exp(2.0 * jax.random.normal(k1, (6,), F64)),
+        vel=2.0 * jax.random.normal(k2, (6,), F64),
+    )
+    u = jnp.full((4,), 9.81 / 4.0, F64)
+
+    def rollout(model, steps=15):
+        s = x
+        for _ in range(steps):
+            s = model.discrete_dynamics(params, s, u, 0.15)
+        return s
+
+    ref = rollout(substepped(qm, 256))
+    e_euler4 = float(jnp.linalg.norm(qm.minus(rollout(substepped(qm, 4)), ref)))
+    e_rk4 = float(jnp.linalg.norm(qm.minus(rollout(rk4(qm)), ref)))
+    assert e_rk4 < 0.05 * e_euler4, (e_rk4, e_euler4)
+
+
+def test_rk4_jacobians_finite_difference():
+    from quadrotorilqr_tpu.models.integrators import rk4
+
+    params = _params()
+    m = rk4(qm)
+    x = _random_state(jax.random.PRNGKey(2))
+    u = jnp.asarray(2.0 + np.random.default_rng(3).random(4), F64)
+    fn, j_x, j_u = m.discrete_dynamics_jacobians(params, x, u, DT)
+    eps = 1e-6
+    for a in range(12):
+        e = jnp.zeros((12,), F64).at[a].set(eps)
+        fp = m.discrete_dynamics(params, m.add(x, e), u, DT)
+        fm = m.discrete_dynamics(params, m.add(x, -e), u, DT)
+        fd = (m.minus(fp, fn) - m.minus(fm, fn)) / (2 * eps)
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(j_x[:, a]), atol=2e-6,
+            err_msg=f"state axis {a}",
+        )
+    for a in range(4):
+        e = jnp.zeros((4,), F64).at[a].set(eps)
+        fp = m.discrete_dynamics(params, x, u + e, DT)
+        fm = m.discrete_dynamics(params, x, u - e, DT)
+        fd = (m.minus(fp, fn) - m.minus(fm, fn)) / (2 * eps)
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(j_u[:, a]), atol=2e-6,
+            err_msg=f"control axis {a}",
+        )
+
+
+def test_rk4_jacobians_batched_matches_per_sample():
+    """The solver calls discrete_dynamics_jacobians on the whole (N, ...)
+    trajectory at once (solver/ilqr.py:97) — the vmapped path must agree
+    with per-sample calls."""
+    from quadrotorilqr_tpu.models.integrators import rk4
+
+    params = _params()
+    m = rk4(qm)
+    n = 5
+    keys = jax.random.split(jax.random.PRNGKey(9), n)
+    xs = jax.tree.map(
+        lambda *l: jnp.stack(l), *[_random_state(k) for k in keys]
+    )
+    us = 2.0 + jax.random.normal(jax.random.PRNGKey(10), (n, 4), F64) * 0.3
+    xn_b, jx_b, ju_b = m.discrete_dynamics_jacobians(params, xs, us, DT)
+    for i in range(n):
+        xi = jax.tree.map(lambda l: l[i], xs)
+        xn_i, jx_i, ju_i = m.discrete_dynamics_jacobians(params, xi, us[i], DT)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(xn_b)[0][i]),
+            np.asarray(jax.tree.leaves(xn_i)[0]), rtol=0, atol=0,
+        )
+        np.testing.assert_allclose(np.asarray(jx_b[i]), np.asarray(jx_i), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(ju_b[i]), np.asarray(ju_i), atol=1e-14)
+
+
+def test_solver_accepts_rk4_model():
+    from quadrotorilqr_tpu.models.integrators import rk4
+
+    params = _params()
+    n = 20
+    x0 = _random_state(jax.random.PRNGKey(5), pose_scale=0.4, vel_scale=0.3)
+    hover = jnp.full((n, 4), 1.2 * 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    traj0 = initial_trajectory_from_state(x0, desired)
+    opts = ILQROptions(convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 60))
+    res_euler = solve(params, cost, traj0, DT, opts)
+    res_rk4 = solve(params, cost, traj0, DT, opts, model=rk4(qm))
+    assert int(res_rk4.status) == STATUS_CONVERGED
+    # same basin as the Euler-discretized problem
+    assert abs(float(res_rk4.cost) - float(res_euler.cost)) / float(res_euler.cost) < 0.3
+    # memoized instance (stable jit static arg)
+    assert rk4(qm) is rk4(qm)

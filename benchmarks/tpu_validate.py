@@ -145,15 +145,25 @@ def main():
     cf, cr = np.asarray(res_f.cost), np.asarray(ref_f.cost)
     stf = np.asarray(res_f.status)
     rel = np.abs(cf - cr) / np.maximum(1e-6, np.abs(cr))
+    # Pairwise lane drift between the two f32 FDDP engines on REAL TPU is
+    # dominated by Goldstein accept-boundary flips (Mosaic vs XLA
+    # transcendental/FMA differences): measured 2026-08-19 median 2.4e-4,
+    # while BOTH engines sit at the SAME quality vs an f64 ground truth
+    # (excess-over-optimum medians -9.00e-2 vs -8.99e-2; kernel closer on
+    # 47.7% of lanes — a coin flip; kernel conv 96.1% vs XLA 94.5%). So
+    # bound engine QUALITY (cost-distribution median), and only bound the
+    # pairwise bulk loosely.
+    med_shift = abs(np.median(cf) - np.median(cr)) / abs(np.median(cr))
     ok = (
         np.isfinite(cf).all()
         and (stf == 1).mean() > 0.9
-        and np.median(rel) < 1e-4
+        and np.median(rel) < 1e-3
+        and med_shift < 1e-3
     )
     print(
         ("OK   " if ok else "FAIL ")
         + f"fddp n=50 b=128: conv={(stf == 1).mean():.3f} "
-        f"vs XLA relcost={np.median(rel):.2e}",
+        f"vs XLA relcost={np.median(rel):.2e} med-shift={med_shift:.2e}",
         flush=True,
     )
     failures += 0 if ok else 1
@@ -201,11 +211,19 @@ def main():
     )(trajs)
     crs = np.asarray(ref_s.cost)
     rel = np.abs(cs - crs) / np.maximum(1e-6, np.abs(crs))
-    ok = np.isfinite(cs).all() and (sts == 1).mean() > 0.9 and np.median(rel) < 1e-4
+    # same quality-based criterion as the VMEM FDDP block above (accept-flip
+    # noise between equally-good f32 engines; see that block's comment)
+    med_shift = abs(np.median(cs) - np.median(crs)) / abs(np.median(crs))
+    ok = (
+        np.isfinite(cs).all()
+        and (sts == 1).mean() > 0.9
+        and np.median(rel) < 1e-3
+        and med_shift < 1e-3
+    )
     print(
         ("OK   " if ok else "FAIL ")
         + f"fddp-streamed n=300 b=128 chunk=64: conv={(sts == 1).mean():.3f} "
-        f"vs XLA relcost={np.median(rel):.2e}",
+        f"vs XLA relcost={np.median(rel):.2e} med-shift={med_shift:.2e}",
         flush=True,
     )
     failures += 0 if ok else 1

@@ -103,7 +103,12 @@ def _goldstein_probe_commit(
     caller's SMEM probe counter."""
     dj = alpha * l1 + alpha * alpha * l2
     actual = cand_cost - current
-    ok = jnp.where(dj <= 0, actual <= gf * dj, actual <= gub * dj)
+    # select between the FLOAT thresholds, not between bool results: a
+    # bool-valued select needs a vector i8->i1 truncation Mosaic cannot
+    # lower ("Unsupported target bitwidth for truncation" on real TPU; the
+    # interpret-mode parity tests structurally cannot see this). Per-lane
+    # bit-identical to where(dj<=0, actual<=gf*dj, actual<=gub*dj).
+    ok = actual <= jnp.where(dj <= 0, gf, gub) * dj
     # |x| < inf == isfinite (NaN compares false) — plain compare ops only,
     # guaranteed to lower in Mosaic
     ok = jnp.logical_and(ok, jnp.abs(cand_cost) < jnp.inf)

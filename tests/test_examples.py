@@ -43,3 +43,9 @@ def test_example_05_robust_and_mpc():
     robust, out = _load("05_robust_and_mpc").main(mpc_steps=4)
     assert int(robust.status) == 1
     assert out["u"].shape[1] == 4
+
+
+def test_example_06_integration_accuracy():
+    errors, results = _load("06_integration_accuracy").main(n=10, max_iters=40)
+    assert errors["rk4 (same work as substepped(4))"] < 0.05 * errors["substepped(4)"]
+    assert all(int(r.status) == 1 for r in results.values())

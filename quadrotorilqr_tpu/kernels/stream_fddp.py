@@ -705,11 +705,13 @@ def solve_fddp_streamed(
         [dt_s, options.quu_reg, cc.rtol, cc.atol, ls.step_update, 0.0, 0.0, 0.0],
         dtype,
     )
+    from ..solver.fddp import resolve_gap_tol
+
     gscal = jnp.asarray(
         [
             fo.goldstein_frac,
             fo.goldstein_ub,
-            fo.gap_tol,
+            resolve_gap_tol(fo, dtype),
             fo.reg_init,
             fo.reg_scale_up,
             fo.reg_scale_down,

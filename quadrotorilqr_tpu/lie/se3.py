@@ -163,6 +163,169 @@ def _q_matrix(tau):
     )
 
 
+def _q_coeffs_du(theta_sq):
+    """(db/du, dc/du, de/du) — derivatives of the _q_matrix coefficient
+    functions w.r.t. u = |theta|². Same widened Taylor window as
+    so3._ljac_coeffs_du (u < 0.25: the exact branches cancel ~1/u² terms)."""
+    small = theta_sq < 0.25
+    t2 = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    u = theta_sq
+    u2 = t2 * t2
+    # b = (t-st)/t³ — identical to so3's C coefficient
+    db_exact = (0.5 * (1.0 - ct) - 1.5 * (t - st) / t) / u2
+    # c = (1 - u/2 - ct)/u²:  c' = (st/(2t) - 1/2)/u² - 2(1 - u/2 - ct)/u³
+    c_num = 1.0 - 0.5 * t2 - ct
+    dc_exact = (0.5 * st / t - 0.5) / u2 - 2.0 * c_num / (u2 * t2)
+    # e = (t - st - t³/6)/t⁵:
+    #   e' = ((1-ct)/(2t) - t/4)/t⁵ - (5/2)(t - st - t³/6)/t⁷
+    e_num = t - st - t2 * t / 6.0
+    de_exact = ((1.0 - ct) / (2.0 * t) - 0.25 * t) / (u2 * t) - 2.5 * e_num / (
+        u2 * t2 * t
+    )
+    db_taylor = (
+        -1.0 / 120.0 + u / 2520.0 - u * u / 120960.0 + u * u * u / 9979200.0
+    )
+    dc_taylor = (
+        1.0 / 720.0 - u / 20160.0 + u * u / 1209600.0 - u * u * u / 119750400.0
+    )
+    de_taylor = (
+        1.0 / 5040.0
+        - u / 181440.0
+        + u * u / 13305600.0
+        - u * u * u / 1556755200.0
+    )
+    return (
+        jnp.where(small, db_taylor, db_exact),
+        jnp.where(small, dc_taylor, dc_exact),
+        jnp.where(small, de_taylor, de_exact),
+    )
+
+
+def _q_t_jacs(tau, w):
+    """Jacobians of (rho, theta) -> Q(rho, theta)ᵀ w for a fixed w:
+    returns (D_rho, D_theta), each (...,3,3).
+
+    Every Q term has the shape coeff · A(W) V B(W) with V = hat(rho),
+    W = hat(theta); two rearrangement identities give closed forms:
+
+        ∂/∂rho  [(A V B)ᵀ w] = Bᵀ hat(Aᵀ w)             (V = hat(rho))
+        ∂/∂theta[(X Δ Y)ᵀ w] = Yᵀ hat(Xᵀ w)  per W slot (Δ = hat(δtheta))
+
+    plus the coefficient derivatives (θᵀ outer products, chain through
+    u = |theta|²). Verified against nested jax.jacfwd in tests/test_lie.py.
+    """
+    rho, theta = tau[..., 0:3], tau[..., 3:6]
+    theta_sq = jnp.sum(theta * theta, axis=-1)
+    small = theta_sq < _SMALL_ANGLE**2
+    t2 = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    b_exact = (t - st) / (t2 * t)
+    c_exact = (1.0 - 0.5 * t2 - ct) / (t2 * t2)
+    e_exact = (t - st - t2 * t / 6.0) / (t2 * t2 * t)
+    b_taylor = 1.0 / 6.0 - theta_sq / 120.0 + theta_sq * theta_sq / 5040.0
+    c_taylor = -1.0 / 24.0 + theta_sq / 720.0 - theta_sq * theta_sq / 40320.0
+    e_taylor = -1.0 / 120.0 + theta_sq / 5040.0 - theta_sq * theta_sq / 362880.0
+    b = jnp.where(small, b_taylor, b_exact)[..., None, None]
+    c = jnp.where(small, c_taylor, c_exact)[..., None, None]
+    d = c - 3.0 * jnp.where(small, e_taylor, e_exact)[..., None, None]
+    db_u, dc_u, de_u = _q_coeffs_du(theta_sq)
+    dd_u = dc_u - 3.0 * de_u
+
+    v = so3.hat(rho)
+    w_m = so3.hat(theta)
+    ww = w_m @ w_m
+    wv = w_m @ v
+    vw = v @ w_m
+    wvw = wv @ w_m
+
+    h0 = so3.hat(w)
+    ww_v = jnp.einsum("...ij,...j->...i", w_m, w)  # W w
+    w2w = jnp.einsum("...ij,...j->...i", ww, w)  # W² w
+    vw_v = jnp.einsum("...ij,...j->...i", v, w)  # V w
+    vww_v = jnp.einsum("...ij,...j->...i", vw, w)  # VW w
+    wvw_v = jnp.einsum("...ij,...j->...i", wv, w)  # WV w
+    wvww_v = jnp.einsum("...ij,...j->...i", wvw, w)  # WVW w
+    vw2w_v = jnp.einsum("...ij,...j->...i", v @ ww, w)  # VW² w
+    h1 = so3.hat(ww_v)
+    h2 = so3.hat(w2w)
+    p1 = so3.hat(vw_v)
+    h_vw = so3.hat(vww_v)
+    h_wv = so3.hat(wvw_v)
+    h_wvw = so3.hat(wvww_v)
+    h_vww = so3.hat(vw2w_v)
+
+    # --- D_rho[Qᵀw]: per-term  Bᵀ hat(Aᵀ w) ---
+    d_rho = (
+        0.5 * h0
+        + b * (-h1 - w_m @ h0 + w_m @ h1)
+        - c * (h2 + ww @ h0 - 3.0 * (w_m @ h1))
+        + 0.5 * d * (ww @ h1 + w_m @ h2)
+    )
+
+    # --- D_theta[Qᵀw]: W-slot replacements + coefficient derivatives ---
+    mat_b = -v @ h0 - p1 + wv @ h0 + h_vw
+    mat_c = vw @ h0 + v @ h1 + w_m @ p1 + h_wv - 3.0 * (wv @ h0 + h_vw)
+    mat_d = (
+        ww @ (v @ h0)
+        + w_m @ h_vw
+        + h_wvw
+        + wvw @ h0
+        + wv @ h1
+        + h_vww
+    )
+    # coefficient chain:  termᵀw ⊗ (2·dcoeff/du)·thetaᵀ
+    vb = vww_v + wvw_v - wvww_v  # (WV + VW + WVW)ᵀ w
+    vc = (
+        -jnp.einsum("...ij,...j->...i", v @ ww, w)
+        - jnp.einsum("...ij,...j->...i", ww @ v, w)
+        + 3.0 * wvww_v
+    )  # (WWV + VWW - 3WVW)ᵀ w
+    vd = jnp.einsum(
+        "...ij,...j->...i", ww @ vw, w
+    ) + jnp.einsum("...ij,...j->...i", w_m @ (v @ ww), w)  # (WVWW + WWVW)ᵀ w
+
+    def outer(vec, scal2):
+        return scal2[..., None, None] * vec[..., :, None] * theta[..., None, :]
+
+    d_theta = (
+        b * mat_b
+        - c * mat_c
+        + 0.5 * d * mat_d
+        + outer(vb, 2.0 * db_u)
+        - outer(vc, 2.0 * dc_u)
+        - outer(vd, dd_u)
+    )
+    return d_rho, d_theta
+
+
+def left_jacobian_t_jac(tau, w):
+    """Jacobian of tau -> Jl_SE3(tau)ᵀ w for a fixed 6-cotangent w:
+    (...,6) x (...,6) -> (...,6,6), [i,j] = ∂(Jlᵀw)_i/∂tau_j.
+
+    Jl_SE3ᵀ = [[Jlθᵀ, 0], [Qᵀ, Jlθᵀ]] so rows 0:3 depend only on theta and
+    rows 3:6 collect the Q and Jlθ pieces. The analytic-DDP curvature
+    primitive (solver/ddp.vfxx_analytic); verified against nested
+    jax.jacfwd in tests/test_lie.py."""
+    rho, theta = tau[..., 0:3], tau[..., 3:6]
+    w_r, w_t = w[..., 0:3], w[..., 3:6]
+    top_t = so3.left_jacobian_t_jac(theta, w_r)
+    dq_r, dq_t = _q_t_jacs(tau, w_r)
+    bot_t = dq_t + so3.left_jacobian_t_jac(theta, w_t)
+    zero = jnp.zeros_like(top_t)
+    top = jnp.concatenate([zero, top_t], axis=-1)
+    bot = jnp.concatenate([dq_r, bot_t], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def right_jacobian_t_jac(tau, w):
+    """Jacobian of tau -> Jr_SE3(tau)ᵀ w = Jl_SE3(-tau)ᵀ w: chain rule
+    gives -D[Jlᵀw](-tau)."""
+    return -left_jacobian_t_jac(-tau, w)
+
+
 def _block66(a, q, d):
     """Assemble [[a, q], [0, d]] from (...,3,3) blocks."""
     zero = jnp.zeros_like(a)

@@ -193,6 +193,62 @@ def _ljacinv_coeff(theta_sq):
     return jnp.where(small, d_taylor, d_exact)
 
 
+def _ljac_coeffs_du(theta_sq):
+    """(dB/du, dC/du) with u = |theta|² — derivatives of the Jl coefficient
+    functions w.r.t. the SQUARED angle (B, C are analytic in u, so these are
+    single-valued and branchless).
+
+    Used by the analytic curvature primitives (`left_jacobian_t_jac`): the
+    exact branches subtract two ~1/u² terms, so the Taylor window is WIDER
+    than the value helpers' (u < 0.25, i.e. theta < 0.5 rad, with 4 terms —
+    both branches agree to ~1e-12 f64 / ~3e-6 f32 at the crossover)."""
+    small = theta_sq < 0.25
+    t2 = _safe(theta_sq, small)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    u = theta_sq
+    # B = (1-cos t)/u:  B' = sin(t)/(2t³) - (1-cos t)/u²
+    db_exact = (0.5 * t * st - (1.0 - ct)) / (t2 * t2)
+    # C = (t-sin t)/t³:  C' = (1-cos t)/(2u²) - (3/2)(t-sin t)/t⁵
+    dc_exact = (0.5 * (1.0 - ct) - 1.5 * (t - st) / t) / (t2 * t2)
+    db_taylor = -1.0 / 24.0 + u / 360.0 - u * u / 13440.0 + u * u * u / 907200.0
+    dc_taylor = (
+        -1.0 / 120.0 + u / 2520.0 - u * u / 120960.0 + u * u * u / 9979200.0
+    )
+    return (
+        jnp.where(small, db_taylor, db_exact),
+        jnp.where(small, dc_taylor, dc_exact),
+    )
+
+
+def left_jacobian_t_jac(theta, w):
+    """Jacobian of theta -> Jl_SO3(theta)ᵀ w, for a FIXED cotangent w:
+    (...,3) x (...,3) -> (...,3,3) with [i,j] = ∂(Jlᵀw)_i/∂theta_j.
+
+    Closed form (Jlᵀw = w - B·theta×w + C·theta×(theta×w), B/C the
+    coefficient functions of u = |theta|²):
+
+        D = B·ŵ - 2B'·(theta×w)thetaᵀ + 2C'·(theta×(theta×w))thetaᵀ
+            - C·(hat(theta×w) + hat(theta)ŵ)
+
+    This is the one genuinely new primitive behind the analytic DDP
+    curvature (solver/ddp.py `vfxx_analytic`): the second differential of
+    the exp chart, contracted with a value gradient. Verified against
+    nested jax.jacfwd in tests/test_lie.py."""
+    theta_sq = jnp.sum(theta * theta, axis=-1)
+    b, c = _ljac_coeffs(theta_sq)
+    db, dc = _ljac_coeffs_du(theta_sq)
+    tw = jnp.cross(theta, w)
+    ttw = jnp.cross(theta, tw)
+    hw = hat(w)
+    return (
+        b[..., None, None] * hw
+        - (2.0 * db)[..., None, None] * tw[..., :, None] * theta[..., None, :]
+        + (2.0 * dc)[..., None, None] * ttw[..., :, None] * theta[..., None, :]
+        - c[..., None, None] * (hat(tw) + hat(theta) @ hw)
+    )
+
+
 def _eye3(like):
     eye = jnp.eye(3, dtype=like.dtype)
     return jnp.broadcast_to(eye, like.shape[:-1] + (3, 3))

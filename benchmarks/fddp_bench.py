@@ -38,6 +38,7 @@ from quadrotorilqr_tpu.parallel.batch import (  # noqa: E402
 )
 from quadrotorilqr_tpu.solver.batched import (  # noqa: E402
     solve_batch_fddp,
+    solve_batch_fddp_refine,
     solve_batch_latency,
 )
 from quadrotorilqr_tpu.solver.fddp import FDDPOptions  # noqa: E402
@@ -151,6 +152,30 @@ def main():
             lambda p, c, t: solve_batch_fddp(
                 p, c, t, DT_S, options, fddp_options=fddp_opts,
                 interpret=INTERPRET,
+            ),
+            params, cost, trajs,
+        ),
+        # compacted two-phase: stragglers (the ~6% of lanes that consume
+        # the deep half of the budget, spread over every tile) are permuted
+        # into 2-3 leading tiles after phase 1 and resumed exactly
+        bench_engine(
+            "fddp_kernel_refine",
+            lambda p, c, t: solve_batch_fddp_refine(
+                p, c, t, DT_S, options, fddp_options=fddp_opts,
+                phase1_iters=int(os.environ.get("QILQR_BENCH_PHASE1", 14)),
+                interpret=INTERPRET,
+            ),
+            params, cost, trajs,
+        ),
+        # the best-measured solver configuration on every scenario family
+        # (benchmarks/solvers_bench.py): FDDP robustness + DDP's exact
+        # curvature, at kernel speed since round 3 (analytic curvature in
+        # the Riccati stage — backward._vfxx_lanes)
+        bench_engine(
+            "fddp_ddp_kernel",
+            lambda p, c, t: solve_batch_fddp(
+                p, c, t, DT_S, options, fddp_options=fddp_opts,
+                interpret=INTERPRET, ddp=True,
             ),
             params, cost, trajs,
         ),

@@ -128,8 +128,77 @@ def _jx_vec(x, p, t, g, m):
     )
 
 
-def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
-    """(dx, c_x, c_xx, du) for one stage (cost.hh:36-61 in lane layout)."""
+def _sym_lanes(m):
+    return 0.5 * (m + L.transpose(m))
+
+
+def _ad_cot_lanes(w):
+    """C(w) with wᵀ ad_u y = uᵀ C(w) y on se(3) (solver/ddp.py
+    _ad_cotangent_matrix in lane layout): (6, B) -> (6, 6, B)."""
+    hr = L.hat(w[0:3])
+    ht = L.hat(w[3:6])
+    zero = jnp.zeros_like(hr)
+    return L.block2x2(zero, -hr, -hr, -ht)
+
+
+def _cxx_corr_lanes(tau_p, w_inv, z6):
+    """(exact c_xx − Gauss-Newton c_xx) pose block (6, 6, B)
+    (solver/ddp.cxx_curvature_correction in lane layout): the curvature of
+    the Lie (-) residual, from the pose residual tau_p, the GN weight
+    W = Jr(tau_p)⁻¹ and z = (Q dx)[0:6]."""
+    w_inv_t = L.transpose(w_inv)
+    w_tilde = L.matvec(w_inv_t, z6)
+    c_w = _ad_cot_lanes(w_tilde)
+    t_hat = L.transpose(L.se3_right_jacobian_t_jac(tau_p, w_tilde))
+    inner = L.matmul(w_inv_t, L.matmul(t_hat, w_inv))
+    return -(_sym_lanes(c_w) + 2.0 * _sym_lanes(inner))
+
+
+def _vfxx_lanes(dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk):
+    """Σᵢ (v_x)ᵢ f_xx[i] (12, 12, B) — solver/ddp.vfxx_analytic in lane
+    layout, reusing the j_x blocks already in registers: p_blk =
+    Adj(Exp(-dt v)), t_blk = dt·Jr(dt v) (backward._stage_jx_blocks), so
+    ½dt·AᵀCJr = ½ p_blkᵀ C t_blk and dt²·½JrᵀCJr = ½ t_blkᵀ C t_blk."""
+    b = quat.shape[-1]
+    dtype = quat.dtype
+    w_p = v_x[0:6]
+    c_w = _ad_cot_lanes(w_p)
+    c_t = L.matmul(c_w, t_blk)
+    g_ps = 0.5 * L.matmul(L.transpose(p_blk), c_t)
+    t_hat = L.transpose(L.se3_right_jacobian_t_jac(dt * vel, w_p))
+    g_ss = _sym_lanes(
+        0.5 * L.matmul(L.transpose(t_blk), c_t) + (dt * dt) * t_hat
+    )
+
+    ez = jnp.concatenate(
+        [jnp.zeros((2, b), dtype), jnp.ones((1, b), dtype)], axis=0
+    )
+    r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+    w_lin = v_x[6:9]
+    wr = L.dot_lanes(w_lin, r_t_ez)  # (1, B)
+    g_grav = (-0.5 * dt) * g * (
+        jnp.expand_dims(w_lin, 1) * jnp.expand_dims(r_t_ez, 0)
+        + jnp.expand_dims(r_t_ez, 1) * jnp.expand_dims(w_lin, 0)
+        - 2.0 * wr[None] * L.eye(3, quat)
+    )
+
+    y = L.matvec(iinv_l, v_x[9:12])
+    hy = L.hat(y)
+    g_gyro = dt * (L.matmul(hy, i_l) - L.matmul(i_l, hy))
+
+    z33 = jnp.zeros((3, 3, b), dtype)
+    g_pp = L.block2x2(z33, z33, z33, g_grav)
+    g_ss = g_ss + L.block2x2(z33, z33, z33, g_gyro)
+    return L.block2x2(g_pp, g_ps, L.transpose(g_ps), g_ss)
+
+
+def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l, exact=False):
+    """(dx, c_x, c_xx, du) for one stage (cost.hh:36-61 in lane layout).
+
+    `exact=True` (static) replaces the Gauss-Newton c_xx with the EXACT
+    state Hessian — GN plus the curvature of the Lie (-) residual in the
+    pose block (_cxx_corr_lanes) — matching solver/ddp.stage_curvatures'
+    nested-autodiff c_xx for the DDP kernel paths."""
     qd_inv, td_inv = L.se3_inverse(dq, dt_r)
     qr, tr = L.se3_multiply(qd_inv, td_inv, quat, trans)
     tau_p = L.se3_log(qr, tr)
@@ -145,9 +214,13 @@ def _stage_cost_diffs(quat, trans, v, u, dq, dt_r, dv, du_d, q_l):
     qjd = jnp.concatenate(
         [L.matmul(q_l[:, 0:6], w), q_l[:, 6:12]], axis=1
     )  # (12, 12, B)
-    c_xx = 2.0 * jnp.concatenate(
-        [L.matmul(w_t, qjd[0:6]), qjd[6:12]], axis=0
-    )
+    top = 2.0 * L.matmul(w_t, qjd[0:6])  # (6, 12, B)
+    if exact:
+        corr = _cxx_corr_lanes(tau_p, w, qdx[0:6])
+        top = jnp.concatenate(
+            [top[:, 0:6] + corr, top[:, 6:12]], axis=1
+        )
+    c_xx = jnp.concatenate([top, 2.0 * qjd[6:12]], axis=0)
     du = u - du_d
     return dx, c_x, c_xx, du
 
@@ -196,6 +269,7 @@ def _riccati_stage(
     ju_lo_row=8,
     box=None,
     w=None,
+    ddp=False,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -213,9 +287,20 @@ def _riccati_stage(
     `w` (a (1, B) lane row or None) multiplies this stage's FULL cost
     contribution (costs/quadratic.stage_weights semantics): c_x/c_xx/c_u
     and the 2R term of Quu scale by w; quu_reg does not. w=None skips the
-    multiplies — bit-identical to before."""
+    multiplies — bit-identical to before.
+
+    `ddp=True` (static) adds the full-DDP exact curvature
+    (solver/ddp.py semantics, analytic instead of nested-jacfwd): the
+    exact cost Hessian (_stage_cost_diffs exact=True) and the
+    v_x-contracted dynamics curvature _vfxx_lanes into Q_xx. The incoming
+    `v_x` is the gradient the curvature is weighted by — the FDDP kernels
+    pass the gap-TRANSPORTED v_x_eff, matching the XLA path
+    (solver/fddp._backward_from_derivs). f_uu = f_ux = 0 exactly for this
+    model family, so Q_u/Q_uu/Q_xu and the gain solve are untouched."""
     p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
-    _, c_x, c_xx, du = _stage_cost_diffs(quat, trans, vel, u, dq, dtr, dv, du_d, q_l)
+    _, c_x, c_xx, du = _stage_cost_diffs(
+        quat, trans, vel, u, dq, dtr, dv, du_d, q_l, exact=ddp
+    )
     if w is not None:
         c_x = w * c_x
         c_xx = w * c_xx
@@ -236,6 +321,10 @@ def _riccati_stage(
     q_u = c_u + L.matvec(jut_lo, v_x[lo:12])
     vxx_jx = _mat_jx(v_xx, *blocks)
     q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
+    if ddp:
+        q_xx = q_xx + _vfxx_lanes(
+            dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk
+        )
     vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
     q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
     q_xu = _jxt_mat(vxx_ju, *blocks)

@@ -21,32 +21,46 @@ interpret parity with vmap(solve_fddp) is the contract
 (tests/test_fddp_fused.py).
 
 Per-trip structure (all scratch in VMEM, loop bounds static — Mosaic
-cannot lower vector-carry while_loops, same mapping as kernels/solve.py):
+cannot lower vector-carry while_loops, same mapping as kernels/solve.py).
+Round 3 fused the round-2 kernel's five sweeps per trip into at most
+backward + line-search probes (the robust-mode efficiency item,
+VERDICT r2 #1) — per-lane VALUES are unchanged, only sweep structure:
 
-  * defects: forward sweep d_k = f(x_k, u_k) (-) x_{k+1} into an (N, 12)
-    per-lane scratch + the per-lane max|d| feasibility gap;
-  * backward pass: the SHARED Riccati stage (backward._riccati_stage) with
-    the FDDP value transport v_x_eff = v_x + V_xx d_k as its incoming
-    gradient and the per-lane quu_reg + mu row as its regularization;
-  * quadratic model: one forward recursion p' = J_x p + J_u w + d,
-    w = k + K p, accumulating dJ(alpha) = alpha L1 + alpha^2 L2 exactly
-    (solver/fddp._backward_from_derivs's fwd scan); J_x products reuse the
-    block-sparse helpers (backward._jx_vec);
-  * line search: per-lane backtracking with GAP-CONTRACTING rollouts
-    (x' = f(x, u) (+) (-(1-alpha) d)) and the Goldstein band
-    (actual <= gf*dJ when dJ <= 0, actual <= gub*dJ when dJ > 0) — no
-    trip-0 forced step (that is an exact-loop special, ilqr.hh:71-73);
-  * close: accepted lanes merge the candidate and decay mu; rejected lanes
-    keep the trajectory and raise mu (terminal LINE_SEARCH_FAILED at
-    reg_max); CONVERGED requires an accepted step whose PRE-update gap is
-    already below gap_tol plus the cost criterion (ilqr.hh:196-205) — a
-    converged lane is always dynamically feasible.
+  * fused merge + defects + backward (ONE reverse sweep): the previous
+    trip's accepted candidates merge lazily (persisted _TAKE row), then
+    the stage defect d_n = f(x_n, u_n) (-) x_{n+1} — stage-independent,
+    so it rides the reverse sweep (stage n+1 merges before stage n's
+    defect reads it) — then the SHARED Riccati stage
+    (backward._riccati_stage) with the FDDP value transport
+    v_x_eff = v_x + V_xx d_n and the per-lane quu_reg + mu row. On a
+    RETRY trip (no lane accepted) merge+defects are SKIPPED per tile:
+    the trajectory is unchanged, so d_ref and the cached _GAP row are
+    still exact — the round-2 kernel provably recomputed identical
+    values;
+  * line search: per-lane Goldstein backtracking with GAP-CONTRACTING
+    rollouts (x' = f(x, u) (+) (-(1-alpha) d)); probe 0 (all active
+    lanes pend) additionally carries the exact quadratic model
+    p' = J_x p + J_u w + d, dJ(alpha) = alpha L1 + alpha^2 L2
+    (solver/fddp._backward_from_derivs's fwd scan) through the SAME
+    forward sweep, persisting L1/L2 in state rows — the round-2 kernel
+    paid a separate full sweep for it. No trip-0 forced step (that is
+    an exact-loop special, ilqr.hh:71-73);
+  * close: accepted lanes commit the candidate COST and decay mu (the
+    trajectory merge is deferred — next trip's fused sweep, or the final
+    merge after the trip loop); rejected lanes keep everything and raise
+    mu (terminal LINE_SEARCH_FAILED at reg_max); CONVERGED requires an
+    accepted step whose PRE-update gap is already below gap_tol plus the
+    cost criterion (ilqr.hh:196-205) — a converged lane is always
+    dynamically feasible.
 
 `limits=(lo, hi)` swaps the stage gain solve for the projected-Newton
 box-QP and clamps every rollout control (solve_fddp(limits=...)
 semantics — robust solving under rotor saturation at kernel speed).
-Not in this kernel: ddp=True (exact curvature needs f_xx tensors — routed
-to the XLA path by solver/batched.solve_batch_fddp); horizons beyond the
+`ddp=True` runs the full-DDP exact curvature inside the kernel via the
+ANALYTIC closed forms (backward._vfxx_lanes / _cxx_corr_lanes — the lane
+mirror of solver/ddp.py's nested-jacfwd tensors; both exact, so f64
+parity holds) — the best-measured solver configuration on every scenario
+family (benchmarks/solvers_bench.py) at kernel speed. Horizons beyond the
 VMEM budget route to the streamed variant (kernels/stream_fddp.py).
 """
 
@@ -73,9 +87,13 @@ from .rollout import _state_minus
 from .solve import MAX_HORIZON
 
 # rows of the per-lane solver-state scratch tile (kernels/solve.py layout
-# plus the per-lane adaptive Levenberg mu in the spare row)
-_COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC, _MU = range(8)
-_STATE_ROWS = 8  # one f32 sublane tile
+# plus the per-lane adaptive Levenberg mu, the deferred-merge mask, the
+# cached feasibility gap, and the per-trip quadratic-model coefficients)
+(
+    _COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC, _MU,
+    _TAKE, _GAP, _L1, _L2,
+) = range(12)
+_STATE_ROWS = 16  # two f32 sublane tiles (12 live rows + pad)
 
 
 def max_horizon_for_fddp(u_dim):
@@ -132,12 +150,14 @@ def _fddp_trip_close(
 ):
     """Post-line-search cost commit, per-lane Levenberg schedule
     (solver/fddp.py retry_body), and convergence/status/iteration
-    bookkeeping. The caller must have merged accepted candidates into the
-    live trajectory FIRST (merge masks differ between the VMEM and streamed
-    kernels). Returns the count of still-open lanes for the caller's
-    all-done SMEM flag."""
+    bookkeeping. The accepted-candidate merge may happen BEFORE this close
+    (the streamed kernel's apply sweep) or be DEFERRED to the next trip's
+    fused backward sweep via the persisted _TAKE row (the VMEM kernel).
+    Returns (still-open lane count, accepted lane count) for the caller's
+    all-done / defects-stale SMEM flags."""
     accepted = get(_ACCEPTED) > 0.5
     take = jnp.logical_and(active, accepted)
+    put(_TAKE, take.astype(dtype))
     best_cost = get(_BESTC)
     put(_COST, jnp.where(take, best_cost, current))
 
@@ -174,7 +194,10 @@ def _fddp_trip_close(
     done2 = jnp.logical_or(done, jnp.logical_or(post_conv, terminal))
     put(_DONE, done2.astype(dtype))
     put(_ITERS, get(_ITERS) + active.astype(dtype))
-    return jnp.sum(jnp.logical_not(done2).astype(dtype))
+    return (
+        jnp.sum(jnp.logical_not(done2).astype(dtype)),
+        jnp.sum(take.astype(dtype)),
+    )
 
 
 def _fddp_kernel(
@@ -184,6 +207,7 @@ def _fddp_kernel(
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights active (w_ref read)
     use_box,  # static: control limits active (lo/hi refs read)
+    ddp,  # static: exact-DDP curvature in the Riccati stage + quad model
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
     gscal_ref,  # SMEM (8,): [goldstein_frac, goldstein_ub, gap_tol,
     #             reg_init, reg_scale_up, reg_scale_down, reg_min, reg_max]
@@ -206,6 +230,9 @@ def _fddp_kernel(
     iinv_ref,  # (3, 3, Bt)
     lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
     hi_ref,  # (u, Bt) upper bounds
+    imu_ref,  # (1, Bt) initial per-lane Levenberg mu (zeros = fresh solve)
+    istat_ref,  # (1, Bt) initial STATUS_* codes (nonzero lanes are FROZEN)
+    iiter_ref,  # (1, Bt) initial iteration counts (resume continues them)
     oq_ref,  # out (N, 4, Bt): final trajectory (doubles as the live one)
     ot_ref,
     ov_ref,
@@ -213,6 +240,7 @@ def _fddp_kernel(
     ocost_ref,  # out (1, Bt)
     oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
     ostat_ref,  # out (1, Bt) f32 STATUS_* codes
+    omu_ref,  # out (1, Bt): final per-lane mu (feeds a later resume)
     ks_ref,  # scratch (N, u, Bt)
     bigks_ref,  # scratch (N, u, 12, Bt)
     bq_ref,  # scratch (N, 4, Bt): best line-search candidate
@@ -220,8 +248,9 @@ def _fddp_kernel(
     bv_ref,  # scratch (N, 6, Bt)
     bu_ref,  # scratch (N, u, Bt)
     d_ref,  # scratch (N, 12, Bt): multiple-shooting defects
-    st_ref,  # scratch (8, Bt): per-lane solver state rows
-    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+    st_ref,  # scratch (_STATE_ROWS, Bt): per-lane solver state rows
+    flag_ref,  # scratch SMEM (3,): [all_done, ls_pending_count,
+    #            defects_stale (some lane accepted last trip / trip 0)]
 ):
     dt = fscal_ref[0]
     quu_reg_floor = fscal_ref[1]
@@ -277,12 +306,21 @@ def _fddp_kernel(
         )
         return w_ref[n] * c if use_weights else c
 
-    # --- init: live trajectory lives in the output refs ---
+    # --- init: live trajectory lives in the output refs; resume state
+    # (mu / status / iters — zeros for a fresh solve) seeds the lane rows.
+    # Resuming needs NO other state: the committed cost is bit-equal to the
+    # stage-sum of the (merged) output trajectory, defects/gap recompute on
+    # the first trip (stale flag), and _TAKE starts clear because a phase
+    # boundary always follows the final merge. ---
     oq_ref[:] = q_ref[:]
     ot_ref[:] = t_ref[:]
     ov_ref[:] = v_ref[:]
     ou_ref[:] = u_ref[:]
     st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    put(_MU, imu_ref[:])
+    put(_STATUS, istat_ref[:])
+    put(_ITERS, iiter_ref[:])
+    put(_DONE, (istat_ref[:] != 0.0).astype(dtype))
 
     # FDDP always seeds from the true (possibly infeasible) trajectory cost
     # (solver/fddp.py cost0) — there is no trip-0 forced step to hide it.
@@ -291,38 +329,72 @@ def _fddp_kernel(
 
     put(_COST, jax.lax.fori_loop(0, n_stages, cseed, zeros1))
 
-    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+    flag_ref[0] = jnp.where(  # all_done (a fully-frozen resumed tile skips)
+        jnp.sum((istat_ref[:] == 0.0).astype(dtype)) > 0.5,
+        jnp.zeros((), dtype),
+        jnp.ones((), dtype),
+    )
+    flag_ref[2] = jnp.ones((), dtype)  # defects stale (trip 0 computes them)
 
     def trip(i, tok):
         @pl.when(flag_ref[0] < 0.5)
         def _():
-            # ---- defects + feasibility gap (solver/fddp.defects) ----
-            def dstage(n, gapc):
-                qn, tn, vn = lane_model.dynamics_step(
-                    dt, g1, m_inv, extra, i_l, iinv_l, ez,
-                    oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
-                )
-                dk = _state_minus(
-                    qn, tn, vn, oq_ref[n + 1], ot_ref[n + 1], ov_ref[n + 1]
-                )
-                d_ref[n] = dk
-                return jnp.maximum(
-                    gapc, jnp.max(jnp.abs(dk), axis=0, keepdims=True)
-                )
-
-            gap = jax.lax.fori_loop(0, n_stages - 1, dstage, zeros1)
-            d_ref[n_stages - 1] = jnp.zeros((12, bt), dtype)
-
             current = get(_COST)
             done = get(_DONE) > 0.5
             active = jnp.logical_not(done)
             mu = get(_MU)
             quu_reg = quu_reg_floor + mu  # (1, bt): per-lane Levenberg
+            # the PREVIOUS trip's accepted lanes: their candidates are
+            # merged lazily inside the backward sweep below (one fused
+            # sweep instead of a separate merge pass + defect pass)
+            take = get(_TAKE) > 0.5
 
-            # ---- gap-transported backward pass (fddp.backward_pass_fddp) ----
+            @pl.when(flag_ref[2] > 0.5)
+            def _():
+                put(_GAP, zeros1)
+
+            # ---- fused merge + defects + gap-transported backward pass.
+            # The defect d_n = f(x_n, u_n) (-) x_{n+1} is stage-independent
+            # (solver/fddp.defects is a map, not a recursion), so it rides
+            # the REVERSE Riccati sweep: stage n+1 is merged before stage
+            # n's defect reads it. A trip with no prior accepts (mu retry)
+            # skips merge+defects entirely — the trajectory is unchanged,
+            # so d_ref and the cached _GAP row are still exact
+            # (the round-2 kernel recomputed both every trip). ----
             def bstage(idx, carry):
                 n = n_stages - 1 - idx
                 v_x, v_xx = carry
+
+                @pl.when(flag_ref[2] > 0.5)
+                def _():
+                    oq_ref[n] = jnp.where(take, bq_ref[n], oq_ref[n])
+                    ot_ref[n] = jnp.where(take, bt_ref[n], ot_ref[n])
+                    ov_ref[n] = jnp.where(take, bv_ref[n], ov_ref[n])
+                    ou_ref[n] = jnp.where(take, bu_ref[n], ou_ref[n])
+
+                    @pl.when(n < n_stages - 1)
+                    def _():
+                        qn, tn, vn = lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                            oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
+                        )
+                        dk = _state_minus(
+                            qn, tn, vn,
+                            oq_ref[n + 1], ot_ref[n + 1], ov_ref[n + 1],
+                        )
+                        d_ref[n] = dk
+                        put(
+                            _GAP,
+                            jnp.maximum(
+                                get(_GAP),
+                                jnp.max(jnp.abs(dk), axis=0, keepdims=True),
+                            ),
+                        )
+
+                    @pl.when(n == n_stages - 1)
+                    def _():
+                        d_ref[n] = jnp.zeros((12, bt), dtype)
+
                 # first-order value transport across the gap (FDDP): only
                 # the linear terms q_x/q_u see the transported gradient
                 v_x_eff = v_x + L.matvec(v_xx, d_ref[n])
@@ -334,6 +406,7 @@ def _fddp_kernel(
                     ju_lo_row=lo,
                     box=box,
                     w=w_ref[n] if use_weights else None,
+                    ddp=ddp,
                 )
                 ks_ref[n] = k
                 bigks_ref[n] = big_k
@@ -344,18 +417,60 @@ def _fddp_kernel(
                 jnp.zeros((12, 12, bt), dtype),
             )
             jax.lax.fori_loop(0, n_stages, bstage, binit)
+            gap = get(_GAP)
 
-            # ---- exact quadratic line-search model (fddp fwd scan):
-            # dx_k = alpha p_k, du_k = alpha w_k, both exactly linear in
-            # alpha => dJ(alpha) = alpha L1 + alpha^2 L2 ----
-            def qmstage(n, carry):
-                p, l1, l2 = carry
+            # ---- Goldstein line search with gap-contracting rollouts.
+            # Probe 0 (every active lane pends) additionally carries the
+            # exact quadratic model p' = J_x p + J_u w + d,
+            # dJ(alpha) = alpha L1 + alpha^2 L2 (fddp fwd scan) through the
+            # SAME forward sweep — the round-2 kernel paid a separate pass
+            # for it; its L1/L2 persist in state rows for later probes. ----
+            put(_ALPHA, jnp.ones((1, bt), dtype))
+            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_BESTC, current)
+            flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            def rollout_stage(n, quat, trans, vel, c, alpha, pending):
+                """One gap-contracting rollout stage (fddp.rollout_gap) +
+                candidate write; returns the next state and running cost."""
+                dx = _state_minus(
+                    quat, trans, vel, oq_ref[n], ot_ref[n], ov_ref[n]
+                )
+                u = (
+                    ou_ref[n]
+                    + alpha * ks_ref[n]
+                    + L.matvec(bigks_ref[n], dx)
+                )
+                if use_box:
+                    u = jnp.clip(u, lo_ref[:], hi_ref[:])
+                c = c + stage_cost(quat, trans, vel, u, n)
+                bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
+                bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
+                bv_ref[n] = jnp.where(pending, vel, bv_ref[n])
+                bu_ref[n] = jnp.where(pending, u, bu_ref[n])
+                qn, tn, vn = lane_model.dynamics_step(
+                    dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                    quat, trans, vel, u,
+                )
+                # a step of length alpha closes an alpha-fraction of the gap
+                tau = -(1.0 - alpha) * d_ref[n]
+                qe, te = L.se3_exp(tau[0:6])
+                qn, tn = L.se3_multiply(qn, tn, qe, te)
+                vn = vn + tau[6:12]
+                return qn, tn, vn, c
+
+            def rstage0(n, carry):
+                quat, trans, vel, c, p, l1, l2 = carry
+                # quadratic model from the LIVE trajectory (not the carry)
                 blocks = _stage_jx_blocks(
                     dt, g2, ov_ref[n], oq_ref[n], i_l, iinv_l
                 )
+                # with ddp, L2 quadratizes through the EXACT c_xx — same
+                # as the XLA fwd scan consuming the ddp derivative bundle
                 _, c_x, c_xx, du = _stage_cost_diffs(
                     oq_ref[n], ot_ref[n], ov_ref[n], ou_ref[n],
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n], q_l,
+                    exact=ddp,
                 )
                 r2w = r2_l
                 if use_weights:
@@ -373,18 +488,25 @@ def _fddp_kernel(
                 p2 = jnp.concatenate(
                     [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)], axis=0
                 )
-                return (p2 + d_ref[n], l1, l2)
+                quat, trans, vel, c = rollout_stage(
+                    n, quat, trans, vel, c, get(_ALPHA), active
+                )
+                return (quat, trans, vel, c, p2 + d_ref[n], l1, l2)
 
-            _, l1, l2 = jax.lax.fori_loop(
-                0, n_stages, qmstage,
-                (jnp.zeros((12, bt), dtype), zeros1, zeros1),
+            rinit0 = (
+                oq_ref[0], ot_ref[0], ov_ref[0], zeros1,
+                jnp.zeros((12, bt), dtype), zeros1, zeros1,
             )
-
-            # ---- Goldstein line search with gap-contracting rollouts ----
-            put(_ALPHA, jnp.ones((1, bt), dtype))
-            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
-            put(_BESTC, current)
-            flag_ref[1] = jnp.sum(active.astype(dtype))
+            _, _, _, cand_cost, _, l1, l2 = jax.lax.fori_loop(
+                0, n_stages, rstage0, rinit0
+            )
+            put(_L1, l1)
+            put(_L2, l2)
+            still_pending = _goldstein_probe_commit(
+                get, put, gf, gub, ls_step, active, current, l1, l2,
+                cand_cost, active, jnp.zeros((1, bt), bool), get(_ALPHA),
+            )
+            flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
             def ls_trip(j, tok2):
                 @pl.when(flag_ref[1] > 0.5)
@@ -395,76 +517,62 @@ def _fddp_kernel(
 
                     def rstage(n, carry):
                         quat, trans, vel, c = carry
-                        dx = _state_minus(
-                            quat, trans, vel, oq_ref[n], ot_ref[n], ov_ref[n]
+                        return rollout_stage(
+                            n, quat, trans, vel, c, alpha, pending
                         )
-                        u = (
-                            ou_ref[n]
-                            + alpha * ks_ref[n]
-                            + L.matvec(bigks_ref[n], dx)
-                        )
-                        if use_box:
-                            u = jnp.clip(u, lo_ref[:], hi_ref[:])
-                        c = c + stage_cost(quat, trans, vel, u, n)
-                        bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
-                        bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
-                        bv_ref[n] = jnp.where(pending, vel, bv_ref[n])
-                        bu_ref[n] = jnp.where(pending, u, bu_ref[n])
-                        qn, tn, vn = lane_model.dynamics_step(
-                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
-                            quat, trans, vel, u,
-                        )
-                        # gap contraction: a step of length alpha closes an
-                        # alpha-fraction of every gap (fddp.rollout_gap)
-                        tau = -(1.0 - alpha) * d_ref[n]
-                        qe, te = L.se3_exp(tau[0:6])
-                        qn, tn = L.se3_multiply(qn, tn, qe, te)
-                        vn = vn + tau[6:12]
-                        return (qn, tn, vn, c)
 
                     rinit = (oq_ref[0], ot_ref[0], ov_ref[0], zeros1)
                     _, _, _, cand_cost = jax.lax.fori_loop(
                         0, n_stages, rstage, rinit
                     )
 
-                    still_pending = _goldstein_probe_commit(
-                        get, put, gf, gub, ls_step, active, current, l1, l2,
-                        cand_cost, pending, accepted, alpha,
+                    still = _goldstein_probe_commit(
+                        get, put, gf, gub, ls_step, active, current,
+                        get(_L1), get(_L2), cand_cost, pending, accepted,
+                        alpha,
                     )
-                    flag_ref[1] = jnp.sum(still_pending.astype(dtype))
+                    flag_ref[1] = jnp.sum(still.astype(dtype))
 
                 return tok2
 
-            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+            jax.lax.fori_loop(1, ls_max_iters, ls_trip, 0)
 
-            # ---- close: merge ACCEPTED lanes only (a rejected trip keeps
-            # the trajectory — the next trip is the adaptive-mu retry) ----
-            take = jnp.logical_and(active, get(_ACCEPTED) > 0.5)
-
-            def mstage(n, tok3):
-                oq_ref[n] = jnp.where(take, bq_ref[n], oq_ref[n])
-                ot_ref[n] = jnp.where(take, bt_ref[n], ot_ref[n])
-                ov_ref[n] = jnp.where(take, bv_ref[n], ov_ref[n])
-                ou_ref[n] = jnp.where(take, bu_ref[n], ou_ref[n])
-                return tok3
-
-            jax.lax.fori_loop(0, n_stages, mstage, 0)
-
-            n_open = _fddp_trip_close(
+            # ---- close: the accepted-candidate merge is DEFERRED to the
+            # next trip's fused backward sweep (or the final merge below);
+            # a rejected trip keeps the trajectory and the next trip is the
+            # adaptive-mu retry, skipping merge+defects ----
+            n_open, n_take = _fddp_trip_close(
                 get, put, conv, dtype, active, done, current, mu, gap,
                 gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
             )
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )
+            flag_ref[2] = jnp.where(
+                n_take > 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
 
         return tok
 
     jax.lax.fori_loop(0, max_iters, trip, 0)
 
+    # the LAST trip's accepted candidates were never merged by a following
+    # sweep — apply them once
+    take = get(_TAKE) > 0.5
+
+    def mstage(n, tok3):
+        oq_ref[n] = jnp.where(take, bq_ref[n], oq_ref[n])
+        ot_ref[n] = jnp.where(take, bt_ref[n], ot_ref[n])
+        ov_ref[n] = jnp.where(take, bv_ref[n], ov_ref[n])
+        ou_ref[n] = jnp.where(take, bu_ref[n], ou_ref[n])
+        return tok3
+
+    jax.lax.fori_loop(0, n_stages, mstage, 0)
+
     ocost_ref[:] = get(_COST)
     oiter_ref[:] = get(_ITERS)
     ostat_ref[:] = get(_STATUS)
+    omu_ref[:] = get(_MU)
 
 
 @functools.partial(
@@ -477,6 +585,7 @@ def _fddp_kernel(
         "lane_model",
         "use_weights",
         "use_box",
+        "ddp",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -504,6 +613,9 @@ def _fddp_call(
     inertia_inv,
     lo,
     hi,
+    imu,
+    istat,
+    iiter,
     n,
     batch,
     max_iters,
@@ -511,6 +623,7 @@ def _fddp_call(
     lane_model,
     use_weights,
     use_box,
+    ddp,
     cost_batched,
     params_batched,
     interpret,
@@ -537,9 +650,9 @@ def _fddp_call(
     )
     kernel = functools.partial(
         _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights,
-        use_box,
+        use_box, ddp,
     )
-    oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, omu = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -564,6 +677,9 @@ def _fddp_call(
             param_block((3, 3)),
             box_block,
             box_block,
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
         ],
         out_specs=[
             lane_block((n, 4)),
@@ -573,12 +689,14 @@ def _fddp_call(
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
+            lane_block((1,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
             jax.ShapeDtypeStruct((n, 3, batch), dtype),
             jax.ShapeDtypeStruct((n, 6, batch), dtype),
             jax.ShapeDtypeStruct((n, u, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
@@ -592,7 +710,7 @@ def _fddp_call(
             pltpu.VMEM((n, u, TILE), dtype),
             pltpu.VMEM((n, 12, TILE), dtype),
             pltpu.VMEM((_STATE_ROWS, TILE), dtype),
-            pltpu.SMEM((2,), dtype),
+            pltpu.SMEM((3,), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -620,8 +738,11 @@ def _fddp_call(
         inertia_inv,
         lo,
         hi,
+        imu,
+        istat,
+        iiter,
     )
-    return oq, ot, ov, ou, ocost, oiter, ostat
+    return oq, ot, ov, ou, ocost, oiter, ostat, omu
 
 
 def solve_fddp_fused(
@@ -634,14 +755,29 @@ def solve_fddp_fused(
     interpret=False,
     model=None,
     limits=None,
+    ddp=False,
+    initial_mu=None,
+    initial_status=None,
+    initial_iters=None,
+    return_mu=False,
 ):
     """Whole-solve single-kernel FDDP for (B, N, ...) trajectories, B a
-    multiple of 128. Same inputs as solver/fddp.solve_fddp (`ddp=True` is
-    NOT supported here — use solver/batched.solve_batch_fddp, which routes
-    it to the XLA path). `limits=(lo, hi)` runs the box-QP stage + clamped
-    gap rollouts (solve_fddp(limits=...) semantics). Returns the
-    batch-engine tuple layout:
-    (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32)."""
+    multiple of 128. Same inputs as solver/fddp.solve_fddp. `ddp=True`
+    runs the full-DDP exact curvature inside the kernel (ANALYTIC
+    closed-form — solver/ddp.vfxx_analytic / cxx_curvature_correction in
+    lane layout — where the XLA path uses nested jacfwd tensors; both are
+    exact, so lane-for-lane f64 parity holds, tests/test_fddp_fused.py).
+    `limits=(lo, hi)` runs the box-QP stage + clamped gap rollouts
+    (solve_fddp(limits=...) semantics). Returns the batch-engine tuple
+    layout: (Trajectory, cost (B,), iterations (B,) i32, status (B,) i32).
+
+    `initial_mu` / `initial_status` / `initial_iters` ((B,) arrays) resume
+    an interrupted solve exactly: lanes whose initial status != 0 are
+    FROZEN (all-frozen tiles skip every trip), pending lanes continue their
+    Levenberg schedule and iteration count against this call's max_iters
+    budget. `return_mu=True` appends the final per-lane mu to the tuple —
+    the compacted two-phase driver (solver/batched.solve_batch_fddp_refine)
+    threads it between phases."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.fddp import FDDPOptions
@@ -698,7 +834,12 @@ def solve_fddp_fused(
         dtype,
     )
 
-    oq, ot, ov, ou, ocost, oiter, ostat = _fddp_call(
+    def lane_row(a):
+        if a is None:
+            return jnp.zeros((1, batch), dtype)
+        return jnp.asarray(a, dtype).reshape(1, batch)
+
+    oq, ot, ov, ou, ocost, oiter, ostat, omu = _fddp_call(
         fscal,
         gscal,
         _to_lanes(traj.states.pose.quat),
@@ -720,6 +861,9 @@ def solve_fddp_fused(
         inertia_inv,
         lo,
         hi,
+        lane_row(initial_mu),
+        lane_row(initial_status),
+        lane_row(initial_iters),
         n,
         batch,
         int(cc.max_iters),
@@ -727,6 +871,7 @@ def solve_fddp_fused(
         lm,
         use_weights,
         use_box,
+        ddp,
         cost_batched,
         params_batched,
         interpret,
@@ -741,9 +886,10 @@ def solve_fddp_fused(
         ),
         controls=jnp.moveaxis(ou, -1, 0),
     )
-    return (
+    out = (
         new_traj,
         ocost[0],
         oiter[0].astype(jnp.int32),
         ostat[0].astype(jnp.int32),
     )
+    return out + (omu[0],) if return_mu else out

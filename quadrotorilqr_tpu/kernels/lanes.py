@@ -416,3 +416,186 @@ def se3_left_jacobian_inv(tau):
     q = se3_q_matrix(tau)
     zero = jnp.zeros_like(jlinv)
     return block2x2(jlinv, -matmul(matmul(jlinv, q), jlinv), zero, jlinv)
+
+
+# ---------------------------------------------------------------------------
+# analytic D[Jᵀw] curvature primitives (lie/{so3,se3}.py *_jacobian_t_jac in
+# lane layout — the exp chart's second differential contracted with a fixed
+# cotangent; foundation of the kernel-side exact-DDP curvature)
+# ---------------------------------------------------------------------------
+
+
+def _ljac_coeffs_du(theta_sq):
+    """(dB/du, dC/du), u = |theta|² (lie/so3.py _ljac_coeffs_du: widened
+    u < 0.25 Taylor window — the exact branches cancel ~1/u² terms)."""
+    small = theta_sq < 0.25
+    t2 = _safe(theta_sq, small)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    u = theta_sq
+    db_exact = (0.5 * t * st - (1.0 - ct)) / (t2 * t2)
+    dc_exact = (0.5 * (1.0 - ct) - 1.5 * (t - st) / t) / (t2 * t2)
+    db_taylor = -1.0 / 24.0 + u / 360.0 - u * u / 13440.0 + u * u * u / 907200.0
+    dc_taylor = (
+        -1.0 / 120.0 + u / 2520.0 - u * u / 120960.0 + u * u * u / 9979200.0
+    )
+    return (
+        jnp.where(small, db_taylor, db_exact),
+        jnp.where(small, dc_taylor, dc_exact),
+    )
+
+
+def _outer(vec, other):
+    """Per-lane outer product: (r, B) x (c, B) -> (r, c, B)."""
+    return jnp.expand_dims(vec, 1) * jnp.expand_dims(other, 0)
+
+
+def so3_left_jacobian_t_jac(theta, w):
+    """D_theta[Jl_SO3(theta)ᵀ w] (lie/so3.py left_jacobian_t_jac):
+    (3, B) x (3, B) -> (3, 3, B)."""
+    theta_sq = dot_lanes(theta, theta)
+    b, c = _ljac_coeffs(theta_sq)
+    db, dc = _ljac_coeffs_du(theta_sq)
+    tw = cross(theta, w)
+    ttw = cross(theta, tw)
+    hw = hat(w)
+    return (
+        b[None] * hw
+        - (2.0 * db)[None] * _outer(tw, theta)
+        + (2.0 * dc)[None] * _outer(ttw, theta)
+        - c[None] * (hat(tw) + matmul(hat(theta), hw))
+    )
+
+
+def _q_coeffs_du(theta_sq):
+    """(db/du, dc/du, de/du) for the Q-matrix coefficients
+    (lie/se3.py _q_coeffs_du; same widened Taylor window)."""
+    small = theta_sq < 0.25
+    t2 = _safe(theta_sq, small)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    u = theta_sq
+    u2 = t2 * t2
+    db_exact = (0.5 * (1.0 - ct) - 1.5 * (t - st) / t) / u2
+    c_num = 1.0 - 0.5 * t2 - ct
+    dc_exact = (0.5 * st / t - 0.5) / u2 - 2.0 * c_num / (u2 * t2)
+    e_num = t - st - t2 * t / 6.0
+    de_exact = ((1.0 - ct) / (2.0 * t) - 0.25 * t) / (u2 * t) - 2.5 * e_num / (
+        u2 * t2 * t
+    )
+    db_taylor = (
+        -1.0 / 120.0 + u / 2520.0 - u * u / 120960.0 + u * u * u / 9979200.0
+    )
+    dc_taylor = (
+        1.0 / 720.0 - u / 20160.0 + u * u / 1209600.0 - u * u * u / 119750400.0
+    )
+    de_taylor = (
+        1.0 / 5040.0
+        - u / 181440.0
+        + u * u / 13305600.0
+        - u * u * u / 1556755200.0
+    )
+    return (
+        jnp.where(small, db_taylor, db_exact),
+        jnp.where(small, dc_taylor, dc_exact),
+        jnp.where(small, de_taylor, de_exact),
+    )
+
+
+def _se3_q_t_jacs(tau, w):
+    """(D_rho[Qᵀw], D_theta[Qᵀw]) (lie/se3.py _q_t_jacs in lane layout):
+    each (3, 3, B)."""
+    rho, theta = tau[0:3], tau[3:6]
+    theta_sq = dot_lanes(theta, theta)
+    small = theta_sq < _SMALL_ANGLE**2
+    t2 = _safe(theta_sq, small)
+    t = jnp.sqrt(t2)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    b_exact = (t - st) / (t2 * t)
+    c_exact = (1.0 - 0.5 * t2 - ct) / (t2 * t2)
+    e_exact = (t - st - t2 * t / 6.0) / (t2 * t2 * t)
+    b_taylor = 1.0 / 6.0 - theta_sq / 120.0 + theta_sq * theta_sq / 5040.0
+    c_taylor = -1.0 / 24.0 + theta_sq / 720.0 - theta_sq * theta_sq / 40320.0
+    e_taylor = -1.0 / 120.0 + theta_sq / 5040.0 - theta_sq * theta_sq / 362880.0
+    b = jnp.where(small, b_taylor, b_exact)[None]
+    c = jnp.where(small, c_taylor, c_exact)[None]
+    d = c - 3.0 * jnp.where(small, e_taylor, e_exact)[None]
+    db_u, dc_u, de_u = _q_coeffs_du(theta_sq)
+    dd_u = dc_u - 3.0 * de_u
+
+    v = hat(rho)
+    w_m = hat(theta)
+    ww = matmul(w_m, w_m)
+    wv = matmul(w_m, v)
+    vw = matmul(v, w_m)
+    wvw = matmul(wv, w_m)
+
+    h0 = hat(w)
+    ww_v = matvec(w_m, w)
+    w2w = matvec(ww, w)
+    vw_v = matvec(v, w)
+    vww_v = matvec(vw, w)
+    wvw_v = matvec(wv, w)
+    wvww_v = matvec(wvw, w)
+    vw2w_v = matvec(matmul(v, ww), w)
+    h1 = hat(ww_v)
+    h2 = hat(w2w)
+    p1 = hat(vw_v)
+    h_vw = hat(vww_v)
+    h_wv = hat(wvw_v)
+    h_wvw = hat(wvww_v)
+    h_vww = hat(vw2w_v)
+
+    d_rho = (
+        0.5 * h0
+        + b * (-h1 - matmul(w_m, h0) + matmul(w_m, h1))
+        - c * (h2 + matmul(ww, h0) - 3.0 * matmul(w_m, h1))
+        + 0.5 * d * (matmul(ww, h1) + matmul(w_m, h2))
+    )
+
+    mat_b = -matmul(v, h0) - p1 + matmul(wv, h0) + h_vw
+    mat_c = (
+        matmul(vw, h0)
+        + matmul(v, h1)
+        + matmul(w_m, p1)
+        + h_wv
+        - 3.0 * (matmul(wv, h0) + h_vw)
+    )
+    mat_d = (
+        matmul(ww, matmul(v, h0))
+        + matmul(w_m, h_vw)
+        + h_wvw
+        + matmul(wvw, h0)
+        + matmul(wv, h1)
+        + h_vww
+    )
+    vb = vww_v + wvw_v - wvww_v
+    vc = -matvec(matmul(v, ww), w) - matvec(matmul(ww, v), w) + 3.0 * wvww_v
+    vd = matvec(matmul(ww, vw), w) + matvec(matmul(w_m, matmul(v, ww)), w)
+
+    d_theta = (
+        b * mat_b
+        - c * mat_c
+        + 0.5 * d * mat_d
+        + (2.0 * db_u)[None] * _outer(vb, theta)
+        - (2.0 * dc_u)[None] * _outer(vc, theta)
+        - dd_u[None] * _outer(vd, theta)
+    )
+    return d_rho, d_theta
+
+
+def se3_left_jacobian_t_jac(tau, w):
+    """D_tau[Jl_SE3(tau)ᵀ w] (lie/se3.py left_jacobian_t_jac):
+    (6, B) x (6, B) -> (6, 6, B)."""
+    theta = tau[3:6]
+    w_r, w_t = w[0:3], w[3:6]
+    top_t = so3_left_jacobian_t_jac(theta, w_r)
+    dq_r, dq_t = _se3_q_t_jacs(tau, w_r)
+    bot_t = dq_t + so3_left_jacobian_t_jac(theta, w_t)
+    zero = jnp.zeros_like(top_t)
+    return block2x2(zero, top_t, dq_r, bot_t)
+
+
+def se3_right_jacobian_t_jac(tau, w):
+    """D_tau[Jr_SE3(tau)ᵀ w] = -D[Jlᵀw](-tau) (lie/se3.py)."""
+    return -se3_left_jacobian_t_jac(-tau, w)

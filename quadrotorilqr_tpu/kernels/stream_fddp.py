@@ -57,8 +57,12 @@ from .fddp import (
     _BESTC,
     _COST,
     _DONE,
+    _GAP,
     _ITERS,
+    _L1,
+    _L2,
     _MU,
+    _STATE_ROWS,
     _STATUS,
     _fddp_trip_close,
     _goldstein_probe_commit,
@@ -72,7 +76,6 @@ from .stream import (
     traj_rows,
 )
 
-_STATE_ROWS = 8
 DEFECT_ROWS = 16  # ceil8(12): packed defect rows (d 0:12 | pad)
 
 
@@ -85,6 +88,7 @@ def _stream_fddp_kernel(
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights ride the desired stream
     use_box,  # static: control limits active (lo/hi refs read)
+    ddp,  # static: exact-DDP curvature in the Riccati stage + quad model
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
     gscal_ref,  # SMEM (8,): [gf, gub, gap_tol, reg_init, up, down, min, max]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory
@@ -99,19 +103,23 @@ def _stream_fddp_kernel(
     iinv_ref,  # (3, 3, Bt)
     lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
     hi_ref,  # (u, Bt) upper bounds
+    imu_ref,  # (1, Bt) initial per-lane Levenberg mu (zeros = fresh solve)
+    istat_ref,  # (1, Bt) initial STATUS_* codes (nonzero lanes are FROZEN)
+    iiter_ref,  # (1, Bt) initial iteration counts (resume continues them)
     live_ref,  # out HBM (N, TR, B): live/final packed trajectory
     gains_ref,  # out HBM (N, GR, TILE): per-tile gains scratch (reused)
     defs_ref,  # out HBM (N, 16, TILE): per-tile defects scratch (reused)
     ocost_ref,  # out VMEM (1, Bt)
     oiter_ref,  # out VMEM (1, Bt) f32 (cast by the wrapper)
     ostat_ref,  # out VMEM (1, Bt) f32 STATUS_* codes
+    omu_ref,  # out VMEM (1, Bt): final per-lane mu (feeds a later resume)
     tbuf,  # scratch VMEM (W, TR, TILE): trajectory window
     dbuf,  # scratch VMEM (W, DR, TILE): desired window
     gbuf,  # scratch VMEM (W, GR, TILE): gains window
     fbuf,  # scratch VMEM (W, 16, TILE): defects window
-    brow,  # scratch VMEM (1, 16, TILE): boundary-defect row
-    st_ref,  # scratch VMEM (8, TILE): per-lane solver state rows
-    flag_ref,  # scratch SMEM (2,): [all_done, ls_pending_count]
+    st_ref,  # scratch VMEM (_STATE_ROWS, TILE): per-lane solver state rows
+    flag_ref,  # scratch SMEM (3,): [all_done, ls_pending_count,
+    #            defects_stale (some lane accepted last trip / trip 0)]
     sems,  # DMA semaphores (6,)
 ):
     tile = pl.program_id(0)
@@ -251,6 +259,10 @@ def _stream_fddp_kernel(
         0,
     ).wait()
     st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    put(_MU, imu_ref[:])
+    put(_STATUS, istat_ref[:])
+    put(_ITERS, iiter_ref[:])
+    put(_DONE, (istat_ref[:] != 0.0).astype(dtype))
 
     def cchunk(s, w, c):
         load_stages(s, w)
@@ -263,167 +275,162 @@ def _stream_fddp_kernel(
 
     put(_COST, sweep(cchunk, zeros1))
 
-    flag_ref[0] = jnp.zeros((), dtype)  # all_done
+    flag_ref[0] = jnp.where(  # all_done (a fully-frozen resumed tile skips)
+        jnp.sum((istat_ref[:] == 0.0).astype(dtype)) > 0.5,
+        jnp.zeros((), dtype),
+        jnp.ones((), dtype),
+    )
+    flag_ref[2] = jnp.ones((), dtype)  # defects stale (trip 0 computes them)
 
     def trip(i, tok):
         @pl.when(flag_ref[0] < 0.5)
         def _():
-            # ---- defects + feasibility gap (solver/fddp.defects) ----------
-            # each chunk: ONE boundary defect (stage s-1, from the previous
-            # chunk's dynamics carry) through brow, then the interior
-            # defects (stages s..s+w-2, static width w-1) through fbuf;
-            # d_{N-1} = 0 is stored after the sweep.
-            def dchunk(s, w, carry):
-                pq, pt, pv, gap = carry
-                load_stages(s, w)
-                row0 = tbuf[0]
-                q0, t0, v0, _ = unpack(row0)
-                db = _state_minus(pq, pt, pv, q0, t0, v0)  # d_{s-1}
-                brow[0] = pack_defect(db)
-
-                @pl.when(s > 0)
-                def _():
-                    copy(brow, defs_ref.at[pl.ds(s - 1, 1)], 5).wait()
-
-                gap = jnp.where(
-                    s > 0,
-                    jnp.maximum(gap, jnp.max(jnp.abs(db), axis=0, keepdims=True)),
-                    gap,
-                )
-
-                def dstage(j, cr):
-                    # interior defect d_{s+j} = f(x_{s+j}, u_{s+j}) (-) x_{s+j+1}
-                    gap2 = cr
-                    quat, trans, vel, u = unpack(tbuf[j])
-                    nq, nt, nv = lane_model.dynamics_step(
-                        dt, g1, m_inv, extra, i_l, iinv_l, ez,
-                        quat, trans, vel, u,
-                    )
-                    q1, t1, v1, _ = unpack(tbuf[j + 1])
-                    dk = _state_minus(nq, nt, nv, q1, t1, v1)
-                    fbuf[j] = pack_defect(dk)
-                    return jnp.maximum(
-                        gap2, jnp.max(jnp.abs(dk), axis=0, keepdims=True)
-                    )
-
-                gap = jax.lax.fori_loop(0, w - 1, dstage, gap) if w > 1 else gap
-                if w > 1:
-                    copy(
-                        fbuf.at[pl.ds(0, w - 1)], defs_ref.at[pl.ds(s, w - 1)], 4
-                    ).wait()
-                # dynamics carry across the chunk boundary: f(x_{s+w-1}, ...)
-                quat, trans, vel, u = unpack(tbuf[w - 1])
-                nq, nt, nv = lane_model.dynamics_step(
-                    dt, g1, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
-                )
-                return (nq, nt, nv, gap)
-
-            dinit = (
-                jnp.zeros((4, bt), dtype),
-                jnp.zeros((3, bt), dtype),
-                jnp.zeros((6, bt), dtype),
-                zeros1,
-            )
-            *_, gap = sweep(dchunk, dinit)
-            brow[0] = jnp.zeros((DEFECT_ROWS, bt), dtype)
-            copy(brow, defs_ref.at[pl.ds(n_stages - 1, 1)], 5).wait()
-
             current = get(_COST)
             done = get(_DONE) > 0.5
             active = jnp.logical_not(done)
             mu = get(_MU)
             quu_reg = quu_reg_floor + mu  # (1, bt): per-lane Levenberg
 
-            # ---- gap-transported backward sweep (kernels/fddp.py) ---------
+            @pl.when(flag_ref[2] > 0.5)
+            def _():
+                put(_GAP, zeros1)
+
+            # ---- fused defects + gap-transported backward sweep (reverse).
+            # Fresh trips (some lane accepted last trip / trip 0) recompute
+            # the stage defects INSIDE the reverse Riccati sweep (the
+            # round-2 kernel paid a separate forward sweep): the defect
+            # d_n = f(x_n, u_n) (-) x_{n+1} is stage-independent; interior
+            # stages read the in-window successor row, the chunk-boundary
+    	    # stage reads the carried first-row state of the (higher) chunk
+            # processed just before, and d_{N-1} = 0. Retry trips (no lane
+            # accepted — the trajectory is unchanged) skip the recompute and
+            # reuse defs_ref + the cached _GAP row (VERDICT r2 #1).
             def bchunk(s, w, carry):
+                v_x, v_xx, pbq, pbt, pbv = carry
                 load_stages(s, w, with_defs=True)
+                q0, t0, v0, _ = unpack(tbuf[0])
+
+                @pl.when(flag_ref[2] > 0.5)
+                def _():
+                    def dstage(j, tok2):
+                        quat, trans, vel, u = unpack(tbuf[j])
+                        nq, nt, nv = lane_model.dynamics_step(
+                            dt, g1, m_inv, extra, i_l, iinv_l, ez,
+                            quat, trans, vel, u,
+                        )
+                        in_w = j < (w - 1)
+                        j1 = jnp.minimum(j + 1, w - 1)
+                        sq, st2, sv, _ = unpack(tbuf[j1])
+                        sq = jnp.where(in_w, sq, pbq)
+                        st2 = jnp.where(in_w, st2, pbt)
+                        sv = jnp.where(in_w, sv, pbv)
+                        dk = _state_minus(nq, nt, nv, sq, st2, sv)
+                        last = (s + j) == (n_stages - 1)
+                        dk = jnp.where(last, jnp.zeros_like(dk), dk)
+                        fbuf[j] = pack_defect(dk)
+                        put(
+                            _GAP,
+                            jnp.maximum(
+                                get(_GAP),
+                                jnp.max(jnp.abs(dk), axis=0, keepdims=True),
+                            ),
+                        )
+                        return tok2
+
+                    jax.lax.fori_loop(0, w, dstage, 0)
+                    copy(
+                        fbuf.at[pl.ds(0, w)], defs_ref.at[pl.ds(s, w)], 4
+                    ).wait()
 
                 def bstage(j, cr):
                     idx = w - 1 - j
-                    v_x, v_xx = cr
+                    v_x2, v_xx2 = cr
                     quat, trans, vel, u = unpack(tbuf[idx])
                     dq, dtr, dv, du = unpack(dbuf[idx])
-                    v_x_eff = v_x + L.matvec(v_xx, fbuf[idx, 0:12])
-                    k, big_k, v_x2, v_xx2, _, _ = _riccati_stage(
+                    v_x_eff = v_x2 + L.matvec(v_xx2, fbuf[idx, 0:12])
+                    k, big_k, v_x3, v_xx3, _, _ = _riccati_stage(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
-                        quat, trans, vel, u, dq, dtr, dv, du, v_x_eff, v_xx,
+                        quat, trans, vel, u, dq, dtr, dv, du, v_x_eff, v_xx2,
                         ju_lo_row=lo,
                         box=box,
                         w=stage_weight(dbuf[idx]) if use_weights else None,
+                        ddp=ddp,
                     )
                     gbuf[idx, 0:u_dim] = k
                     for r in range(u_dim):
                         gbuf[idx, u_dim + 12 * r : u_dim + 12 * r + 12] = big_k[r]
-                    return (v_x2, v_xx2)
+                    return (v_x3, v_xx3)
 
-                carry = jax.lax.fori_loop(0, w, bstage, carry)
+                v_x, v_xx = jax.lax.fori_loop(0, w, bstage, (v_x, v_xx))
                 store_gains(s, w)
-                return carry
+                return (v_x, v_xx, q0, t0, v0)
 
             binit = (
                 jnp.zeros((12, bt), dtype),
                 jnp.zeros((12, 12, bt), dtype),
+                jnp.zeros((4, bt), dtype),
+                jnp.zeros((3, bt), dtype),
+                jnp.zeros((6, bt), dtype),
             )
             sweep(bchunk, binit, reverse=True)
+            gap = get(_GAP)
 
-            # ---- exact quadratic line-search model (forward sweep) --------
-            def qmchunk(s, w, carry):
-                load_stages(s, w, with_gains=True, with_defs=True)
-
-                def qmstage(j, cr):
-                    p, l1, l2 = cr
-                    quat, trans, vel, u = unpack(tbuf[j])
-                    drow = dbuf[j]
-                    dq, dtr, dv, du_d = unpack(drow)
-                    blocks = _stage_jx_blocks(dt, g2, vel, quat, i_l, iinv_l)
-                    _, c_x, c_xx, du = _stage_cost_diffs(
-                        quat, trans, vel, u, dq, dtr, dv, du_d, q_l
-                    )
-                    r2w = r2_l
-                    if use_weights:
-                        wrow = stage_weight(drow)
-                        c_x = wrow * c_x
-                        c_xx = wrow * c_xx
-                        r2w = wrow * r2_l
-                    c_u = L.matvec(r2w, du)
-                    grow = gbuf[j]
-                    wv = grow[0:u_dim] + feedback(grow, p)
-                    l1 = l1 + L.dot_lanes(c_x, p) + L.dot_lanes(c_u, wv)
-                    l2 = l2 + 0.5 * (
-                        L.dot_lanes(p, L.matvec(c_xx, p))
-                        + L.dot_lanes(wv, L.matvec(r2w, wv))
-                    )
-                    p2 = _jx_vec(p, *blocks)
-                    p2 = jnp.concatenate(
-                        [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)], axis=0
-                    )
-                    return (p2 + fbuf[j, 0:12], l1, l2)
-
-                return jax.lax.fori_loop(0, w, qmstage, carry)
-
-            _, l1, l2 = sweep(
-                qmchunk, (jnp.zeros((12, bt), dtype), zeros1, zeros1)
-            )
-
-            # ---- rollout sweep (cost-only probes + the apply sweep) -------
-            def rollout_sweep(alpha, write_mask):
+            # ---- rollout sweep (cost-only probes + the apply sweep); the
+            # FIRST probe additionally carries the exact quadratic model
+            # p' = J_x p + J_u w + d, dJ(alpha) = alpha L1 + alpha^2 L2
+            # through the same forward sweep (the round-2 kernel paid a
+            # separate pass), persisting L1/L2 in state rows ----------------
+            def rollout_sweep(alpha, write_mask, with_qm=False):
                 def rchunk(s, w, carry):
                     load_stages(s, w, with_gains=True, with_defs=True)
 
                     def rstage(j, cr):
-                        quat, trans, vel, c = cr
+                        if with_qm:
+                            quat, trans, vel, c, p, l1, l2 = cr
+                        else:
+                            quat, trans, vel, c = cr
                         row = tbuf[j]
                         oq, ot, ov, ou = unpack(row)
+                        drow = dbuf[j]
+                        grow = gbuf[j]
+                        if with_qm:
+                            # quadratic model from the LIVE trajectory row
+                            dq, dtr, dv, du_d = unpack(drow)
+                            blocks = _stage_jx_blocks(
+                                dt, g2, ov, oq, i_l, iinv_l
+                            )
+                            _, c_x, c_xx, duv = _stage_cost_diffs(
+                                oq, ot, ov, ou, dq, dtr, dv, du_d, q_l,
+                                exact=ddp,
+                            )
+                            r2w = r2_l
+                            if use_weights:
+                                wrow = stage_weight(drow)
+                                c_x = wrow * c_x
+                                c_xx = wrow * c_xx
+                                r2w = wrow * r2_l
+                            c_u = L.matvec(r2w, duv)
+                            wv = grow[0:u_dim] + feedback(grow, p)
+                            l1 = l1 + L.dot_lanes(c_x, p) + L.dot_lanes(c_u, wv)
+                            l2 = l2 + 0.5 * (
+                                L.dot_lanes(p, L.matvec(c_xx, p))
+                                + L.dot_lanes(wv, L.matvec(r2w, wv))
+                            )
+                            p2 = _jx_vec(p, *blocks)
+                            p2 = jnp.concatenate(
+                                [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)],
+                                axis=0,
+                            )
+                            p = p2 + fbuf[j, 0:12]
                         first = (s + j) == 0
                         quat = jnp.where(first, oq, quat)
                         trans = jnp.where(first, ot, trans)
                         vel = jnp.where(first, ov, vel)
                         dx = _state_minus(quat, trans, vel, oq, ot, ov)
-                        grow = gbuf[j]
                         u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
                         if use_box:
                             u = jnp.clip(u, lo_ref[:], hi_ref[:])
-                        c = c + stage_cost(quat, trans, vel, u, dbuf[j])
+                        c = c + stage_cost(quat, trans, vel, u, drow)
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
                             tbuf[j, 4:7] = jnp.where(write_mask, trans, ot)
@@ -440,6 +447,8 @@ def _stream_fddp_kernel(
                         qe, te = L.se3_exp(tau[0:6])
                         qn, tn = L.se3_multiply(qn, tn, qe, te)
                         vn = vn + tau[6:12]
+                        if with_qm:
+                            return (qn, tn, vn, c, p, l1, l2)
                         return (qn, tn, vn, c)
 
                     carry = jax.lax.fori_loop(0, w, rstage, carry)
@@ -453,13 +462,29 @@ def _stream_fddp_kernel(
                     jnp.zeros((6, bt), dtype),
                     zeros1,
                 )
+                if with_qm:
+                    rinit = rinit + (
+                        jnp.zeros((12, bt), dtype), zeros1, zeros1,
+                    )
+                    out = sweep(rchunk, rinit)
+                    return out[3], out[5], out[6]
                 return sweep(rchunk, rinit)[3]
 
-            # ---- Goldstein line search: cost-only probes -------------------
+            # ---- Goldstein line search: cost-only probes (probe 0 fused
+            # with the quadratic model) --------------------------------------
             put(_ALPHA, jnp.ones((1, bt), dtype))
             put(_ACCEPTED, jnp.zeros((1, bt), dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
+
+            cand0, l1, l2 = rollout_sweep(get(_ALPHA), None, with_qm=True)
+            put(_L1, l1)
+            put(_L2, l2)
+            still0 = _goldstein_probe_commit(
+                get, put, gf, gub, ls_step, active, current, l1, l2,
+                cand0, active, jnp.zeros((1, bt), bool), get(_ALPHA),
+            )
+            flag_ref[1] = jnp.sum(still0.astype(dtype))
 
             def ls_trip(j, tok2):
                 @pl.when(flag_ref[1] > 0.5)
@@ -469,14 +494,15 @@ def _stream_fddp_kernel(
                     alpha = get(_ALPHA)
                     cand_cost = rollout_sweep(alpha, None)
                     still_pending = _goldstein_probe_commit(
-                        get, put, gf, gub, ls_step, active, current, l1, l2,
-                        cand_cost, pending, accepted, alpha,
+                        get, put, gf, gub, ls_step, active, current,
+                        get(_L1), get(_L2), cand_cost, pending, accepted,
+                        alpha,
                     )
                     flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
                 return tok2
 
-            jax.lax.fori_loop(0, ls_max_iters, ls_trip, 0)
+            jax.lax.fori_loop(1, ls_max_iters, ls_trip, 0)
 
             # ---- apply sweep: merge ACCEPTED lanes at their frozen alpha
             # (rejected lanes keep the trajectory for the mu retry) ---------
@@ -486,12 +512,15 @@ def _stream_fddp_kernel(
             def _():
                 rollout_sweep(get(_ALPHA), take)
 
-            n_open = _fddp_trip_close(
+            n_open, n_take = _fddp_trip_close(
                 get, put, conv, dtype, active, done, current, mu, gap,
                 gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
             )
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
+            )
+            flag_ref[2] = jnp.where(
+                n_take > 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )
 
         return tok
@@ -501,6 +530,7 @@ def _stream_fddp_kernel(
     ocost_ref[:] = get(_COST)
     oiter_ref[:] = get(_ITERS)
     ostat_ref[:] = get(_STATUS)
+    omu_ref[:] = get(_MU)
 
 
 @functools.partial(
@@ -514,6 +544,7 @@ def _stream_fddp_kernel(
         "lane_model",
         "use_weights",
         "use_box",
+        "ddp",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -534,6 +565,9 @@ def _stream_fddp_call(
     inertia_inv,
     lo,
     hi,
+    imu,
+    istat,
+    iiter,
     n,
     batch,
     max_iters,
@@ -542,6 +576,7 @@ def _stream_fddp_call(
     lane_model,
     use_weights,
     use_box,
+    ddp,
     cost_batched,
     params_batched,
     interpret,
@@ -582,8 +617,9 @@ def _stream_fddp_call(
         lane_model,
         use_weights,
         use_box,
+        ddp,
     )
-    live, _, _, ocost, oiter, ostat = pl.pallas_call(
+    live, _, _, ocost, oiter, ostat, omu = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -601,11 +637,15 @@ def _stream_fddp_call(
             param_block((3, 3)),
             box_block,
             box_block,
+            lane_block((1,)),
+            lane_block((1,)),
+            lane_block((1,)),
         ],
         out_specs=[
             hbm,
             hbm,
             hbm,
+            lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
@@ -617,15 +657,15 @@ def _stream_fddp_call(
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((w, tr, TILE), dtype),
             pltpu.VMEM((w, dr, TILE), dtype),
             pltpu.VMEM((w, gr, TILE), dtype),
             pltpu.VMEM((w, DEFECT_ROWS, TILE), dtype),
-            pltpu.VMEM((1, DEFECT_ROWS, TILE), dtype),
             pltpu.VMEM((_STATE_ROWS, TILE), dtype),
-            pltpu.SMEM((2,), dtype),
+            pltpu.SMEM((3,), dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -648,8 +688,11 @@ def _stream_fddp_call(
         inertia_inv,
         lo,
         hi,
+        imu,
+        istat,
+        iiter,
     )
-    return live, ocost, oiter, ostat
+    return live, ocost, oiter, ostat, omu
 
 
 def solve_fddp_streamed(
@@ -663,13 +706,19 @@ def solve_fddp_streamed(
     chunk=DEFAULT_CHUNK,
     model=None,
     limits=None,
+    ddp=False,
+    initial_mu=None,
+    initial_status=None,
+    initial_iters=None,
+    return_mu=False,
 ):
     """Streamed whole-solve FDDP for (B, N, ...) trajectories, B a multiple
     of 128, ANY horizon (HBM-bound). Lane-for-lane identical to
     kernels/fddp.solve_fddp_fused / vmap(solver.fddp.solve_fddp);
-    `limits=(lo, hi)` runs the box-QP stage + clamped gap rollouts; same
-    tuple layout (Trajectory, cost (B,), iterations (B,) i32, status (B,)
-    i32)."""
+    `ddp=True` adds the analytic exact-DDP curvature (see
+    kernels/fddp.solve_fddp_fused); `limits=(lo, hi)` runs the box-QP
+    stage + clamped gap rollouts; same tuple layout (Trajectory,
+    cost (B,), iterations (B,) i32, status (B,) i32)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.fddp import FDDPOptions
@@ -730,7 +779,12 @@ def solve_fddp_streamed(
         des_q, des_t, des_v, des_u, w_op if use_weights else None
     )
 
-    live, ocost, oiter, ostat = _stream_fddp_call(
+    def lane_row(a):
+        if a is None:
+            return jnp.zeros((1, batch), dtype)
+        return jnp.asarray(a, dtype).reshape(1, batch)
+
+    live, ocost, oiter, ostat, omu = _stream_fddp_call(
         fscal,
         gscal,
         traj_packed,
@@ -745,6 +799,9 @@ def solve_fddp_streamed(
         inertia_inv,
         lo_b,
         hi_b,
+        lane_row(initial_mu),
+        lane_row(initial_status),
+        lane_row(initial_iters),
         n,
         batch,
         int(cc.max_iters),
@@ -753,6 +810,7 @@ def solve_fddp_streamed(
         lm,
         use_weights,
         use_box,
+        ddp,
         cost_batched,
         params_batched,
         interpret,
@@ -766,9 +824,10 @@ def solve_fddp_streamed(
         ),
         controls=unpack(13, 13 + lm.u_dim),
     )
-    return (
+    out = (
         new_traj,
         ocost[0],
         oiter[0].astype(jnp.int32),
         ostat[0].astype(jnp.int32),
     )
+    return out + (omu[0],) if return_mu else out

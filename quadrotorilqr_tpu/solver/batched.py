@@ -455,10 +455,14 @@ def solve_batch_fddp(
     Horizons beyond the VMEM kernel's budget route to the STREAMED FDDP
     kernel (kernels/stream_fddp.py — same single-program structure,
     per-stage data DMA'd through a fixed VMEM window, any horizon).
-    `limits=(lo, hi)` runs the box-QP stage + clamped gap rollouts inside
-    the kernels. Requests no kernel can serve route to the vmapped XLA
-    path with identical semantics: `ddp=True` (exact-curvature tensors)
-    and zero-probe line searches.
+    `ddp=True` — the best-measured configuration on every scenario family
+    (benchmarks/solvers_bench.py) — runs INSIDE the kernels too: the exact
+    curvature is computed in closed form per stage (backward._vfxx_lanes /
+    _cxx_corr_lanes, the lane mirror of solver/ddp.py's nested-jacfwd
+    tensors). `limits=(lo, hi)` runs the box-QP stage + clamped gap
+    rollouts inside the kernels. Requests no kernel can serve route to the
+    vmapped XLA path with identical semantics: zero-probe line searches
+    and model families outside the LaneModel protocol.
     `options.populate_debug` is unsupported on both paths (solve_fddp
     returns debug=None)."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
@@ -470,8 +474,12 @@ def solve_batch_fddp(
         fddp_options = FDDPOptions()
     batch = initial_trajs.controls.shape[0]
     horizon = initial_trajs.controls.shape[1]
+    try:
+        lane_model = lane_model_for(params, model)
+    except TypeError:  # outside the LaneModel protocol (e.g. drag family)
+        lane_model = None
     kernel_ok = (
-        not ddp and options.line_search_params.max_iters >= 1
+        lane_model is not None and options.line_search_params.max_iters >= 1
     )
     if not kernel_ok:
         params_batched = jnp.ndim(params.mass_kg) >= 1
@@ -514,19 +522,20 @@ def solve_batch_fddp(
             fddp_options=fddp_options,
             interpret=interpret,
             model=model,
+            ddp=ddp,
             limits=_pad_limits(limits, pad_lane),
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
     engine = (
         solve_fddp_streamed
-        if horizon > max_horizon_for_fddp(lane_model_for(params, model).u_dim)
+        if horizon > max_horizon_for_fddp(lane_model.u_dim)
         else solve_fddp_fused
     )
     traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         fddp_options=fddp_options, interpret=interpret, model=model,
-        limits=limits,
+        ddp=ddp, limits=limits,
     )
     return SolveResult(
         trajectory=traj,
@@ -625,5 +634,160 @@ def solve_batch_refine(
         cost=r2.cost[inv],
         iterations=r1.iterations + r2.iterations[inv],
         status=r2.status[inv],
+        debug=None,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dt_s", "options", "fddp_options", "phase1_iters", "interpret",
+        "model", "ddp",
+    ),
+)
+def solve_batch_fddp_refine(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    fddp_options=None,
+    phase1_iters: int = 12,
+    interpret: bool = False,
+    model=None,
+    ddp: bool = False,
+    limits=None,
+) -> SolveResult:
+    """Two-phase compacted robust solve — the FDDP analog of
+    solve_batch_refine, entirely on-device:
+
+      1. phase 1 runs the full batch for `phase1_iters` trips;
+      2. lanes still pending are PERMUTED to the front (stable argsort on
+         the done flag), so the straggler population occupies the leading
+         kernel tiles;
+      3. phase 2 RESUMES exactly — the kernels take the phase-1 per-lane
+         Levenberg mu / status / iteration counts (kernels/fddp.py resume
+         rows; frozen lanes skip, all-frozen tiles skip every trip) — and
+         the committed cost is bit-equal to the stage-sum of the merged
+         trajectory, so no other state needs to cross the phase boundary;
+      4. results scatter back through the inverse permutation.
+
+    Lane-for-lane identical to a single-phase solve_batch_fddp (tested
+    exactly). The win is the straggler mass: on the aggressive-tumble
+    class ~6% of lanes consume the deep half of the budget and, spread
+    over all tiles, force nearly every tile to run it; compacted they
+    occupy 2-3 tiles. Requests the kernels cannot serve fall back to the
+    single-phase path (which routes them to XLA)."""
+    from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
+    from ..kernels.models import lane_model_for
+    from ..kernels.stream_fddp import solve_fddp_streamed
+    from .fddp import FDDPOptions
+
+    if fddp_options is None:
+        fddp_options = FDDPOptions()
+    try:
+        lane_model = lane_model_for(params, model)
+    except TypeError:
+        lane_model = None
+    cc = options.convergence_criteria
+    total = int(cc.max_iters)
+    phase1 = min(int(phase1_iters), total)
+    if (
+        lane_model is None
+        or options.line_search_params.max_iters < 1
+        or phase1 == total
+    ):
+        return solve_batch_fddp(
+            params, cost, initial_trajs, dt_s, options,
+            fddp_options=fddp_options, interpret=interpret, model=model,
+            ddp=ddp, limits=limits,
+        )
+
+    batch = initial_trajs.controls.shape[0]
+    pad = (-batch) % 128
+    if pad:
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
+            )
+
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        padded = solve_batch_fddp_refine(
+            jax.tree.map(pad_lane, params) if params_batched else params,
+            jax.tree.map(
+                lambda a, batched: pad_lane(a) if batched else a,
+                cost,
+                qc.cost_batched_flags(cost),
+            ),
+            jax.tree.map(pad_lane, initial_trajs),
+            dt_s,
+            options,
+            fddp_options=fddp_options,
+            phase1_iters=phase1_iters,
+            interpret=interpret,
+            model=model,
+            ddp=ddp,
+            limits=_pad_limits(limits, pad_lane),
+        )
+        return jax.tree.map(lambda a: a[:batch], padded)
+
+    horizon = initial_trajs.controls.shape[1]
+    engine = (
+        solve_fddp_streamed
+        if horizon > max_horizon_for_fddp(lane_model.u_dim)
+        else solve_fddp_fused
+    )
+    opts1 = replace(
+        options, convergence_criteria=replace(cc, max_iters=phase1)
+    )
+    t1, c1, i1, s1, mu1 = engine(
+        params, cost, initial_trajs, dt_s, opts1,
+        fddp_options=fddp_options, interpret=interpret, model=model,
+        ddp=ddp, limits=limits, return_mu=True,
+    )
+
+    pending = s1 == STATUS_MAX_ITERS
+    # stable: pending lanes first, original relative order preserved both
+    # ways (perm and its inverse) so results are bit-reproducible
+    perm = jnp.argsort(jnp.logical_not(pending), stable=True)
+    inv = jnp.argsort(perm, stable=True)
+
+    def g(tree):
+        return jax.tree.map(lambda a: a[perm], tree)
+
+    cost_g = jax.tree.map(
+        lambda a, batched: a[perm] if batched else a,
+        cost,
+        qc.cost_batched_flags(cost),
+    )
+    params_g = (
+        jax.tree.map(lambda a: a[perm], params)
+        if jnp.ndim(params.mass_kg) >= 1
+        else params
+    )
+    limits_g = limits
+    if limits is not None:
+        lo, hi = limits
+        permute = lambda a: (
+            jnp.asarray(a)[perm] if jnp.ndim(a) == 2 else a
+        )
+        limits_g = (permute(lo), permute(hi))
+    opts2 = replace(
+        options,
+        convergence_criteria=replace(cc, max_iters=total - phase1),
+    )
+    t2, c2, i2, s2 = engine(
+        params_g, cost_g, g(t1), dt_s, opts2,
+        fddp_options=fddp_options, interpret=interpret, model=model,
+        ddp=ddp, limits=limits_g,
+        initial_mu=mu1[perm],
+        initial_status=s1[perm],
+        initial_iters=i1[perm],
+    )
+    return SolveResult(
+        trajectory=jax.tree.map(lambda a: a[inv], t2),
+        cost=c2[inv],
+        iterations=i2[inv],
+        status=s2[inv],
         debug=None,
     )

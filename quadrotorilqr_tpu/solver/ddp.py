@@ -93,6 +93,159 @@ def stage_curvatures(params, cost, traj, dt_s, model=qm):
     return f_xx, c_xx
 
 
+def _ad_cotangent_matrix(w):
+    """C(w) with wᵀ ad_u y = uᵀ C(w) y on se(3) ([lin, ang] ordering):
+    C = [[0, -hat(w_rho)], [-hat(w_rho), -hat(w_theta)]]."""
+    from ..lie import se3 as _se3  # noqa: F401 (convention reference)
+    from ..lie import so3
+
+    hr = so3.hat(w[..., 0:3])
+    ht = so3.hat(w[..., 3:6])
+    zero = jnp.zeros_like(hr)
+    top = jnp.concatenate([zero, -hr], axis=-1)
+    bot = jnp.concatenate([-hr, -ht], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _sym(m):
+    return 0.5 * (m + jnp.swapaxes(m, -1, -2))
+
+
+def vfxx_analytic(dt_s, quat, vel, g_mpss, inertia, inertia_inv, v_x):
+    """Closed-form Σᵢ (v_x)ᵢ f_xx[i] (12,12, symmetric) for the rigid-body
+    LaneModel family (kernels/models.py: Lie-Euler pose step + velocity
+    drift [-g Rᵀe_z; -I⁻¹(ω×Iω)] + control-affine actuation, so
+    f_uu = f_ux = 0 and only this Q_xx term exists).
+
+    Derivation (verified against nested jax.jacfwd in tests/test_ddp.py):
+    the lifted step φ(τ) = f(x⊕τ, u) ⊖ f(x, u) decomposes, with
+    a = dt·vel, p = Adj(Exp(-a))τ_p, m(s) = Log(Exp(-a)Exp(a+s)),
+    s = dt·τ_v, into φ_pose = p + m(s) + ½[p, m(s)] + O(³) (BCH; exactly
+    linear in τ_p alone, so the (τ_p,τ_p) pose block vanishes) plus the
+    exact velocity-drift Hessians. Contracting with w = v_x:
+
+      * (τ_p, τ_v):   ½·dt·Adj(Exp(-a))ᵀ C(w_p) Jr(a)
+      * (τ_v, τ_v):   dt²·sym(½ Jr(a)ᵀ C(w_p) Jr(a) + D[Jr(a)ᵀw_p]ᵀ)
+                      (m'' = ½ad_{Jr s}Jr s + DJr[s]s; the ad part's
+                      quadratic form vanishes by polarization after
+                      symmetrization, leaving the se3.right_jacobian_t_jac
+                      primitive)
+      * gravity (θ,θ):   dt·(-g/2)(w̄rᵀ + rw̄ᵀ - 2(w̄·r)I₃),
+                         w̄ = v_x[6:9], r = Rᵀe_z
+      * gyroscopic (ω,ω): dt·(hat(y)I - I hat(y)),  y = I⁻¹ v_x[9:12]
+
+    This is the kernel-side DDP curvature (kernels/lanes.py mirrors it);
+    the XLA solvers keep the nested-jacfwd tensors (solver/ddp.py
+    stage_curvatures) as the independent reference implementation."""
+    from ..lie import se3, so3
+
+    dtype = vel.dtype
+    a = dt_s * vel
+    jr = se3.right_jacobian(a)
+    adj_inv = se3.adjoint(se3.inverse(se3.exp(a)))
+    w_p = v_x[..., 0:6]
+    c_w = _ad_cotangent_matrix(w_p)
+    g_ps = (0.5 * dt_s) * (
+        jnp.swapaxes(adj_inv, -1, -2) @ c_w @ jr
+    )  # (6,6) into block [0:6, 6:12]
+    t_hat = jnp.swapaxes(se3.right_jacobian_t_jac(a, w_p), -1, -2)
+    g_ss = (dt_s * dt_s) * _sym(
+        0.5 * jnp.swapaxes(jr, -1, -2) @ c_w @ jr + t_hat
+    )
+
+    ez = jnp.zeros(vel.shape[:-1] + (3,), dtype).at[..., 2].set(1.0)
+    r_t_ez = so3.quat_rotate(so3.quat_conjugate(quat), ez)
+    w_lin = v_x[..., 6:9]
+    wr = jnp.sum(w_lin * r_t_ez, axis=-1)[..., None, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    g_grav = (dt_s * (-0.5) * g_mpss) * (
+        w_lin[..., :, None] * r_t_ez[..., None, :]
+        + r_t_ez[..., :, None] * w_lin[..., None, :]
+        - 2.0 * wr * eye3
+    )
+
+    y = jnp.einsum("...ij,...j->...i", inertia_inv, v_x[..., 9:12])
+    hy = so3.hat(y)
+    g_gyro = dt_s * (hy @ inertia - inertia @ hy)
+
+    out = jnp.zeros(vel.shape[:-1] + (12, 12), dtype)
+    out = out.at[..., 0:6, 6:12].set(g_ps)
+    out = out.at[..., 6:12, 0:6].set(jnp.swapaxes(g_ps, -1, -2))
+    out = out.at[..., 6:12, 6:12].add(g_ss)
+    out = out.at[..., 3:6, 3:6].add(g_grav)
+    out = out.at[..., 9:12, 9:12].add(g_gyro)
+    return out
+
+
+def cxx_curvature_correction(tau_p, w_inv, qdx6):
+    """Closed-form (exact c_xx − Gauss-Newton c_xx): the curvature of the
+    Lie ``(-)`` residual, nonzero only in the pose block (0:6, 0:6).
+
+    With e₀ = tau_p the pose residual, J = Jr(e₀), W = J⁻¹ (the GN
+    weight matrix already computed by the cost diffs), z = (Q dx)[0:6]:
+    the residual map L(τ) = Log(Exp(e₀)Exp(τ)) has
+    L''(0) = −J⁻¹ m''(0)[J⁻¹·, J⁻¹·] (inverse-function rule on the same
+    m-map as vfxx_analytic), so
+
+        Δ = 2 zᵀL'' = −(sym(C(w̃)) + 2·sym(Wᵀ D[Jr(e₀)ᵀw̃]ᵀ W)),
+        w̃ = Wᵀ z
+
+    (the ½JᵀC(w̃)J term conjugates to exactly ½C(w̃)). Verified against
+    jax.hessian of the lifted stage cost in tests/test_ddp.py."""
+    from ..lie import se3
+
+    w_tilde = jnp.einsum("...ji,...j->...i", w_inv, qdx6)
+    c_w = _ad_cotangent_matrix(w_tilde)
+    t_hat = jnp.swapaxes(se3.right_jacobian_t_jac(tau_p, w_tilde), -1, -2)
+    inner = jnp.swapaxes(w_inv, -1, -2) @ t_hat @ w_inv
+    return -(_sym(c_w) + 2.0 * _sym(inner))
+
+
+def exact_cxx_analytic(cost, traj):
+    """Exact state Hessians for ALL N stages via the closed-form Lie
+    correction — the analytic counterpart of stage_curvatures' jax.hessian
+    c_xx, with the kernel's exact operation ORDER (Gauss-Newton blocks,
+    correction added into the pose block, stage weights applied LAST) so
+    the fused engines match lane-for-lane (kernels/backward.py
+    _stage_cost_diffs exact=True). Single scenario; (N, 12, 12)."""
+    from ..lie import se3
+
+    des = cost.desired_states
+    dx_pose = se3.minus(traj.states.pose, des.pose)  # (N, 6)
+    dx = jnp.concatenate([dx_pose, traj.states.vel - des.vel], axis=-1)
+    w_inv = se3.right_jacobian_inv(dx_pose)  # (N, 6, 6)
+    q = cost.Q
+    qdx = jnp.einsum("...ij,...nj->...ni", q, dx)
+    qjd_l = jnp.einsum("...ij,...njk->...nik", q[..., :, 0:6], w_inv)
+    qjd_r = jnp.broadcast_to(
+        q[..., None, :, 6:12], qjd_l.shape[:-1] + (6,)
+    )
+    qjd = jnp.concatenate([qjd_l, qjd_r], axis=-1)  # (N, 12, 12)
+    top = 2.0 * jnp.einsum(
+        "...nji,...njk->...nik", w_inv, qjd[..., 0:6, :]
+    )  # (N, 6, 12)
+    corr = cxx_curvature_correction(dx_pose, w_inv, qdx[..., 0:6])
+    top = jnp.concatenate(
+        [top[..., 0:6] + corr, top[..., 6:12]], axis=-1
+    )
+    c_xx = jnp.concatenate([top, 2.0 * qjd[..., 6:12, :]], axis=-2)
+    if cost.stage_weights is not None:
+        c_xx = c_xx * cost.stage_weights[..., None, None]
+    return c_xx
+
+
+def curvature_params(params, dtype):
+    """(g, inertia, inertia_inv) operands for vfxx_analytic, from any
+    rigid-body params pytree (quadrotor / multirotor / wrench — all carry
+    g_mpss + inertia)."""
+    from ..ops.linalg import chol_solve_small
+
+    inertia = jnp.asarray(params.inertia, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    inertia_inv = chol_solve_small(inertia, eye3)
+    return jnp.asarray(params.g_mpss, dtype), inertia, inertia_inv
+
+
 def backward_pass_ddp(params, cost, traj, dt_s, quu_reg=0.0, model=qm):
     """DDP Riccati recursion — drop-in replacement for
     `solver.ilqr.backward_pass` (same signature and return layout) with the

@@ -137,16 +137,48 @@ def defects(params, traj: Trajectory, dt_s, model=qm):
         return jnp.concatenate([d, zero], axis=-2)
 
 
+def _analytic_curvature_ok(params, model):
+    """Static: does the ANALYTIC exact-curvature path apply? True for the
+    rigid-body LaneModel family (the same families the fused kernels
+    serve — solver/ddp.vfxx_analytic's derivation assumes the Lie-Euler
+    pose step + [-g Rᵀe_z; -I⁻¹(ω×Iω)] drift + control-affine actuation).
+    Families outside the protocol (e.g. models/quadrotor_drag) keep the
+    model-generic nested-jacfwd tensors."""
+    from ..kernels.models import lane_model_for
+
+    try:
+        lane_model_for(params, model)
+        return True
+    except TypeError:
+        return False
+
+
 def _stage_derivs(params, cost, traj, dt_s, model, ddp):
     """Per-trajectory derivative bundle for the FDDP backward pass:
-    (j_x, j_u, c_x, c_u, c_xx, c_uu[, f_xx]). Split out so the adaptive-mu
-    retry loop pays only the O(N m^2) Riccati scan — NOT the Lie-Jacobian
-    quadratization, and (with ddp) NOT the nested-jacfwd curvature tensors,
-    which dominate the per-iteration cost and are unchanged on a rejected
-    trip (same trajectory, different mu only)."""
+    (j_x, j_u, c_x, c_u, c_xx, c_uu[, curvature aux]). Split out so the
+    adaptive-mu retry loop pays only the O(N m^2) Riccati scan — NOT the
+    Lie-Jacobian quadratization or the curvature work, which dominate the
+    per-iteration cost and are unchanged on a rejected trip (same
+    trajectory, different mu only).
+
+    With ddp on a rigid-body (LaneModel-family) problem the exact c_xx is
+    the CLOSED-FORM one (solver/ddp.exact_cxx_analytic) and the bundle
+    carries (quat, vel) per stage so the scan evaluates the analytic
+    v_x-contracted dynamics curvature inline — the same formulas, in the
+    same operation order, as the fused kernels, so kernel parity holds
+    lane-for-lane. Other model families keep the nested-jacfwd f_xx
+    tensor (solver/ddp.stage_curvatures)."""
     with jax.default_matmul_precision("highest"):
         j_x, j_u, c_x, c_u, c_xx, c_uu = quadratize(params, cost, traj, dt_s, model)
         if ddp:
+            if _analytic_curvature_ok(params, model):
+                from .ddp import exact_cxx_analytic
+
+                c_xx = exact_cxx_analytic(cost, traj)
+                return (
+                    j_x, j_u, c_x, c_u, c_xx, c_uu,
+                    traj.states.pose.quat, traj.states.vel,
+                )
             from .ddp import stage_curvatures
 
             f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
@@ -175,25 +207,42 @@ def backward_pass_fddp(
     rotor saturation. The quadratic line-search model ignores the clamp
     (it predicts the FREE-direction change); the Goldstein band absorbs
     the model error, exactly as it absorbs the gap nonlinearity."""
+    from .ddp import curvature_params
+
     derivs = _stage_derivs(params, cost, traj, dt_s, model, ddp)
+    analytic = ddp and _analytic_curvature_ok(params, model)
+    curv = curvature_params(params, traj.controls.dtype) if analytic else None
     return _backward_from_derivs(
-        derivs, traj.controls, d, quu_reg, ddp, limits
+        derivs, traj.controls, d, quu_reg, ddp, limits,
+        analytic=analytic, curv=curv, dt_s=dt_s,
     )
 
 
-def _backward_from_derivs(derivs, controls, d, quu_reg, ddp, limits):
+def _backward_from_derivs(
+    derivs, controls, d, quu_reg, ddp, limits,
+    analytic=False, curv=None, dt_s=None,
+):
     """The mu-dependent half of the FDDP backward pass (see
     backward_pass_fddp): Riccati scan + the exact quadratic model, from a
-    precomputed derivative bundle."""
+    precomputed derivative bundle. `analytic` (static) selects the
+    closed-form dynamics-curvature evaluation (curv = (g, I, I⁻¹) from
+    solver/ddp.curvature_params, with per-stage (quat, vel) in the bundle)
+    vs the precomputed f_xx tensor."""
     with jax.default_matmul_precision("highest"):
-        if ddp:
+        if ddp and analytic:
+            j_x, j_u, c_x, c_u, c_xx, c_uu, quats, vels = derivs
+        elif ddp:
             j_x, j_u, c_x, c_u, c_xx, c_uu, f_xx = derivs
         else:
             j_x, j_u, c_x, c_u, c_xx, c_uu = derivs
         box = limits is not None
         xs = [j_x, j_u, c_x, c_u, c_xx, c_uu, d]
         if ddp:
-            xs.append(f_xx)
+            if analytic:
+                xs.append(quats)
+                xs.append(vels)
+            else:
+                xs.append(f_xx)
         if box:
             from .constrained import _boxqp_gains
 
@@ -208,7 +257,13 @@ def _backward_from_derivs(derivs, controls, d, quu_reg, ddp, limits):
             v_x, v_xx = carry
             inputs = list(inputs)
             u_now = inputs.pop() if box else None
-            fxx = inputs.pop() if ddp else None
+            quat_n = vel_n = fxx = None
+            if ddp:
+                if analytic:
+                    vel_n = inputs.pop()
+                    quat_n = inputs.pop()
+                else:
+                    fxx = inputs.pop()
             jx, ju, cx, cu, cxx, cuu, dk = inputs
             # first-order value transport across the gap (FDDP)
             v_x_eff = v_x + v_xx @ dk
@@ -218,7 +273,14 @@ def _backward_from_derivs(derivs, controls, d, quu_reg, ddp, limits):
             q_x = cx + jxt @ v_x_eff
             q_u = cu + jut @ v_x_eff
             q_xx = cxx + jxt @ (v_xx @ jx)
-            if ddp:
+            if ddp and analytic:
+                from .ddp import vfxx_analytic
+
+                g_m, inertia, inertia_inv = curv
+                q_xx = q_xx + vfxx_analytic(
+                    dt_s, quat_n, vel_n, g_m, inertia, inertia_inv, v_x_eff
+                )
+            elif ddp:
                 q_xx = q_xx + jnp.einsum("i,iab->ab", v_x_eff, fxx)
             q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
             q_xu = jxt @ vxx_ju
@@ -329,6 +391,13 @@ def solve_fddp(
     """
     model = qm if model is None else model
     fo = fddp_options
+    analytic = ddp and _analytic_curvature_ok(params, model)
+    if analytic:
+        from .ddp import curvature_params
+
+        curv = curvature_params(params, initial_traj.controls.dtype)
+    else:
+        curv = None
     max_iters = int(options.convergence_criteria.max_iters)
     ls = options.line_search_params
     dtype = initial_traj.controls.dtype
@@ -400,7 +469,8 @@ def solve_fddp(
         def retry_body(rc):
             trips, mu_r, _, _, _, _ = rc
             ks, big_ks, l1, l2 = _backward_from_derivs(
-                derivs, traj.controls, d, options.quu_reg + mu_r, ddp, limits
+                derivs, traj.controls, d, options.quu_reg + mu_r, ddp, limits,
+                analytic=analytic, curv=curv, dt_s=dt_s,
             )
             t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)
             headroom = mu_r < fo.reg_max

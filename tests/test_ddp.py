@@ -261,3 +261,66 @@ def test_stage_curvatures_batch_shape():
     np.testing.assert_allclose(
         np.asarray(f_xx), np.asarray(jnp.swapaxes(f_xx, -1, -2)), atol=1e-12
     )
+
+
+class TestAnalyticCurvature:
+    """Closed-form curvature (solver/ddp.vfxx_analytic /
+    cxx_curvature_correction — the kernel-side DDP spec) vs the
+    nested-jacfwd reference tensors."""
+
+    @pytest.mark.parametrize("scale", [1e-6, 0.05, 0.7, 1.8])
+    def test_vfxx_matches_jacfwd_tensor(self, scale):
+        from quadrotorilqr_tpu.ops.linalg import chol_solve_small
+        from quadrotorilqr_tpu.solver.ddp import vfxx_analytic
+
+        params = _params()
+        dt = 0.08
+        inertia = jnp.asarray(params.inertia, F64)
+        inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=F64))
+        key = jax.random.PRNGKey(11)
+        for i in range(4):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            x = _random_state(k1, scale)
+            u = jnp.full((4,), 9.81 / 4.0, F64) + 0.3 * jax.random.normal(
+                k2, (4,), F64
+            )
+            v_x = jax.random.normal(k3, (12,), F64)
+            q_w = jnp.eye(12, dtype=F64)
+            f_xx, _ = _stage_curvature(params, q_w, x, u, x, dt, qm)
+            want = jnp.einsum("i,iab->ab", v_x, f_xx)
+            got = vfxx_analytic(
+                dt, x.pose.quat, x.vel, params.g_mpss, inertia, inertia_inv,
+                v_x,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-8, atol=1e-10
+            )
+
+    @pytest.mark.parametrize("scale", [1e-6, 0.05, 0.7, 1.8])
+    def test_cxx_correction_matches_exact_hessian(self, scale):
+        from quadrotorilqr_tpu.solver.ddp import cxx_curvature_correction
+
+        params = _params()
+        key = jax.random.PRNGKey(23)
+        q_w = jnp.diag(
+            jnp.asarray([3.0, 1.0, 2.0, 0.5, 1.5, 1.0] + [1.0] * 6, F64)
+        )
+        for i in range(4):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = _random_state(k1, scale)
+            x_d = _random_state(k2, 0.4)
+            _, c_xx_exact = _stage_curvature(
+                params, q_w, x, jnp.zeros((4,), F64), x_d, 0.08, qm
+            )
+            # Gauss-Newton pieces exactly as the cost layer computes them
+            dx_pose = se3.minus(x.pose, x_d.pose)
+            dx = jnp.concatenate([dx_pose, x.vel - x_d.vel])
+            w_inv = se3.right_jacobian_inv(dx_pose)
+            j_d = jax.scipy.linalg.block_diag(w_inv, jnp.eye(6, dtype=F64))
+            gn = 2.0 * j_d.T @ q_w @ j_d
+            qdx = q_w @ dx
+            corr = cxx_curvature_correction(dx_pose, w_inv, qdx[0:6])
+            got = gn.at[0:6, 0:6].add(corr)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(c_xx_exact), rtol=1e-8, atol=1e-10
+            )

@@ -168,3 +168,29 @@ def test_atan2_accuracy_both_dtypes():
         )
     )[0]
     np.testing.assert_allclose(got32, ref.astype(np.float32), atol=5e-7)
+
+
+def test_jacobian_t_jac_lanes():
+    """Lane D[Jᵀw] curvature primitives vs lie/{so3,se3}.py — at scales
+    spanning both coefficient-derivative branches (crossover |theta|=0.5)."""
+    rng = np.random.default_rng(7)
+    for scale in (1e-7, 0.05, 0.45, 0.55, 1.5):
+        th = _rand(rng, (B, 3), scale)
+        w3 = _rand(rng, (B, 3))
+        np.testing.assert_allclose(
+            from_lanes(L.so3_left_jacobian_t_jac(to_lanes(th), to_lanes(w3))),
+            so3.left_jacobian_t_jac(th, w3),
+            rtol=1e-12, atol=1e-12,
+        )
+        tau = _rand(rng, (B, 6), scale)
+        w6 = _rand(rng, (B, 6))
+        np.testing.assert_allclose(
+            from_lanes(L.se3_left_jacobian_t_jac(to_lanes(tau), to_lanes(w6))),
+            se3.left_jacobian_t_jac(tau, w6),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            from_lanes(L.se3_right_jacobian_t_jac(to_lanes(tau), to_lanes(w6))),
+            se3.right_jacobian_t_jac(tau, w6),
+            rtol=1e-12, atol=1e-12,
+        )

@@ -162,7 +162,12 @@ def main():
             "fddp_kernel_refine",
             lambda p, c, t: solve_batch_fddp_refine(
                 p, c, t, DT_S, options, fddp_options=fddp_opts,
-                phase1_iters=int(os.environ.get("QILQR_BENCH_PHASE1", 14)),
+                phase1_iters=tuple(
+                    int(x)
+                    for x in os.environ.get(
+                        "QILQR_BENCH_PHASE1", "8,12,16,20,25,30"
+                    ).split(",")
+                ),
                 interpret=INTERPRET,
             ),
             params, cost, trajs,

@@ -41,17 +41,26 @@ from . import lanes as L
 TILE = 128
 
 
-def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l):
+def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l, drag=None):
     """Nonzero blocks of j_x (see module docstring):
 
         j_x = [[ P (6,6)   T (6,6)                  ]
-               [ 0 | G     [[I3, 0], [0, M]]        ]]    (G at rows 6:9, cols 3:6)
+               [ 0 | G     [[Lᵈ, 0], [0, M]]        ]]    (G at rows 6:9, cols 3:6)
 
     with P = Adj(Exp(dt v))^-1, T = dt Jr_SE3(dt v), G = -dt g hat(R^T e_z),
-    M = I3 + dt D. Never materialized dense — the Riccati products below
-    exploit the sparsity (45% fewer FLOPs than 12x12 dense, and no block
-    assembly/relayout inside the scan body). `g` is scalar or (1, 1, b)
-    (per-lane gravity); `i_l`/`iinv_l` are (3, 3, b) lane tiles."""
+    M = I3 + dt D, and Lᵈ = I3 for the drag-free family. Never materialized
+    dense — the Riccati products below exploit the sparsity (45% fewer
+    FLOPs than 12x12 dense, and no block assembly/relayout inside the scan
+    body). `g` is scalar or (1, 1, b) (per-lane gravity); `i_l`/`iinv_l`
+    are (3, 3, b) lane tiles.
+
+    `drag=(dl, da)` ((3, B) lane rows: drag_lin/m and drag_ang —
+    models/quadrotor_drag.py) extends the family with body-frame diagonal
+    velocity drag: Lᵈ = I3 - dt·diag(dl) stays DIAGONAL (returned as the
+    (3, B) row l_diag; None means the exact identity and the product
+    helpers skip the multiply — bit-identical to the drag-free family),
+    and D gains the -I⁻¹ diag(da) term
+    (quadrotor_drag.continuous_dynamics_jacobians)."""
     b = quat.shape[-1]
     dtype = quat.dtype
     ez = jnp.concatenate(
@@ -61,16 +70,22 @@ def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l):
     g_blk = (-dt * g) * L.hat(r_t_ez)
     omega = v[3:6]
     i_omega = L.matvec(i_l, omega)
-    d_blk = -L.matmul(iinv_l, L.matmul(L.hat(omega), i_l) - L.hat(i_omega))
+    inner = L.matmul(L.hat(omega), i_l) - L.hat(i_omega)
+    l_diag = None
+    if drag is not None:
+        dl, da = drag
+        inner = inner + L.diag3(da)
+        l_diag = 1.0 - dt * dl  # (3, B): the diagonal of Lᵈ
+    d_blk = -L.matmul(iinv_l, inner)
     m_blk = L.eye(3, quat) + dt * d_blk
     tau = dt * v
     qe, te = L.se3_exp(tau)
     p_blk = L.se3_adjoint(*L.se3_inverse(qe, te))
     t_blk = dt * L.se3_right_jacobian(tau)
-    return p_blk, t_blk, g_blk, m_blk
+    return p_blk, t_blk, g_blk, m_blk, l_diag
 
 
-def _mat_jx(x, p, t, g, m):
+def _mat_jx(x, p, t, g, m, l_diag=None):
     """X @ j_x for X (r, 12, B), exploiting j_x's block sparsity."""
     x06 = x[:, 0:6]
     x69 = x[:, 6:9]
@@ -78,18 +93,19 @@ def _mat_jx(x, p, t, g, m):
     c06 = L.matmul(x06, p)  # (r, 6, B)
     g_part = L.matmul(x69, g)  # (r, 3, B) into cols 3:6
     t_part = L.matmul(x06, t)  # (r, 6, B) into cols 6:12
+    xl = x69 if l_diag is None else x69 * l_diag[None]
     return jnp.concatenate(
         [
             c06[:, 0:3],
             c06[:, 3:6] + g_part,
-            t_part[:, 0:3] + x69,
+            t_part[:, 0:3] + xl,
             t_part[:, 3:6] + L.matmul(x912, m),
         ],
         axis=1,
     )
 
 
-def _jxt_mat(x, p, t, g, m):
+def _jxt_mat(x, p, t, g, m, l_diag=None):
     """j_x^T @ X for X (12, c, B), exploiting j_x's block sparsity."""
     x06 = x[0:6]
     x69 = x[6:9]
@@ -97,31 +113,33 @@ def _jxt_mat(x, p, t, g, m):
     r06 = L.matmul(L.transpose(p), x06)  # (6, c, B)
     g_part = L.matmul(L.transpose(g), x69)  # (3, c, B) into rows 3:6
     t_part = L.matmul(L.transpose(t), x06)  # (6, c, B) into rows 6:12
+    xl = x69 if l_diag is None else x69 * l_diag[:, None]
     return jnp.concatenate(
         [
             r06[0:3],
             r06[3:6] + g_part,
-            t_part[0:3] + x69,
+            t_part[0:3] + xl,
             t_part[3:6] + L.matmul(L.transpose(m), x912),
         ],
         axis=0,
     )
 
 
-def _jxt_vec(x, p, t, g, m):
+def _jxt_vec(x, p, t, g, m, l_diag=None):
     """j_x^T @ x for a vector x (12, B)."""
-    return _jxt_mat(jnp.expand_dims(x, 1), p, t, g, m)[:, 0, :]
+    return _jxt_mat(jnp.expand_dims(x, 1), p, t, g, m, l_diag)[:, 0, :]
 
 
-def _jx_vec(x, p, t, g, m):
+def _jx_vec(x, p, t, g, m, l_diag=None):
     """j_x @ x for a vector x (12, B), exploiting the same block sparsity
-    (j_x[0:6,0:6]=P, j_x[0:6,6:12]=T, j_x[6:9,3:6]=G, j_x[6:9,6:9]=I3,
+    (j_x[0:6,0:6]=P, j_x[0:6,6:12]=T, j_x[6:9,3:6]=G, j_x[6:9,6:9]=Lᵈ,
     j_x[9:12,9:12]=M — see _stage_jx_blocks). Used by the FDDP kernel's
     forward quadratic-model recursion (kernels/fddp.py)."""
+    x69 = x[6:9] if l_diag is None else l_diag * x[6:9]
     return jnp.concatenate(
         [
             L.matvec(p, x[0:6]) + L.matvec(t, x[6:12]),
-            L.matvec(g, x[3:6]) + x[6:9],
+            L.matvec(g, x[3:6]) + x69,
             L.matvec(m, x[9:12]),
         ],
         axis=0,
@@ -270,6 +288,7 @@ def _riccati_stage(
     box=None,
     w=None,
     ddp=False,
+    drag=None,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -296,8 +315,17 @@ def _riccati_stage(
     `v_x` is the gradient the curvature is weighted by — the FDDP kernels
     pass the gap-TRANSPORTED v_x_eff, matching the XLA path
     (solver/fddp._backward_from_derivs). f_uu = f_ux = 0 exactly for this
-    model family, so Q_u/Q_uu/Q_xu and the gain solve are untouched."""
-    p_blk, t_blk, g_blk, m_blk = _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l)
+    model family, so Q_u/Q_uu/Q_xu and the gain solve are untouched.
+
+    `drag=(dl, da)` ((3, B) lane rows) is the diagonal velocity-drag
+    extension (models/quadrotor_drag.py; kernels/models.py
+    LaneModel.drag_rows) — it reshapes only the j_x velocity blocks
+    (_stage_jx_blocks); drag=None is bit-identical to before. The drag
+    terms are LINEAR in velocity, so the ddp curvature (_vfxx_lanes) is
+    unchanged — their second derivatives vanish exactly."""
+    p_blk, t_blk, g_blk, m_blk, l_diag = _stage_jx_blocks(
+        dt, g, vel, quat, i_l, iinv_l, drag
+    )
     _, c_x, c_xx, du = _stage_cost_diffs(
         quat, trans, vel, u, dq, dtr, dv, du_d, q_l, exact=ddp
     )
@@ -307,7 +335,7 @@ def _riccati_stage(
         r2_l = w * r2_l
     c_u = L.matvec(r2_l, du)
 
-    blocks = (p_blk, t_blk, g_blk, m_blk)
+    blocks = (p_blk, t_blk, g_blk, m_blk, l_diag)
     q_x = c_x + _jxt_vec(v_x, *blocks)
     # j_u is block-sparse too: only state rows ju_lo_row:12 are nonzero
     # (quadrotor: body-z thrust + angular accel; wrench: full actuation), so
@@ -376,7 +404,7 @@ def _riccati_stage(
 
 def _backward_kernel(
     n_stages,
-    ju_lo,  # first nonzero j_u state row (kernels/models.py)
+    lane_model,  # model family descriptor (kernels/models.py)
     use_box,  # static: control limits active (lo/hi refs read)
     use_weights,  # static: per-stage cost weights active (w_ref read)
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
@@ -394,6 +422,7 @@ def _backward_kernel(
     w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
     ju_ref,  # (12, u, Bt) stage-constant j_u (broadcast or per-lane)
+    extra_ref,  # per-model operand (drag rows live here for drag families)
     i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
     iinv_ref,  # (3, 3, Bt)
     lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
@@ -417,6 +446,7 @@ def _backward_kernel(
         ju_t = L.transpose(ju)
         i_l = i_ref[:]
         iinv_l = iinv_ref[:]
+        drag = lane_model.drag_rows(extra_ref[:])
         box = (lo_ref[:], hi_ref[:]) if use_box else None
         bt = q_l.shape[-1]
         dtype = q_l.dtype
@@ -429,9 +459,10 @@ def _backward_kernel(
                 q_ref[n], t_ref[n], v_ref[n], u_ref[n],
                 dq_ref[n], dt_ref[n], dv_ref[n], du_ref[n],
                 v_x, v_xx,
-                ju_lo_row=ju_lo,
+                ju_lo_row=lane_model.ju_lo,
                 box=box,
                 w=w_ref[n] if use_weights else None,
+                drag=drag,
             )
             ks_ref[n] = k
             bigks_ref[n] = big_k
@@ -565,7 +596,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dt_s", "n", "batch", "ju_lo", "use_box", "use_weights",
+        "dt_s", "n", "batch", "lane_model", "use_box", "use_weights",
         "cost_batched", "params_batched", "interpret",
     ),
 )
@@ -585,6 +616,7 @@ def _backward_call(
     w,
     g,
     ju,
+    extra,
     inertia,
     inertia_inv,
     lo,
@@ -592,7 +624,7 @@ def _backward_call(
     dt_s,
     n,
     batch,
-    ju_lo,
+    lane_model,
     use_box,
     use_weights,
     cost_batched,
@@ -619,7 +651,10 @@ def _backward_call(
     )
     # dummy weights are a single broadcast tile — never lane-indexed
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
-    kernel = functools.partial(_backward_kernel, n, ju_lo, use_box, use_weights)
+    extra_core = extra.shape[:-1]
+    kernel = functools.partial(
+        _backward_kernel, n, lane_model, use_box, use_weights
+    )
     ks, big_ks, red = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -639,6 +674,7 @@ def _backward_call(
             w_block,
             param_block((1, 1)),
             param_block((12, u)),
+            param_block(extra_core),
             param_block((3, 3)),
             param_block((3, 3)),
             box_block,
@@ -674,6 +710,7 @@ def _backward_call(
         w,
         g,
         ju,
+        extra,
         inertia,
         inertia_inv,
         lo,
@@ -744,7 +781,7 @@ def backward_pass_fused(
         cost, batch, dtype, r_scale=2.0
     )
     use_weights = cost.stage_weights is not None
-    g, _, ju, _, inertia, inertia_inv, params_batched = lm.prep_params(
+    g, _, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
         params, dt_s, dtype
     )
     lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
@@ -769,6 +806,7 @@ def backward_pass_fused(
         w,
         g,
         ju,
+        extra,
         inertia,
         inertia_inv,
         lo,
@@ -776,7 +814,7 @@ def backward_pass_fused(
         dt_s,
         n,
         batch,
-        lm.ju_lo,
+        lm,
         use_box,
         use_weights,
         cost_batched,

@@ -274,6 +274,7 @@ def _fddp_kernel(
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
     extra = extra_ref[:]
+    drag = lane_model.drag_rows(extra)
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     box = (lo_ref[:], hi_ref[:]) if use_box else None
@@ -407,6 +408,7 @@ def _fddp_kernel(
                     box=box,
                     w=w_ref[n] if use_weights else None,
                     ddp=ddp,
+                    drag=drag,
                 )
                 ks_ref[n] = k
                 bigks_ref[n] = big_k
@@ -463,7 +465,7 @@ def _fddp_kernel(
                 quat, trans, vel, c, p, l1, l2 = carry
                 # quadratic model from the LIVE trajectory (not the carry)
                 blocks = _stage_jx_blocks(
-                    dt, g2, ov_ref[n], oq_ref[n], i_l, iinv_l
+                    dt, g2, ov_ref[n], oq_ref[n], i_l, iinv_l, drag
                 )
                 # with ddp, L2 quadratizes through the EXACT c_xx — same
                 # as the XLA fwd scan consuming the ddp derivative bundle

@@ -87,6 +87,16 @@ def cross(a, b):
     )
 
 
+def diag3(v):
+    """(3, B) -> diagonal (3, 3, B)."""
+    x, y, z = v[0:1], v[1:2], v[2:3]
+    zero = jnp.zeros_like(x)
+    r0 = jnp.stack([x[0], zero[0], zero[0]], axis=0)
+    r1 = jnp.stack([zero[0], y[0], zero[0]], axis=0)
+    r2 = jnp.stack([zero[0], zero[0], z[0]], axis=0)
+    return jnp.stack([r0, r1, r2], axis=0)
+
+
 def hat(v):
     """(3, B) -> skew (3, 3, B)."""
     x, y, z = v[0:1], v[1:2], v[2:3]

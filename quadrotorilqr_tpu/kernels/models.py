@@ -42,14 +42,32 @@ import jax.numpy as jnp
 
 class LaneModel:
     """Static kernel-model descriptor (hashable module-level singleton, so
-    it can thread through jit/pallas as a static argument)."""
+    it can thread through jit/pallas as a static argument).
 
-    def __init__(self, name, u_dim, ju_lo, prep_params, dynamics_step):
+    `has_drag=True` marks the diagonal velocity-drag extension
+    (models/quadrotor_drag.py): `extra` carries two additional columns
+    [drag_lin/m | drag_ang] after the model's own operand, and
+    `drag_rows(extra)` slices them for backward._stage_jx_blocks — the
+    j_x template's velocity blocks gain I3 - dt·diag(dl) and
+    -I⁻¹ diag(da) (both stage-constant), everything else is shared."""
+
+    def __init__(self, name, u_dim, ju_lo, prep_params, dynamics_step,
+                 has_drag=False):
         self.name = name
         self.u_dim = u_dim
         self.ju_lo = ju_lo
         self.prep_params = prep_params
         self.dynamics_step = dynamics_step
+        self.has_drag = has_drag
+
+    def drag_rows(self, extra):
+        """(dl, da) lane rows from the packed extra operand, or None for
+        drag-free families (the block helpers then skip the multiplies —
+        bit-identical to before the extension)."""
+        if not self.has_drag:
+            return None
+        u = self.u_dim
+        return (extra[:, u], extra[:, u + 1])
 
     def __repr__(self):
         return f"LaneModel({self.name})"
@@ -234,6 +252,106 @@ def multirotor_lane_model(n_rotors: int) -> LaneModel:
     return lm
 
 
+# ---------------------------------------------------------------------------
+# quadrotor with body-frame diagonal velocity drag
+# (models/quadrotor_drag.py in lane layout)
+# ---------------------------------------------------------------------------
+
+
+def _drag_quadrotor_prep_params(params, dt_s, dtype):
+    """Quadrotor operands with extra = [I⁻¹MA | drag_lin/m | drag_ang]
+    ((3, u+2) core). j_u is unchanged (the control map is drag-free)."""
+    from ..models.quadrotor import moment_arms
+    from ..ops.linalg import chol_solve_small
+    from .backward import _bcast_tile, _to_lanes
+
+    batched = jnp.ndim(params.mass_kg) >= 1
+    inertia = jnp.asarray(params.inertia, dtype)
+    inertia_inv = chol_solve_small(inertia, jnp.eye(3, dtype=dtype))
+    ma = jnp.asarray(moment_arms(params.dragless()), dtype)
+    iinv_ma = inertia_inv @ ma
+    mass = jnp.asarray(params.mass_kg, dtype)
+    g = jnp.asarray(params.g_mpss, dtype)
+    dl = jnp.asarray(params.drag_lin, dtype) / mass[..., None]
+    da = jnp.asarray(params.drag_ang, dtype)
+    ju = jnp.zeros(jnp.shape(mass) + (12, 4), dtype)
+    ju = ju.at[..., 8, :].set(
+        (dt_s / mass)[..., None] if batched else dt_s / mass
+    )
+    ju = ju.at[..., 9:12, :].set(dt_s * iinv_ma)
+    if batched:
+        b = mass.shape[0]
+        extra = jnp.concatenate(
+            [
+                jnp.broadcast_to(iinv_ma, (b, 3, 4)),
+                jnp.broadcast_to(dl[..., None], (b, 3, 1)),
+                jnp.broadcast_to(da[..., None], (b, 3, 1)),
+            ],
+            axis=-1,
+        )
+        return (
+            _to_lanes(g.reshape(-1, 1, 1)),
+            _to_lanes((1.0 / mass).reshape(-1, 1, 1)),
+            _to_lanes(ju),
+            _to_lanes(extra),
+            _to_lanes(jnp.broadcast_to(inertia, (b, 3, 3))),
+            _to_lanes(jnp.broadcast_to(inertia_inv, (b, 3, 3))),
+            True,
+        )
+    extra = jnp.concatenate(
+        [iinv_ma, dl[..., None], da[..., None]], axis=-1
+    )
+    return (
+        _bcast_tile(g.reshape(1, 1), dtype),
+        _bcast_tile((1.0 / mass).reshape(1, 1), dtype),
+        _bcast_tile(ju, dtype),
+        _bcast_tile(extra, dtype),
+        _bcast_tile(inertia, dtype),
+        _bcast_tile(inertia_inv, dtype),
+        False,
+    )
+
+
+def _drag_quadrotor_dynamics_step(
+    dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+):
+    """Lie-Euler step with diagonal body drag in lane layout
+    (models/quadrotor_drag.continuous_dynamics + the shared Euler step)."""
+    from . import lanes as L
+
+    u_dim = u.shape[0]
+    iinv_ma = extra[:, 0:u_dim]
+    dl = extra[:, u_dim]  # (3, B) drag_lin/m
+    da = extra[:, u_dim + 1]  # (3, B) drag_ang
+    r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
+    v_lin = vel[0:3]
+    acc_lin = (
+        -g * r_t_ez
+        + (jnp.sum(u, axis=0, keepdims=True) * m_inv) * ez
+        - dl * v_lin
+    )
+    omega = vel[3:6]
+    i_omega = L.matvec(i_l, omega)
+    acc_ang = L.matvec(iinv_ma, u) - L.matvec(
+        iinv_l, L.cross(omega, i_omega) + da * omega
+    )
+    tau = dt * vel
+    qe, te = L.se3_exp(tau)
+    quat_next, trans_next = L.se3_multiply(quat, trans, qe, te)
+    vel_next = vel + dt * jnp.concatenate([acc_lin, acc_ang], axis=0)
+    return quat_next, trans_next, vel_next
+
+
+DRAG_QUADROTOR = LaneModel(
+    name="quadrotor_drag",
+    u_dim=4,
+    ju_lo=8,
+    prep_params=_drag_quadrotor_prep_params,
+    dynamics_step=_drag_quadrotor_dynamics_step,
+    has_drag=True,
+)
+
+
 def lane_model_for(params, model=None):
     """Resolve the LaneModel for a params pytree (or an explicit XLA model
     module / LaneModel passed as `model=`)."""
@@ -241,6 +359,8 @@ def lane_model_for(params, model=None):
         return model
     if model is not None:
         name = getattr(model, "__name__", "")
+        if name.endswith("quadrotor_drag"):
+            return DRAG_QUADROTOR
         if name.endswith("se3_wrench"):
             return SE3_WRENCH
         if name.endswith("multirotor"):
@@ -250,10 +370,13 @@ def lane_model_for(params, model=None):
         raise TypeError(f"no lane model for model module {name!r}")
     from ..models.multirotor import MultirotorParams
     from ..models.quadrotor import QuadrotorParams
+    from ..models.quadrotor_drag import DragQuadrotorParams
     from ..models.se3_wrench import WrenchParams
 
     if isinstance(params, QuadrotorParams):
         return QUADROTOR
+    if isinstance(params, DragQuadrotorParams):
+        return DRAG_QUADROTOR
     if isinstance(params, WrenchParams):
         return SE3_WRENCH
     if isinstance(params, MultirotorParams):

@@ -212,6 +212,7 @@ def _solve_kernel(
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
     extra = extra_ref[:]
+    drag = lane_model.drag_rows(extra)
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     box = (lo_ref[:], hi_ref[:]) if use_box else None
@@ -271,6 +272,7 @@ def _solve_kernel(
                     dq_ref[n], dtr_ref[n], dv_ref[n], du_ref[n],
                     v_x, v_xx,
                     ju_lo_row=lane_model.ju_lo,
+                    drag=drag,
                     box=box,
                     w=w_ref[n] if use_weights else None,
                 )

@@ -162,6 +162,7 @@ def _stream_kernel(
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
     extra = extra_ref[:]
+    drag = lane_model.drag_rows(extra)
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     u_dim = ju.shape[1]  # control dimension (static)
@@ -306,6 +307,7 @@ def _stream_kernel(
                         dt, quu_reg, q_l, r2_l, g2, ju, ju_t, i_l, iinv_l,
                         quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
                         ju_lo_row=lane_model.ju_lo,
+                        drag=drag,
                         box=box,
                         w=stage_weight(drow) if use_weights else None,
                     )

@@ -148,6 +148,7 @@ def _stream_fddp_kernel(
     ju = ju_ref[:]
     ju_t = L.transpose(ju)
     extra = extra_ref[:]
+    drag = lane_model.drag_rows(extra)
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     u_dim = ju.shape[1]
@@ -355,6 +356,7 @@ def _stream_fddp_kernel(
                         box=box,
                         w=stage_weight(dbuf[idx]) if use_weights else None,
                         ddp=ddp,
+                        drag=drag,
                     )
                     gbuf[idx, 0:u_dim] = k
                     for r in range(u_dim):
@@ -397,7 +399,7 @@ def _stream_fddp_kernel(
                             # quadratic model from the LIVE trajectory row
                             dq, dtr, dv, du_d = unpack(drow)
                             blocks = _stage_jx_blocks(
-                                dt, g2, ov, oq, i_l, iinv_l
+                                dt, g2, ov, oq, i_l, iinv_l, drag
                             )
                             _, c_x, c_xx, duv = _stage_cost_diffs(
                                 oq, ot, ov, ou, dq, dtr, dv, du_d, q_l,

@@ -9,17 +9,18 @@ linear drag on both the linear and angular velocity:
     dv_lin/dt += -(1/m) diag(drag_lin) v_lin
     dv_ang/dt += -I^-1  diag(drag_ang) v_ang
 
-Beyond the physics, this model demonstrates the SOLVER's open model
-protocol: the drag couples the velocity directly into its own derivative,
-which changes the rigid-body block structure of j_x that the fused Pallas
-kernels' sparsity exploits (kernels/backward._stage_jx_blocks assumes the
-[[I3,0],[0,M]] velocity block of the drag-free family). It therefore runs
-on every XLA solver path (solve / solve_batch / ddp / fddp / auglag / box
-— they are generic over the module protocol, the reference's `template
-<class ModelT>`) but deliberately has NO LaneModel: the kernel engines
-raise, documenting the family boundary instead of silently computing the
-wrong Jacobian. With zero drag coefficients every function reduces EXACTLY
-to models/quadrotor.py (tested).
+Beyond the physics, this model exercises the SOLVER's open model
+protocol (every XLA path — solve / solve_batch / ddp / fddp / auglag /
+box — is generic over the module protocol, the reference's `template
+<class ModelT>`). Since round 3 the fused Pallas KERNELS serve it too:
+the drag coupling is DIAGONAL in the body velocity, so the j_x template's
+velocity block [[I3,0],[0,M]] generalizes to [[I3-dt·diag(drag_lin/m),0],
+[0,M']] with M' absorbing -I⁻¹diag(drag_ang) — one (3,B) row multiply per
+Riccati product, stage-constant (kernels/models.DRAG_QUADROTOR,
+backward._stage_jx_blocks drag=(dl, da)). With zero drag coefficients
+every function reduces EXACTLY to models/quadrotor.py (tested), and the
+drag terms are linear in velocity so the analytic exact-DDP curvature is
+unchanged (tests/test_ddp.py).
 
 The control map is unchanged (affine, state-independent), so f_uu == f_ux
 == 0 still holds and `solve(..., ddp=True)` remains exact for this family.

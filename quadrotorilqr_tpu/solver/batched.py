@@ -652,16 +652,18 @@ def solve_batch_fddp_refine(
     dt_s: float,
     options: ILQROptions = ILQROptions(),
     fddp_options=None,
-    phase1_iters: int = 12,
+    phase1_iters=20,
     interpret: bool = False,
     model=None,
     ddp: bool = False,
     limits=None,
 ) -> SolveResult:
-    """Two-phase compacted robust solve — the FDDP analog of
-    solve_batch_refine, entirely on-device:
+    """Multi-phase compacted robust solve — the FDDP analog of
+    solve_batch_refine, entirely on-device. `phase1_iters` is one
+    compaction boundary (int) or several (tuple of cumulative trip counts,
+    e.g. (12, 24) compacts twice):
 
-      1. phase 1 runs the full batch for `phase1_iters` trips;
+      1. each phase runs the still-pending population for its budget;
       2. lanes still pending are PERMUTED to the front (stable argsort on
          the done flag), so the straggler population occupies the leading
          kernel tiles;
@@ -691,11 +693,15 @@ def solve_batch_fddp_refine(
         lane_model = None
     cc = options.convergence_criteria
     total = int(cc.max_iters)
-    phase1 = min(int(phase1_iters), total)
+    bounds = (
+        (phase1_iters,)
+        if isinstance(phase1_iters, int)
+        else tuple(phase1_iters)
+    )
     if (
         lane_model is None
         or options.line_search_params.max_iters < 1
-        or phase1 == total
+        or all(min(int(b), total) == total for b in bounds)
     ):
         return solve_batch_fddp(
             params, cost, initial_trajs, dt_s, options,
@@ -737,57 +743,78 @@ def solve_batch_fddp_refine(
         if horizon > max_horizon_for_fddp(lane_model.u_dim)
         else solve_fddp_fused
     )
-    opts1 = replace(
-        options, convergence_criteria=replace(cc, max_iters=phase1)
-    )
-    t1, c1, i1, s1, mu1 = engine(
-        params, cost, initial_trajs, dt_s, opts1,
-        fddp_options=fddp_options, interpret=interpret, model=model,
-        ddp=ddp, limits=limits, return_mu=True,
-    )
+    # phase budgets: the compaction boundaries plus the remainder
+    budgets = []
+    used = 0
+    for b in bounds:
+        b = min(int(b), total)
+        if b > used:
+            budgets.append(b - used)
+            used = b
+    budgets.append(total - used)
 
-    pending = s1 == STATUS_MAX_ITERS
-    # stable: pending lanes first, original relative order preserved both
-    # ways (perm and its inverse) so results are bit-reproducible
-    perm = jnp.argsort(jnp.logical_not(pending), stable=True)
-    inv = jnp.argsort(perm, stable=True)
+    cost_flags = qc.cost_batched_flags(cost)
+    params_batched = jnp.ndim(params.mass_kg) >= 1
+    batch_n = initial_trajs.controls.shape[0]
 
-    def g(tree):
-        return jax.tree.map(lambda a: a[perm], tree)
-
-    cost_g = jax.tree.map(
-        lambda a, batched: a[perm] if batched else a,
-        cost,
-        qc.cost_batched_flags(cost),
-    )
-    params_g = (
-        jax.tree.map(lambda a: a[perm], params)
-        if jnp.ndim(params.mass_kg) >= 1
-        else params
-    )
-    limits_g = limits
-    if limits is not None:
-        lo, hi = limits
-        permute = lambda a: (
-            jnp.asarray(a)[perm] if jnp.ndim(a) == 2 else a
+    def gather_operands(cur2orig):
+        cost_g = jax.tree.map(
+            lambda a, batched: a[cur2orig] if batched else a,
+            cost,
+            cost_flags,
         )
-        limits_g = (permute(lo), permute(hi))
-    opts2 = replace(
-        options,
-        convergence_criteria=replace(cc, max_iters=total - phase1),
-    )
-    t2, c2, i2, s2 = engine(
-        params_g, cost_g, g(t1), dt_s, opts2,
-        fddp_options=fddp_options, interpret=interpret, model=model,
-        ddp=ddp, limits=limits_g,
-        initial_mu=mu1[perm],
-        initial_status=s1[perm],
-        initial_iters=i1[perm],
-    )
+        params_g = (
+            jax.tree.map(lambda a: a[cur2orig], params)
+            if params_batched
+            else params
+        )
+        limits_g = limits
+        if limits is not None:
+            lo, hi = limits
+            permute = lambda a: (
+                jnp.asarray(a)[cur2orig] if jnp.ndim(a) == 2 else a
+            )
+            limits_g = (permute(lo), permute(hi))
+        return cost_g, params_g, limits_g
+
+    # phase loop: run, then permute pending lanes to the front; cur2orig
+    # tracks each current lane's ORIGINAL index so per-scenario operands
+    # re-gather from the originals each phase and the final results scatter
+    # back in one inverse permutation
+    cur2orig = jnp.arange(batch_n)
+    traj = initial_trajs
+    mu = status = iters = None
+    for k, budget in enumerate(budgets):
+        opts_k = replace(
+            options, convergence_criteria=replace(cc, max_iters=budget)
+        )
+        cost_g, params_g, limits_g = gather_operands(cur2orig)
+        traj, cost_v, iters, status, mu = engine(
+            params_g, cost_g, traj, dt_s, opts_k,
+            fddp_options=fddp_options, interpret=interpret, model=model,
+            ddp=ddp, limits=limits_g,
+            initial_mu=mu,
+            initial_status=status,
+            initial_iters=iters,
+            return_mu=True,
+        )
+        if k == len(budgets) - 1:
+            break
+        pending = status == STATUS_MAX_ITERS
+        # stable: pending lanes first, original relative order preserved
+        # both ways so results are bit-reproducible
+        perm = jnp.argsort(jnp.logical_not(pending), stable=True)
+        cur2orig = cur2orig[perm]
+        traj = jax.tree.map(lambda a: a[perm], traj)
+        mu = mu[perm]
+        status = status[perm]
+        iters = iters[perm]
+
+    inv = jnp.argsort(cur2orig, stable=True)
     return SolveResult(
-        trajectory=jax.tree.map(lambda a: a[inv], t2),
-        cost=c2[inv],
-        iterations=i2[inv],
-        status=s2[inv],
+        trajectory=jax.tree.map(lambda a: a[inv], traj),
+        cost=cost_v[inv],
+        iterations=iters[inv],
+        status=status[inv],
         debug=None,
     )

@@ -324,3 +324,43 @@ class TestAnalyticCurvature:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(c_xx_exact), rtol=1e-8, atol=1e-10
             )
+
+
+def test_vfxx_analytic_valid_for_drag_family():
+    """The drag terms are LINEAR in velocity, so the analytic curvature
+    (derived for the drag-free drift) stays exact for the drag family —
+    checked against nested jacfwd through the DRAG dynamics."""
+    from quadrotorilqr_tpu.models import quadrotor_drag as qd
+    from quadrotorilqr_tpu.ops.linalg import chol_solve_small
+    from quadrotorilqr_tpu.solver.ddp import vfxx_analytic
+
+    params = qd.DragQuadrotorParams.create(
+        mass_kg=1.2,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.04, F64),
+        arm_length_m=0.2,
+        torque_to_thrust_ratio_m=0.016,
+        drag_lin=jnp.asarray([0.3, 0.35, 0.5], F64),
+        drag_ang=jnp.asarray([0.02, 0.02, 0.04], F64),
+        g_mpss=9.81,
+    )
+    dt = 0.08
+    inertia_inv = chol_solve_small(params.inertia, jnp.eye(3, dtype=F64))
+    key = jax.random.PRNGKey(31)
+    for i in range(3):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        x = _random_state(k1, 1.1)
+        u = jnp.full((4,), 9.81 / 4.0, F64) + 0.3 * jax.random.normal(
+            k2, (4,), F64
+        )
+        v_x = jax.random.normal(k3, (12,), F64)
+        f_xx, _ = _stage_curvature(
+            params, jnp.eye(12, dtype=F64), x, u, x, dt, qd
+        )
+        want = jnp.einsum("i,iab->ab", v_x, f_xx)
+        got = vfxx_analytic(
+            dt, x.pose.quat, x.vel, params.g_mpss, params.inertia,
+            inertia_inv, v_x,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-8, atol=1e-10
+        )

@@ -146,6 +146,21 @@ def _jx_vec(x, p, t, g, m, l_diag=None):
     )
 
 
+def _jx_mat(x, p, t, g, m, l_diag=None):
+    """j_x @ X for X (12, c, B) — the left-application counterpart of
+    _mat_jx, used by the substepped control-Jacobian accumulation
+    JU <- A_i @ JU + B (kernels/models.substepped_lane_model)."""
+    x69 = x[6:9] if l_diag is None else l_diag[:, None] * x[6:9]
+    return jnp.concatenate(
+        [
+            L.matmul(p, x[0:6]) + L.matmul(t, x[6:12]),
+            L.matmul(g, x[3:6]) + x69,
+            L.matmul(m, x[9:12]),
+        ],
+        axis=0,
+    )
+
+
 def _sym_lanes(m):
     return 0.5 * (m + L.transpose(m))
 
@@ -289,6 +304,8 @@ def _riccati_stage(
     w=None,
     ddp=False,
     drag=None,
+    substeps=1,
+    chain=None,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -322,10 +339,37 @@ def _riccati_stage(
     LaneModel.drag_rows) — it reshapes only the j_x velocity blocks
     (_stage_jx_blocks); drag=None is bit-identical to before. The drag
     terms are LINEAR in velocity, so the ddp curvature (_vfxx_lanes) is
-    unchanged — their second derivatives vanish exactly."""
-    p_blk, t_blk, g_blk, m_blk, l_diag = _stage_jx_blocks(
-        dt, g, vel, quat, i_l, iinv_l, drag
-    )
+    unchanged — their second derivatives vanish exactly.
+
+    `substeps=k > 1` (static; models/integrators.substepped at kernel
+    speed) treats the stage map as k chained Lie-Euler substeps of dt/k:
+    the stage Jacobian is the CHAIN j_x = A_k···A_1 — never materialized;
+    every Riccati product applies the per-substep block helpers k times —
+    and the control Jacobian accumulates JU <- A_i JU + B (B = the
+    stage-constant per-SUBSTEP `ju` operand = (dt/k)·j_cont_u; the
+    substepped LaneModel preps params at dt/k). `chain` must then supply
+    (base_dynamics_step, g1, m_inv, extra, ez) to roll the intermediate
+    substates. Requires ddp=False (the analytic curvature is single-step
+    math)."""
+    if substeps > 1:
+        assert not ddp, "exact-DDP curvature is single-step math"
+        base_step, g1, m_inv, extra, ez = chain
+        h = dt / substeps
+        blocks_list = []
+        sq, st_, sv = quat, trans, vel
+        for i in range(substeps):
+            blocks_list.append(
+                _stage_jx_blocks(h, g, sv, sq, i_l, iinv_l, drag)
+            )
+            if i < substeps - 1:
+                sq, st_, sv = base_step(
+                    h, g1, m_inv, extra, i_l, iinv_l, ez, sq, st_, sv, u
+                )
+    else:
+        blocks_list = [
+            _stage_jx_blocks(dt, g, vel, quat, i_l, iinv_l, drag)
+        ]
+    p_blk, t_blk, g_blk, m_blk, l_diag = blocks_list[0]
     _, c_x, c_xx, du = _stage_cost_diffs(
         quat, trans, vel, u, dq, dtr, dv, du_d, q_l, exact=ddp
     )
@@ -335,27 +379,55 @@ def _riccati_stage(
         r2_l = w * r2_l
     c_u = L.matvec(r2_l, du)
 
-    blocks = (p_blk, t_blk, g_blk, m_blk, l_diag)
-    q_x = c_x + _jxt_vec(v_x, *blocks)
-    # j_u is block-sparse too: only state rows ju_lo_row:12 are nonzero
-    # (quadrotor: body-z thrust + angular accel; wrench: full actuation), so
-    # every j_u contraction runs over those rows only — bit-exact (the
-    # dropped products are exact zeros) and ~8% fewer FLOPs per stage for
-    # the quadrotor.
     lo = ju_lo_row
     m = ju.shape[1]
-    ju_lo = ju[lo:12]  # (12-lo, u_dim, B)
-    jut_lo = ju_t[:, lo:12]
-    q_u = c_u + L.matvec(jut_lo, v_x[lo:12])
-    vxx_jx = _mat_jx(v_xx, *blocks)
-    q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
-    if ddp:
-        q_xx = q_xx + _vfxx_lanes(
-            dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk
+    if substeps > 1:
+        # JU = sum_i A_k..A_{i+1} B: dense in general (A's T-block couples
+        # the velocity rows of B into the pose rows from the 2nd substep on)
+        ju_full = ju
+        for b in blocks_list[1:]:
+            ju_full = _jx_mat(ju_full, *b) + ju
+        jut_full = L.transpose(ju_full)
+        # chain applications: j_x^T X = A_1^T(...(A_k^T X));
+        # X j_x = ((X A_k) A_{k-1})...A_1 — both iterate blocks_list reversed
+        vx_c = v_x
+        for b in reversed(blocks_list):
+            vx_c = _jxt_vec(vx_c, *b)
+        q_x = c_x + vx_c
+        q_u = c_u + L.matvec(jut_full, v_x)
+        vj = v_xx
+        for b in reversed(blocks_list):
+            vj = _mat_jx(vj, *b)
+        for b in reversed(blocks_list):
+            vj = _jxt_mat(vj, *b)
+        q_xx = c_xx + vj
+        vxx_ju = L.matmul(v_xx, ju_full)
+        q_uu = (
+            r2_l + L.matmul(jut_full, vxx_ju) + quu_reg * L.eye(m, q_l)
         )
-    vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
-    q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
-    q_xu = _jxt_mat(vxx_ju, *blocks)
+        q_xu = vxx_ju
+        for b in reversed(blocks_list):
+            q_xu = _jxt_mat(q_xu, *b)
+    else:
+        blocks = (p_blk, t_blk, g_blk, m_blk, l_diag)
+        q_x = c_x + _jxt_vec(v_x, *blocks)
+        # j_u is block-sparse too: only state rows ju_lo_row:12 are nonzero
+        # (quadrotor: body-z thrust + angular accel; wrench: full
+        # actuation), so every j_u contraction runs over those rows only —
+        # bit-exact (the dropped products are exact zeros) and ~8% fewer
+        # FLOPs per stage for the quadrotor.
+        ju_lo = ju[lo:12]  # (12-lo, u_dim, B)
+        jut_lo = ju_t[:, lo:12]
+        q_u = c_u + L.matvec(jut_lo, v_x[lo:12])
+        vxx_jx = _mat_jx(v_xx, *blocks)
+        q_xx = c_xx + _jxt_mat(vxx_jx, *blocks)
+        if ddp:
+            q_xx = q_xx + _vfxx_lanes(
+                dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk
+            )
+        vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
+        q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
+        q_xu = _jxt_mat(vxx_ju, *blocks)
 
     if box is not None:
         lo_l, hi_l = box

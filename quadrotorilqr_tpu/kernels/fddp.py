@@ -91,9 +91,9 @@ from .solve import MAX_HORIZON
 # cached feasibility gap, and the per-trip quadratic-model coefficients)
 (
     _COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC, _MU,
-    _TAKE, _GAP, _L1, _L2,
-) = range(12)
-_STATE_ROWS = 16  # two f32 sublane tiles (12 live rows + pad)
+    _TAKE, _GAP, _L1, _L2, _PROBES,
+) = range(13)
+_STATE_ROWS = 16  # two f32 sublane tiles (13 live rows + pad)
 
 
 def max_horizon_for_fddp(u_dim):
@@ -241,6 +241,8 @@ def _fddp_kernel(
     oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
     ostat_ref,  # out (1, Bt) f32 STATUS_* codes
     omu_ref,  # out (1, Bt): final per-lane mu (feeds a later resume)
+    oprob_ref,  # out (1, Bt): executed probe sweeps (tile-uniform; the
+    #             roofline work model's rollouts-per-trip measurement)
     ks_ref,  # scratch (N, u, Bt)
     bigks_ref,  # scratch (N, u, 12, Bt)
     bq_ref,  # scratch (N, 4, Bt): best line-search candidate
@@ -502,6 +504,7 @@ def _fddp_kernel(
             _, _, _, cand_cost, _, l1, l2 = jax.lax.fori_loop(
                 0, n_stages, rstage0, rinit0
             )
+            put(_PROBES, get(_PROBES) + 1.0)
             put(_L1, l1)
             put(_L2, l2)
             still_pending = _goldstein_probe_commit(
@@ -527,6 +530,7 @@ def _fddp_kernel(
                     _, _, _, cand_cost = jax.lax.fori_loop(
                         0, n_stages, rstage, rinit
                     )
+                    put(_PROBES, get(_PROBES) + 1.0)
 
                     still = _goldstein_probe_commit(
                         get, put, gf, gub, ls_step, active, current,
@@ -575,6 +579,7 @@ def _fddp_kernel(
     oiter_ref[:] = get(_ITERS)
     ostat_ref[:] = get(_STATUS)
     omu_ref[:] = get(_MU)
+    oprob_ref[:] = get(_PROBES)
 
 
 @functools.partial(
@@ -654,7 +659,7 @@ def _fddp_call(
         _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights,
         use_box, ddp,
     )
-    oq, ot, ov, ou, ocost, oiter, ostat, omu = pl.pallas_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, omu, oprob = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -692,12 +697,14 @@ def _fddp_call(
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
+            lane_block((1,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
             jax.ShapeDtypeStruct((n, 3, batch), dtype),
             jax.ShapeDtypeStruct((n, 6, batch), dtype),
             jax.ShapeDtypeStruct((n, u, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
@@ -744,7 +751,7 @@ def _fddp_call(
         istat,
         iiter,
     )
-    return oq, ot, ov, ou, ocost, oiter, ostat, omu
+    return oq, ot, ov, ou, ocost, oiter, ostat, omu, oprob
 
 
 def solve_fddp_fused(
@@ -762,6 +769,7 @@ def solve_fddp_fused(
     initial_status=None,
     initial_iters=None,
     return_mu=False,
+    return_probes=False,
 ):
     """Whole-solve single-kernel FDDP for (B, N, ...) trajectories, B a
     multiple of 128. Same inputs as solver/fddp.solve_fddp. `ddp=True`
@@ -841,7 +849,7 @@ def solve_fddp_fused(
             return jnp.zeros((1, batch), dtype)
         return jnp.asarray(a, dtype).reshape(1, batch)
 
-    oq, ot, ov, ou, ocost, oiter, ostat, omu = _fddp_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, omu, oprob = _fddp_call(
         fscal,
         gscal,
         _to_lanes(traj.states.pose.quat),
@@ -894,4 +902,8 @@ def solve_fddp_fused(
         oiter[0].astype(jnp.int32),
         ostat[0].astype(jnp.int32),
     )
-    return out + (omu[0],) if return_mu else out
+    if return_mu:
+        out = out + (omu[0],)
+    if return_probes:
+        out = out + (oprob[0],)
+    return out

@@ -837,6 +837,13 @@ def backward_pass_fused(
     from .models import lane_model_for
 
     lm = lane_model_for(params, model)
+    if lm.substeps != 1:
+        raise ValueError(
+            "the per-pass backward kernel is single-step (it has no "
+            "dynamics operands to roll substates); the whole-solve "
+            "engines (solver/batched.solve_batch_latency) serve "
+            "substepped models"
+        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:

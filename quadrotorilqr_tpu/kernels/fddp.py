@@ -796,6 +796,12 @@ def solve_fddp_fused(
 
     fo = FDDPOptions() if fddp_options is None else fddp_options
     lm = lane_model_for(params, model)
+    if lm.substeps != 1:
+        raise ValueError(
+            "the FDDP kernels are single-step (the quadratic-model "
+            "recursion propagates the one-substep j_x); use the XLA path "
+            "(vmap(solver.fddp.solve_fddp)) for substepped models"
+        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:

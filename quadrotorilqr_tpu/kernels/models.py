@@ -52,13 +52,20 @@ class LaneModel:
     -I⁻¹ diag(da) (both stage-constant), everything else is shared."""
 
     def __init__(self, name, u_dim, ju_lo, prep_params, dynamics_step,
-                 has_drag=False):
+                 has_drag=False, substeps=1, base=None):
         self.name = name
         self.u_dim = u_dim
         self.ju_lo = ju_lo
         self.prep_params = prep_params
         self.dynamics_step = dynamics_step
         self.has_drag = has_drag
+        # substepped integration (models/integrators.substepped at kernel
+        # speed): the stage map is `substeps` chained Lie-Euler steps of
+        # dt/substeps; `base` is the single-step LaneModel whose
+        # dynamics_step the Riccati chain rolls (backward._riccati_stage
+        # substeps/chain)
+        self.substeps = substeps
+        self.base = base
 
     def drag_rows(self, extra):
         """(dl, da) lane rows from the packed extra operand, or None for
@@ -352,11 +359,60 @@ DRAG_QUADROTOR = LaneModel(
 )
 
 
+_SUBSTEP_CACHE = {}
+
+
+def substepped_lane_model(base: LaneModel, k: int) -> LaneModel:
+    """The k-substep variant of a LaneModel (memoized; hashable static
+    arg) — the kernel counterpart of models/integrators.substepped. The
+    dynamics step chains k base steps of dt/k; params prep at dt/k makes
+    the `ju` operand the per-SUBSTEP control Jacobian the Riccati chain
+    accumulates (backward._riccati_stage)."""
+    if k == 1:
+        return base
+    key = (base.name, int(k))
+    lm = _SUBSTEP_CACHE.get(key)
+    if lm is not None:
+        return lm
+
+    def dynamics_step(dt, g, m_inv, extra, i_l, iinv_l, ez, quat, trans,
+                      vel, u):
+        h = dt / k
+        for _ in range(k):
+            quat, trans, vel = base.dynamics_step(
+                h, g, m_inv, extra, i_l, iinv_l, ez, quat, trans, vel, u
+            )
+        return quat, trans, vel
+
+    lm = LaneModel(
+        name=f"{base.name}_sub{k}",
+        u_dim=base.u_dim,
+        ju_lo=base.ju_lo,
+        prep_params=lambda params, dt_s, dtype: base.prep_params(
+            params, dt_s / k, dtype
+        ),
+        dynamics_step=dynamics_step,
+        has_drag=base.has_drag,
+        substeps=int(k),
+        base=base,
+    )
+    _SUBSTEP_CACHE[key] = lm
+    return lm
+
+
 def lane_model_for(params, model=None):
     """Resolve the LaneModel for a params pytree (or an explicit XLA model
-    module / LaneModel passed as `model=`)."""
+    module / LaneModel passed as `model=`). Substepped XLA wrappers
+    (models/integrators.substepped) resolve to the substepped variant of
+    their base family's LaneModel."""
     if isinstance(model, LaneModel):
         return model
+    from ..models.integrators import _Substepped
+
+    if isinstance(model, _Substepped):
+        return substepped_lane_model(
+            lane_model_for(params, model.base), model.k
+        )
     if model is not None:
         name = getattr(model, "__name__", "")
         if name.endswith("quadrotor_drag"):

@@ -222,6 +222,14 @@ def _solve_kernel(
     ez = jnp.concatenate(
         [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
     )
+    # substepped integration (kernels/models.substepped_lane_model): the
+    # Riccati stage chains per-substep jacobian blocks; the chain rolls the
+    # intermediate substates with the BASE single-step dynamics
+    chain = (
+        (lane_model.base.dynamics_step, g1, m_inv, extra, ez)
+        if lane_model.substeps > 1
+        else None
+    )
 
     def get(r):
         return st_ref[r : r + 1]
@@ -273,6 +281,8 @@ def _solve_kernel(
                     v_x, v_xx,
                     ju_lo_row=lane_model.ju_lo,
                     drag=drag,
+                    substeps=lane_model.substeps,
+                    chain=chain,
                     box=box,
                     w=w_ref[n] if use_weights else None,
                 )

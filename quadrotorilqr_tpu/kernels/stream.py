@@ -173,6 +173,14 @@ def _stream_kernel(
     ez = jnp.concatenate(
         [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
     )
+    # substepped integration (kernels/models.substepped_lane_model): the
+    # Riccati stage chains per-substep jacobian blocks; the chain rolls the
+    # intermediate substates with the BASE single-step dynamics
+    chain = (
+        (lane_model.base.dynamics_step, g1, m_inv, extra, ez)
+        if lane_model.substeps > 1
+        else None
+    )
     n_full = n_stages // chunk
     rem = n_stages % chunk
 
@@ -308,6 +316,8 @@ def _stream_kernel(
                         quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
                         ju_lo_row=lane_model.ju_lo,
                         drag=drag,
+                        substeps=lane_model.substeps,
+                        chain=chain,
                         box=box,
                         w=stage_weight(drow) if use_weights else None,
                     )

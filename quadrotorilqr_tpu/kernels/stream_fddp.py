@@ -729,6 +729,11 @@ def solve_fddp_streamed(
 
     fo = FDDPOptions() if fddp_options is None else fddp_options
     lm = lane_model_for(params, model)
+    if lm.substeps != 1:
+        raise ValueError(
+            "the streamed FDDP kernel is single-step; use the XLA path "
+            "(vmap(solver.fddp.solve_fddp)) for substepped models"
+        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:

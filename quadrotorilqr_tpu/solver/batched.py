@@ -476,8 +476,10 @@ def solve_batch_fddp(
     horizon = initial_trajs.controls.shape[1]
     try:
         lane_model = lane_model_for(params, model)
-    except TypeError:  # outside the LaneModel protocol (e.g. drag family)
+    except TypeError:  # outside the LaneModel protocol
         lane_model = None
+    if lane_model is not None and lane_model.substeps != 1:
+        lane_model = None  # FDDP kernels are single-step (kernels/fddp.py)
     kernel_ok = (
         lane_model is not None and options.line_search_params.max_iters >= 1
     )

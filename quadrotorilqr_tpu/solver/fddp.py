@@ -142,13 +142,13 @@ def _analytic_curvature_ok(params, model):
     rigid-body LaneModel family (the same families the fused kernels
     serve — solver/ddp.vfxx_analytic's derivation assumes the Lie-Euler
     pose step + [-g Rᵀe_z; -I⁻¹(ω×Iω)] drift + control-affine actuation).
-    Families outside the protocol (e.g. models/quadrotor_drag) keep the
-    model-generic nested-jacfwd tensors."""
+    Families outside the protocol keep the model-generic nested-jacfwd
+    tensors, as do SUBSTEPPED wrappers (the closed forms are single-step
+    math — a k-substep stage map has a different, chained curvature)."""
     from ..kernels.models import lane_model_for
 
     try:
-        lane_model_for(params, model)
-        return True
+        return lane_model_for(params, model).substeps == 1
     except TypeError:
         return False
 

@@ -310,3 +310,115 @@ def test_solver_accepts_rk4_model():
     assert abs(float(res_rk4.cost) - float(res_euler.cost)) / float(res_euler.cost) < 0.3
     # memoized instance (stable jit static arg)
     assert rk4(qm) is rk4(qm)
+
+
+def test_substepped_kernel_matches_xla():
+    """Substepped integration at KERNEL speed (VERDICT r2 #4): the
+    whole-solve engine with a substepped lane model
+    (kernels/models.substepped_lane_model — the Riccati stage chains
+    per-substep jacobian blocks and accumulates the dense control
+    Jacobian) is lane-for-lane vmap(solve(model=substepped(qm, k)))."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_latency
+
+    params = _params()
+    batch, n = 128, 12
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x0 = qm.State(
+        pose=se3.exp(0.6 * jax.random.normal(k1, (batch, 6), F64)),
+        vel=0.7 * jax.random.normal(k2, (batch, 6), F64),
+    )
+    hover = jnp.full((n, 4), 1.2 * 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(
+            pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 12)
+    )
+    for k in (2, 4):
+        model = substepped(qm, k)
+        ref = jax.vmap(
+            lambda t: solve(params, cost, t, DT, opts, model=model)
+        )(trajs)
+        got = solve_batch_latency(
+            params, cost, trajs, DT, opts, interpret=True, model=model
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.status), np.asarray(ref.status)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(ref.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.trajectory.controls),
+            np.asarray(ref.trajectory.controls),
+            atol=1e-7,
+        )
+
+
+def test_substepped_kernel_k1_is_base_engine():
+    """substepped_lane_model(LM, 1) IS the base LaneModel (the chain path
+    never traces) — engine results identical by construction."""
+    from quadrotorilqr_tpu.kernels.models import (
+        QUADROTOR,
+        substepped_lane_model,
+    )
+
+    assert substepped_lane_model(QUADROTOR, 1) is QUADROTOR
+
+
+def test_substepped_fddp_routes_to_xla():
+    """The FDDP kernels are single-step; solve_batch_fddp routes substepped
+    models to the vmapped XLA path with identical semantics."""
+    from quadrotorilqr_tpu.solver import solve_fddp
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+
+    params = _params()
+    model = substepped(qm, 3)
+    batch, n = 4, 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    x0 = qm.State(
+        pose=se3.exp(0.5 * jax.random.normal(k1, (batch, 6), F64)),
+        vel=0.5 * jax.random.normal(k2, (batch, 6), F64),
+    )
+    hover = jnp.full((n, 4), 1.2 * 9.81 / 4.0, F64)
+    desired = Trajectory(
+        times=DT * jnp.arange(n, dtype=F64),
+        states=qm.State(
+            pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=jnp.eye(4, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 20)
+    )
+    got = solve_batch_fddp(params, cost, trajs, DT, opts, model=model)
+    ref = jax.vmap(
+        lambda t: solve_fddp(params, cost, t, DT, opts, model=model)
+    )(trajs)
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-12
+    )

@@ -161,6 +161,7 @@ def _solve_kernel(
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights active (w_ref read)
     use_box,  # static: control limits active (lo/hi refs read)
+    record_history,  # static: write the per-trip cost history (ohist rows)
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     q_ref,  # (N, 4, Bt) initial state quats
     t_ref,  # (N, 3, Bt)
@@ -188,6 +189,10 @@ def _solve_kernel(
     ocost_ref,  # out (1, Bt)
     oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
     ostat_ref,  # out (1, Bt) f32 STATUS_* codes
+    ohist_ref,  # out (max_iters, Bt) per-trip cost history ((1, Bt) dummy
+    #            when !record_history): slot i = the committed cost of the
+    #            lanes that EXECUTED trip i, 0 otherwise — the XLA debug
+    #            record's costs buffer (solver/batched.py populate_debug)
     ks_ref,  # scratch (N, u, Bt)
     bigks_ref,  # scratch (N, u, 12, Bt)
     bq_ref,  # scratch (N, 4, Bt): best line-search candidate
@@ -256,6 +261,8 @@ def _solve_kernel(
     ov_ref[:] = v_ref[:]
     ou_ref[:] = u_ref[:]
     st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    if record_history:
+        ohist_ref[:] = jnp.zeros((max_iters, bt), dtype)
 
     if continuation or max_iters == 0:
         # the input trajectory is feasible: its true cost seeds the loop
@@ -366,6 +373,13 @@ def _solve_kernel(
             n_open = _trip_close(
                 get, put, conv, dtype, li_pos, pre_conv, active, done, current
             )
+            if record_history:
+                # one slot per EXECUTED update (ilqr.hh:78-80): the
+                # committed cost for active lanes, zeros otherwise — the
+                # exact buffer convention of the XLA debug path
+                ohist_ref[i] = jnp.where(
+                    active[0], get(_COST)[0], jnp.zeros((bt,), dtype)
+                )
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
             )
@@ -390,6 +404,7 @@ def _solve_kernel(
         "lane_model",
         "use_weights",
         "use_box",
+        "record_history",
         "cost_batched",
         "params_batched",
         "interpret",
@@ -424,6 +439,7 @@ def _solve_call(
     lane_model,
     use_weights,
     use_box,
+    record_history,
     cost_batched,
     params_batched,
     interpret,
@@ -448,11 +464,12 @@ def _solve_call(
     box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
         bound_core
     )
+    hist_rows = max_iters if record_history else 1
     kernel = functools.partial(
         _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
-        use_weights, use_box,
+        use_weights, use_box, record_history,
     )
-    oq, ot, ov, ou, ocost, oiter, ostat = pl.pallas_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, ohist = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -485,6 +502,7 @@ def _solve_call(
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
+            lane_block((hist_rows,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, batch), dtype),
@@ -494,6 +512,7 @@ def _solve_call(
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((hist_rows, batch), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, u, TILE), dtype),
@@ -531,7 +550,7 @@ def _solve_call(
         lo,
         hi,
     )
-    return oq, ot, ov, ou, ocost, oiter, ostat
+    return oq, ot, ov, ou, ocost, oiter, ostat, ohist
 
 
 def solve_fused_whole(
@@ -544,6 +563,7 @@ def solve_fused_whole(
     continuation=False,
     model=None,
     limits=None,
+    return_history=False,
 ):
     """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
     multiple of 128. Latency-optimized: use solver/batched.py for huge
@@ -555,7 +575,12 @@ def solve_fused_whole(
     `limits=(lo, hi)` (scalars / (u,) arrays shared across the batch, or
     (B, u) per scenario) switches the stage gain solve to the
     projected-Newton box-QP and clamps every rollout control
-    (solver/constrained.py semantics)."""
+    (solver/constrained.py semantics). `return_history=True` appends the
+    per-trip cost history ((B, max_iters); slot i = the committed cost of
+    lanes that executed trip i, zeros otherwise — the XLA debug record's
+    costs buffer) to the tuple: populate_debug at kernel speed
+    (solver/batched.solve_batch_latency builds the CostHistory record
+    from it)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.ilqr import Trajectory
@@ -611,7 +636,7 @@ def solve_fused_whole(
         dtype,
     )
 
-    oq, ot, ov, ou, ocost, oiter, ostat = _solve_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, ohist = _solve_call(
         fscal,
         _to_lanes(traj.states.pose.quat),
         _to_lanes(traj.states.pose.trans),
@@ -640,6 +665,7 @@ def solve_fused_whole(
         lm,
         use_weights,
         use_box,
+        return_history,
         cost_batched,
         params_batched,
         interpret,
@@ -654,9 +680,10 @@ def solve_fused_whole(
         ),
         controls=jnp.moveaxis(ou, -1, 0),
     )
-    return (
+    out = (
         new_traj,
         ocost[0],
         oiter[0].astype(jnp.int32),
         ostat[0].astype(jnp.int32),
     )
+    return out + (ohist.T,) if return_history else out

@@ -218,6 +218,38 @@ def solve_sharded_fused(
     )
 
 
+def solve_sharded_fddp(
+    params,
+    cost,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions,
+    mesh: Mesh,
+    axis_name: str = SCENARIO_AXIS,
+    fddp_options=None,
+    interpret: bool = False,
+    ddp: bool = False,
+    limits=None,
+    model=None,
+):
+    """Robust-solver multi-chip path: shard_map of the FDDP kernels
+    (solver/batched.solve_batch_fddp — whole-solve or streamed per shard,
+    exact-DDP curvature with ddp=True) over the scenario mesh, with psum'd
+    global statistics. The multi-host Monte-Carlo story for the HARD
+    scenario classes (BASELINE.json config 5's robust-mode counterpart)."""
+    from ..solver.batched import solve_batch_fddp
+
+    def per_shard_solve(p, c, t):
+        return solve_batch_fddp(
+            p, c, t, dt_s, options, fddp_options=fddp_options,
+            interpret=interpret, model=model, ddp=ddp, limits=limits,
+        )
+
+    return _shard_map_solve(
+        per_shard_solve, params, cost, initial_trajs, mesh, axis_name
+    )
+
+
 def _shard_map_solve(
     per_shard_solve, params, cost, initial_trajs, mesh: Mesh, axis_name: str
 ):

@@ -11,6 +11,7 @@ from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
     STATUS_MAX_ITERS,
+    CostHistory,
     SolveResult,
     Trajectory,
     backward_pass,
@@ -30,6 +31,7 @@ __all__ = [
     "solve_auglag",
     "ALOptions",
     "ALSolveResult",
+    "CostHistory",
     "constraints",
     "backward_pass",
     "backward_pass_ddp",

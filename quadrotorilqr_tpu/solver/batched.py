@@ -35,6 +35,7 @@ from .ilqr import (
     STATUS_CONVERGED,
     STATUS_LINE_SEARCH_FAILED,
     STATUS_MAX_ITERS,
+    CostHistory,
     IterDebug,
     SolveResult,
     Trajectory,
@@ -366,16 +367,30 @@ def solve_batch_latency(
     identical semantics: horizons beyond its VMEM budget
     (kernels.solve.MAX_HORIZON stages) go to the STREAMED whole-solve kernel
     (kernels/stream.py — same single-program structure, per-stage data DMA'd
-    through a fixed VMEM window, any horizon), and `options.populate_debug`
-    or a zero-probe line search (ls max_iters < 1: the whole-solve kernels
-    implement the trip-0 forced step AS a forced-accept probe, so zero
-    probes would skip it) go to the batch loop.
+    through a fixed VMEM window, any horizon), and a zero-probe line
+    search (ls max_iters < 1: the whole-solve kernels implement the trip-0
+    forced step AS a forced-accept probe, so zero probes would skip it)
+    goes to the batch loop.
+
+    `options.populate_debug=True` no longer downgrades the engine
+    (VERDICT r2 #7): the VMEM whole-solve kernel emits the per-trip cost
+    history directly (a (max_iters, B) VMEM buffer) and the result carries
+    a `CostHistory` record — the costs/valid buffers of the XLA
+    IterDebug, bit-matching its convention. Only FULL trajectory
+    snapshots (IterDebug.trajectories) justify the batch-loop fallback:
+    use solve_batch_fused for those, or any debug request the streamed
+    kernel would serve (horizons past the VMEM budget).
     """
     from ..kernels.models import lane_model_for
     from ..kernels.solve import max_horizon_for, solve_fused_whole
     from ..kernels.stream import solve_fused_streamed
 
-    if options.populate_debug or options.line_search_params.max_iters < 1:
+    want_history = options.populate_debug
+    if options.line_search_params.max_iters < 1 or (
+        want_history
+        and initial_trajs.controls.shape[1]
+        > max_horizon_for(lane_model_for(params, model).u_dim)
+    ):
         return solve_batch_fused(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
@@ -413,17 +428,33 @@ def solve_batch_latency(
         > max_horizon_for(lane_model_for(params, model).u_dim)
         else solve_fused_whole
     )
-    traj, cost_v, iterations, status = engine(
-        params, cost, initial_trajs, dt_s, options,
-        interpret=interpret, continuation=continuation, model=model,
-        limits=limits,
-    )
+    if want_history:
+        traj, cost_v, iterations, status, hist = solve_fused_whole(
+            params, cost, initial_trajs, dt_s, options,
+            interpret=interpret, continuation=continuation, model=model,
+            limits=limits, return_history=True,
+        )
+        # executed updates are consecutive from trip 0 per lane, so the
+        # valid mask is exactly arange < iterations (matches the XLA
+        # debug record's `valid`)
+        max_iters = int(options.convergence_criteria.max_iters)
+        valid = (
+            jnp.arange(max_iters)[None, :] < iterations[:, None]
+        )
+        debug = CostHistory(costs=hist, valid=valid)
+    else:
+        traj, cost_v, iterations, status = engine(
+            params, cost, initial_trajs, dt_s, options,
+            interpret=interpret, continuation=continuation, model=model,
+            limits=limits,
+        )
+        debug = None
     return SolveResult(
         trajectory=traj,
         cost=cost_v,
         iterations=iterations,
         status=status,
-        debug=None,
+        debug=debug,
     )
 
 

@@ -73,6 +73,20 @@ class IterDebug:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class CostHistory:
+    """Lightweight per-iteration debug record: the cost/valid buffers of
+    IterDebug WITHOUT the trajectory snapshots — cheap enough for the
+    whole-solve kernels to emit from VMEM (kernels/solve.py
+    record_history), so `populate_debug` no longer forces the slower
+    batch-loop engine (solver/batched.solve_batch_latency). Request full
+    trajectory snapshots via solve_batch_fused when needed."""
+
+    costs: jax.Array  # (..., max_iters)
+    valid: jax.Array  # (..., max_iters) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class SolveResult:
     trajectory: Trajectory
     cost: jax.Array  # (...)

@@ -214,3 +214,34 @@ def test_latency_per_scenario_params():
     a = solve_batch_fused(params_b, cost, trajs, 0.02, options, interpret=True)
     b = solve_batch_latency(params_b, cost, trajs, 0.02, options, interpret=True)
     _assert_same(a, b)
+
+
+def test_latency_engine_serves_debug_cost_history():
+    """populate_debug no longer downgrades the engine (VERDICT r2 #7): the
+    whole-solve kernel emits the per-trip cost history and the CostHistory
+    record bit-matches the XLA IterDebug's costs/valid buffers."""
+    from quadrotorilqr_tpu.solver import CostHistory
+
+    params, cost, trajs = _problem(n=10)
+    dt = 0.02
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 12),
+        populate_debug=True,
+    )
+    got = solve_batch_latency(params, cost, trajs, dt, opts, interpret=True)
+    assert isinstance(got.debug, CostHistory)
+    ref = solve_batch_fused(params, cost, trajs, dt, opts, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.debug.valid), np.asarray(ref.debug.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.debug.costs), np.asarray(ref.debug.costs), atol=1e-9
+    )
+    # and the engine result itself is still the latency engine's
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )

@@ -306,6 +306,7 @@ def _riccati_stage(
     drag=None,
     substeps=1,
     chain=None,
+    penalty=None,
 ):
     """One reverse Riccati stage in lane layout (ilqr.hh:109-141): dynamics
     Jacobian blocks + Gauss-Newton cost diffs + Q-expansion + gains + value
@@ -378,6 +379,12 @@ def _riccati_stage(
         c_xx = w * c_xx
         r2_l = w * r2_l
     c_u = L.matvec(r2_l, du)
+    if penalty is not None:
+        pcx, pcu, pcxx, pcuu, pcxu = penalty
+        c_x = c_x + pcx
+        c_u = c_u + pcu
+        c_xx = c_xx + pcxx
+        r2_l = r2_l + pcuu  # feeds the Quu base exactly like c_uu
 
     lo = ju_lo_row
     m = ju.shape[1]
@@ -408,6 +415,8 @@ def _riccati_stage(
         q_xu = vxx_ju
         for b in reversed(blocks_list):
             q_xu = _jxt_mat(q_xu, *b)
+        if penalty is not None:
+            q_xu = q_xu + pcxu
     else:
         blocks = (p_blk, t_blk, g_blk, m_blk, l_diag)
         q_x = c_x + _jxt_vec(v_x, *blocks)
@@ -428,6 +437,8 @@ def _riccati_stage(
         vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
         q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
         q_xu = _jxt_mat(vxx_ju, *blocks)
+        if penalty is not None:
+            q_xu = q_xu + pcxu
 
     if box is not None:
         lo_l, hi_l = box
@@ -479,6 +490,7 @@ def _backward_kernel(
     lane_model,  # model family descriptor (kernels/models.py)
     use_box,  # static: control limits active (lo/hi refs read)
     use_weights,  # static: per-stage cost weights active (w_ref read)
+    use_penalty,  # static: AL penalty operands active (p*_ref read)
     scal_ref,  # SMEM (4,): [dt, quu_reg, unused, unused]
     act_ref,  # SMEM (n_tiles,) i32: per-tile any-lane-active flags
     q_ref,  # (N, 4, Bt) state quats
@@ -499,6 +511,11 @@ def _backward_kernel(
     iinv_ref,  # (3, 3, Bt)
     lo_ref,  # (u, Bt) control lower bounds ((1, Bt) dummy when !use_box)
     hi_ref,  # (u, Bt) upper bounds
+    pcx_ref,  # (N, 12, Bt) AL penalty gradient wrt x (dummies when
+    pcu_ref,  # (N, u, Bt)   !use_penalty — solver/auglag quadratization)
+    pcxx_ref,  # (N, 12, 12, Bt)
+    pcuu_ref,  # (N, u, u, Bt)
+    pcxu_ref,  # (N, 12, u, Bt) the nonzero cost cross term
     ks_ref,  # out (N, u, Bt)
     bigks_ref,  # out (N, u, 12, Bt)
     red_ref,  # out (2, Bt): [QuTk, kTQuuk]
@@ -535,6 +552,14 @@ def _backward_kernel(
                 box=box,
                 w=w_ref[n] if use_weights else None,
                 drag=drag,
+                penalty=(
+                    (
+                        pcx_ref[n], pcu_ref[n], pcxx_ref[n], pcuu_ref[n],
+                        pcxu_ref[n],
+                    )
+                    if use_penalty
+                    else None
+                ),
             )
             ks_ref[n] = k
             bigks_ref[n] = big_k
@@ -669,7 +694,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
     jax.jit,
     static_argnames=(
         "dt_s", "n", "batch", "lane_model", "use_box", "use_weights",
-        "cost_batched", "params_batched", "interpret",
+        "use_penalty", "cost_batched", "params_batched", "interpret",
     ),
 )
 def _backward_call(
@@ -693,12 +718,18 @@ def _backward_call(
     inertia_inv,
     lo,
     hi,
+    pcx,
+    pcu,
+    pcxx,
+    pcuu,
+    pcxu,
     dt_s,
     n,
     batch,
     lane_model,
     use_box,
     use_weights,
+    use_penalty,
     cost_batched,
     params_batched,
     interpret,
@@ -724,8 +755,11 @@ def _backward_call(
     # dummy weights are a single broadcast tile — never lane-indexed
     w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
     extra_core = extra.shape[:-1]
+    pen_block = lambda a: (lane_block if use_penalty else fixed_block)(
+        a.shape[:-1]
+    )
     kernel = functools.partial(
-        _backward_kernel, n, lane_model, use_box, use_weights
+        _backward_kernel, n, lane_model, use_box, use_weights, use_penalty
     )
     ks, big_ks, red = pl.pallas_call(
         kernel,
@@ -751,6 +785,11 @@ def _backward_call(
             param_block((3, 3)),
             box_block,
             box_block,
+            pen_block(pcx),
+            pen_block(pcu),
+            pen_block(pcxx),
+            pen_block(pcuu),
+            pen_block(pcxu),
         ],
         out_specs=[
             lane_block((n, u)),
@@ -787,6 +826,11 @@ def _backward_call(
         inertia_inv,
         lo,
         hi,
+        pcx,
+        pcu,
+        pcxx,
+        pcuu,
+        pcxu,
     )
     return ks, big_ks, red
 
@@ -816,7 +860,7 @@ def _prep_limits(limits, u_dim, dtype):
 
 def backward_pass_fused(
     params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None,
-    model=None, limits=None,
+    model=None, limits=None, penalty=None,
 ):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
@@ -868,6 +912,17 @@ def backward_pass_fused(
     scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
     if tile_act is None:
         tile_act = jnp.ones((batch // TILE,), jnp.int32)
+    # AL penalty operands ((B, N, ...) per-stage quadratics incl. the
+    # nonzero C_xu cross term — solver/auglag) enter as per-lane tiles;
+    # rank-matched broadcast dummies otherwise
+    use_penalty = penalty is not None
+    if use_penalty:
+        pcx, pcu, pcxx, pcuu, pcxu = (_to_lanes(a) for a in penalty)
+    else:
+        d1 = _bcast_tile(jnp.zeros((1, 1), dtype), dtype)
+        d2 = _bcast_tile(jnp.zeros((1, 1, 1), dtype), dtype)
+        pcx = pcu = d1
+        pcxx = pcuu = pcxu = d2
 
     ks, big_ks, red = _backward_call(
         scal,
@@ -890,12 +945,18 @@ def backward_pass_fused(
         inertia_inv,
         lo,
         hi,
+        pcx,
+        pcu,
+        pcxx,
+        pcuu,
+        pcxu,
         dt_s,
         n,
         batch,
         lm,
         use_box,
         use_weights,
+        use_penalty,
         cost_batched,
         params_batched,
         interpret,

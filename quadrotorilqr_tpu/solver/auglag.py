@@ -384,3 +384,315 @@ def solve_auglag(
         status=status,
         multipliers=lam,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "constraints", "dt_s", "options", "al_options", "model", "interpret",
+    ),
+)
+def solve_auglag_batch(
+    params,
+    cost,
+    constraints,
+    initial_trajs: Trajectory,
+    dt_s: float,
+    options: ILQROptions = ILQROptions(),
+    al_options: ALOptions = ALOptions(),
+    model=None,
+    interpret: bool = False,
+) -> ALSolveResult:
+    """Batched constrained solve at KERNEL speed (VERDICT r2 #8): the AL
+    inner loop's backward passes run on the fused Pallas engine with the
+    quadratized PHR penalty — including the nonzero C_xu cross term — as
+    streamed per-stage operands (kernels/backward.backward_pass_fused
+    penalty=...; the shared Riccati stage carries Q_xu = C_xu + JᵀVJu),
+    and the line-search rollouts on the fused rollout kernel (the
+    penalty value of each candidate is the cheap part — one vmapped
+    constraint evaluation — added outside the kernel).
+
+    Per-lane semantics mirror vmap(solve_auglag) exactly: the same inner
+    loop (trip-0 forced step, pre/post checks, per-lane backtracking on
+    the AUGMENTED cost) and the same PHR outer loop (per-lane multiplier
+    updates, mu schedule, feasibility statuses), with finished lanes
+    frozen. initial_trajs leaves are (B, N, ...); batches pad to the
+    128-lane kernel tile."""
+    from ..kernels.backward import backward_pass_fused
+    from ..kernels.rollout import rollout_cost_fused
+
+    model_m = qm if model is None else model
+    batch = initial_trajs.controls.shape[0]
+    n = initial_trajs.controls.shape[-2]
+    dtype = initial_trajs.controls.dtype
+    pad = (-batch) % 128
+    if pad:
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[0:1], (pad,) + a.shape[1:])], axis=0
+            )
+
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        padded = solve_auglag_batch(
+            jax.tree.map(pad_lane, params) if params_batched else params,
+            jax.tree.map(
+                lambda a, batched: pad_lane(a) if batched else a,
+                cost,
+                qc.cost_batched_flags(cost),
+            ),
+            constraints,
+            jax.tree.map(pad_lane, initial_trajs),
+            dt_s,
+            options,
+            al_options=al_options,
+            model=model,
+            interpret=interpret,
+        )
+        return jax.tree.map(lambda a: a[:batch], padded)
+
+    n_c = jax.eval_shape(
+        constraints,
+        jax.tree.map(lambda leaf: leaf[0, 0, :], initial_trajs.states),
+        initial_trajs.controls[0, 0, :],
+        jnp.zeros((), jnp.int32),
+    ).shape[-1]
+    alo = al_options
+    ctol = jnp.asarray(alo.constraint_tol, dtype)
+    max_iters = int(options.convergence_criteria.max_iters)
+    ls = options.line_search_params
+    cost_axes = jax.tree.map(
+        lambda batched: 0 if batched else None, qc.cost_batched_flags(cost)
+    )
+
+    def base_cost(trajs):
+        return jax.vmap(
+            lambda c, t: qc.trajectory_cost(c, t.states, t.controls),
+            in_axes=(cost_axes, 0),
+        )(cost, trajs)
+
+    def constraint_vals(trajs):
+        return jax.vmap(
+            lambda t: _eval_constraints(
+                constraints, model_m, t.states, t.controls, n
+            )
+        )(trajs)  # (B, N, n_c)
+
+    def aug_cost(trajs, lam, mu):
+        g = constraint_vals(trajs)
+        return base_cost(trajs) + jax.vmap(_phi)(g, lam, mu)
+
+    def penalty_quads(trajs, lam, mu):
+        """Per-stage PHR quadratics ((B, N, ...), the exact math of
+        _backward_pass_aug) as kernel operands."""
+        g, gx, gu = jax.vmap(
+            lambda t: _constraint_diffs(
+                constraints, model_m, t.states, t.controls, n
+            )
+        )(trajs)
+        z = jnp.maximum(lam + mu[:, None, None] * g, 0.0)
+        wgt = mu[:, None, None] * (z > 0).astype(dtype)
+        pcx = jnp.einsum("bncx,bnc->bnx", gx, z)
+        pcu = jnp.einsum("bncu,bnc->bnu", gu, z)
+        pcxx = jnp.einsum("bncx,bnc,bncy->bnxy", gx, wgt, gx)
+        pcuu = jnp.einsum("bncu,bnc,bncv->bnuv", gu, wgt, gu)
+        pcxu = jnp.einsum("bncx,bnc,bncu->bnxu", gx, wgt, gu)
+        return pcx, pcu, pcxx, pcuu, pcxu
+
+    def inner_solve(trajs, lam, mu, outer_active):
+        """Batched mirror of _inner_solve on the kernel engines; lanes
+        outside `outer_active` freeze (their outputs are re-selected)."""
+
+        def line_search(traj, current, ks, big_ks, qutk, ktquuk, active):
+            def cond(carry):
+                j, _, accepted, _, _ = carry
+                return jnp.logical_and(
+                    j < ls.max_iters,
+                    jnp.any(jnp.logical_and(active, ~accepted)),
+                )
+
+            def body(carry):
+                j, alpha, accepted, best, best_cost = carry
+                pending = jnp.logical_and(active, ~accepted)
+                cand, _ = rollout_cost_fused(
+                    params, cost, traj, ks, big_ks, alpha, dt_s,
+                    interpret=interpret, model=model,
+                )
+                cand_cost = aug_cost(cand, lam, mu)
+                desired = ls.desired_reduction_frac * expected_cost_reduction(
+                    qutk, ktquuk, alpha
+                )
+                ok = (cand_cost - current) < desired
+                best = _where_lanes_al(pending, cand, best)
+                best_cost = jnp.where(pending, cand_cost, best_cost)
+                accepted = jnp.logical_or(
+                    accepted, jnp.logical_and(pending, ok)
+                )
+                alpha = jnp.where(
+                    jnp.logical_or(accepted, ~active),
+                    alpha,
+                    alpha * ls.step_update,
+                )
+                return (j + 1, alpha, accepted, best, best_cost)
+
+            init = (
+                jnp.zeros((), jnp.int32),
+                jnp.ones((batch,), dtype),
+                jnp.zeros((batch,), bool),
+                traj,
+                current,
+            )
+            _, _, accepted, best, best_cost = jax.lax.while_loop(
+                cond, body, init
+            )
+            return best, best_cost, accepted
+
+        def cond(carry):
+            i, _, _, done, _, _ = carry
+            return jnp.logical_and(
+                i < max_iters, jnp.logical_not(jnp.all(done))
+            )
+
+        def body(carry):
+            i, traj, new_cost, done, status, iters = carry
+            pen = penalty_quads(traj, lam, mu)
+            ks, big_ks, qutk, ktquuk = backward_pass_fused(
+                params, cost, traj, dt_s, quu_reg=options.quu_reg,
+                interpret=interpret, model=model, penalty=pen,
+            )
+            current = new_cost
+            expected = current + expected_cost_reduction(qutk, ktquuk)
+            pre_conv = jnp.logical_and(
+                jnp.logical_and(i > 0, is_converged(current, expected, options)),
+                jnp.logical_not(done),
+            )
+            active = jnp.logical_not(jnp.logical_or(done, pre_conv))
+
+            def first_trip(_):
+                cand, _ = rollout_cost_fused(
+                    params, cost, traj, ks, big_ks,
+                    jnp.ones((batch,), dtype), dt_s,
+                    interpret=interpret, model=model,
+                )
+                return cand, aug_cost(cand, lam, mu), jnp.ones((batch,), bool)
+
+            def later_trip(_):
+                return line_search(
+                    traj, current, ks, big_ks, qutk, ktquuk, active
+                )
+
+            cand, cand_cost, ls_ok = jax.lax.cond(
+                i == 0, first_trip, later_trip, None
+            )
+            post_conv = jnp.logical_and(
+                jnp.logical_and(i > 0, is_converged(current, cand_cost, options)),
+                jnp.logical_and(active, ls_ok),
+            )
+            ls_failed = jnp.logical_and(active, jnp.logical_not(ls_ok))
+            traj = _where_lanes_al(active, cand, traj)
+            new_cost = jnp.where(active, cand_cost, current)
+            status = jnp.where(
+                ls_failed,
+                STATUS_LINE_SEARCH_FAILED,
+                jnp.where(
+                    jnp.logical_or(post_conv, pre_conv),
+                    STATUS_CONVERGED,
+                    status,
+                ),
+            ).astype(jnp.int32)
+            done = jnp.logical_or(
+                done,
+                jnp.logical_or(pre_conv, jnp.logical_or(post_conv, ls_failed)),
+            )
+            iters = iters + jnp.where(active, 1, 0).astype(jnp.int32)
+            return (i + 1, traj, new_cost, done, status, iters)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            trajs,
+            aug_cost(trajs, lam, mu),
+            jnp.logical_not(outer_active),  # frozen lanes never update
+            jnp.full((batch,), STATUS_MAX_ITERS, jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+        )
+        _, traj, c, _, status, iters = jax.lax.while_loop(cond, body, init)
+        return traj, c, iters, status
+
+    def outer_cond(carry):
+        outer, _, _, _, _, _, done, _, _ = carry
+        return jnp.logical_and(
+            outer < alo.max_outer_iters, jnp.logical_not(jnp.all(done))
+        )
+
+    def outer_body(carry):
+        outer, traj, lam, mu, viol, total_inner, done, status, outer_i = carry
+        open_ = jnp.logical_not(done)
+        traj2, _, inner_i, inner_status = inner_solve(traj, lam, mu, open_)
+        g = constraint_vals(traj2)
+        viol2 = jnp.max(
+            jnp.maximum(g, 0.0).reshape(batch, -1), axis=1
+        )
+        lam_new = jnp.maximum(lam + mu[:, None, None] * g, 0.0)
+        feasible = viol2 < ctol
+        mu_new = jnp.where(
+            feasible, mu, jnp.minimum(mu * alo.penalty_scale, alo.penalty_max)
+        )
+        status_new = jnp.where(
+            feasible,
+            jnp.where(
+                inner_status == STATUS_CONVERGED,
+                STATUS_CONVERGED,
+                STATUS_FEASIBLE_MAX_ITERS,
+            ),
+            STATUS_INFEASIBLE,
+        ).astype(jnp.int32)
+        # frozen lanes keep everything
+        traj3 = _where_lanes_al(open_, traj2, traj)
+        return (
+            outer + 1,
+            traj3,
+            jnp.where(open_[:, None, None], lam_new, lam),
+            jnp.where(open_, mu_new, mu),
+            jnp.where(open_, viol2, viol),
+            total_inner + jnp.where(open_, inner_i, 0),
+            jnp.logical_or(
+                done,
+                jnp.logical_and(feasible, inner_status == STATUS_CONVERGED),
+            ),
+            jnp.where(open_, status_new, status),
+            outer_i + jnp.where(open_, 1, 0).astype(jnp.int32),
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        initial_trajs,
+        jnp.zeros((batch, n, n_c), dtype),
+        jnp.full((batch,), alo.penalty_init, dtype),
+        jnp.full((batch,), jnp.inf, dtype),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), bool),
+        jnp.full((batch,), STATUS_INFEASIBLE, jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+    (
+        outer, traj, lam, _, viol, total_inner, _, status, outer_i
+    ) = jax.lax.while_loop(outer_cond, outer_body, init)
+    return ALSolveResult(
+        trajectory=traj,
+        cost=base_cost(traj),
+        iterations=total_inner,
+        outer_iterations=outer_i,
+        max_violation=viol,
+        status=status,
+        multipliers=lam,
+    )
+
+
+def _where_lanes_al(mask, a, b):
+    """Per-lane select over (B, ...) pytrees; mask is (B,)."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y
+        ),
+        a,
+        b,
+    )

@@ -280,3 +280,61 @@ def test_new_builders_tilt_cylinder_altitude():
     assert (np.sum(xy * xy, axis=1) >= 0.35**2 - 1e-6).all()  # cylinder
     z = np.asarray(traj.states.pose.trans)[:, 2]
     assert (z >= -0.2 - 1e-6).all() and (z <= 0.5 + 1e-6).all()  # altitude
+
+
+def test_batched_kernel_auglag_matches_vmapped_xla():
+    """Constrained flight at KERNEL speed (VERDICT r2 #8):
+    solve_auglag_batch runs the AL inner loop on the fused engines — the
+    backward pass consumes the quadratized PHR penalty (including the
+    nonzero C_xu cross term) as streamed per-stage operands — and matches
+    vmap(solve_auglag) lane-for-lane on a batch of obstacle-crossing
+    scenarios with a mix of active and inactive constraints."""
+    from quadrotorilqr_tpu.solver.auglag import solve_auglag_batch
+
+    params, cost, init, _ = _crossing_problem()
+    sphere = C.sphere_keepout(center=[1.0, 0.0, 0.0], radius=0.4)
+    batch = 8
+    key = jax.random.PRNGKey(2)
+    dx = 0.15 * jax.random.normal(key, (batch, 3), DTYPE)
+    trajs = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), init)
+    # shift initial translations so lanes cross the obstacle differently
+    states = trajs.states
+    trans = states.pose.trans.at[:, 0, :].add(dx)
+    trajs = Trajectory(
+        times=trajs.times,
+        states=State(
+            pose=se3.SE3(quat=states.pose.quat, trans=trans),
+            vel=states.vel,
+        ),
+        controls=trajs.controls,
+    )
+    ref = jax.vmap(
+        lambda t: solve_auglag(params, cost, sphere, t, DT, _OPTIONS, _AL)
+    )(trajs)
+    got = solve_auglag_batch(
+        params, cost, sphere, trajs, DT, _OPTIONS, _AL, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.outer_iterations), np.asarray(ref.outer_iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.max_violation), np.asarray(ref.max_violation),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-6,
+    )
+    # the constraint must actually bind for some lanes
+    assert float(np.asarray(ref.max_violation).max()) < _AL.constraint_tol
+    assert np.any(np.asarray(ref.multipliers).max(axis=(1, 2)) > 0)

@@ -86,8 +86,9 @@ def _count_jaxpr(jaxpr):
 # ---------------------------------------------------------------------------
 
 
-def backward_stage_flops(dtype=jnp.float32) -> int:
-    """FLOPs per lane per horizon stage of the Riccati backward kernel."""
+def backward_stage_flops(dtype=jnp.float32, u_dim=4, ju_lo=8) -> int:
+    """FLOPs per lane per horizon stage of the Riccati backward kernel
+    (u_dim/ju_lo parametrize the model family: quadrotor 4/8, wrench 6/6)."""
     from quadrotorilqr_tpu.kernels import lanes as L
     from quadrotorilqr_tpu.kernels.backward import _riccati_stage
 
@@ -98,12 +99,13 @@ def backward_stage_flops(dtype=jnp.float32) -> int:
         return _riccati_stage(
             0.1, 0.0, q_l, r2_l, g, ju, L.transpose(ju), i_l, iinv_l,
             quat, trans, vel, u, dq, dtr, dv, du, v_x, v_xx,
+            ju_lo_row=ju_lo,
         )
 
     return count_flops(
         stage,
-        z(4), z(3), z(6), z(4), z(4), z(3), z(6), z(4),
-        z(12, 12), z(4, 4), z(1, 1), z(12, 4), z(3, 3), z(3, 3),
+        z(4), z(3), z(6), z(u_dim), z(4), z(3), z(6), z(u_dim),
+        z(12, 12), z(u_dim, u_dim), z(1, 1), z(12, u_dim), z(3, 3), z(3, 3),
         z(12), z(12, 12),
     )
 
@@ -220,12 +222,14 @@ def fddp_solve_flops(n, batch, trips, rollouts_per_trip=1.0) -> float:
     return float(trips) * batch * n * per_stage
 
 
-def solve_flops(n, batch, trips, rollouts_per_trip=1.0) -> float:
+def solve_flops(n, batch, trips, rollouts_per_trip=1.0, u_dim=4, ju_lo=8) -> float:
     """Analytic FLOPs of a batched fused solve: every global outer trip runs
     the backward kernel plus `rollouts_per_trip` rollout kernels over the
     FULL batch and horizon (lanes that already converged still occupy their
     tile — that is the masked-batch cost model)."""
-    per_stage = backward_stage_flops() + rollouts_per_trip * rollout_stage_flops()
+    per_stage = backward_stage_flops(
+        u_dim=u_dim, ju_lo=ju_lo
+    ) + rollouts_per_trip * rollout_stage_flops()
     return float(trips) * batch * n * per_stage
 
 
@@ -376,14 +380,25 @@ def main():
         convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, iters),
     )
 
+    from quadrotorilqr_tpu.kernels.solve import solve_fused_whole
+
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_latency(p, c, t, dt, options)
+        _, cost_v, iters, _, probes = solve_fused_whole(
+            p, c, t, dt, options, return_probes=True
+        )
         # the whole-solve kernel runs each TILE for its own max iteration
-        # count — the work model's trip count is the mean of per-tile maxima
-        tile_iters = jnp.max(res.iterations.reshape(-1, 128), axis=1)
+        # count — the work model's trip count is the mean of per-tile
+        # maxima, and the probe counter reports the EXECUTED line-search
+        # sweeps (round 2 assumed 1.0 per trip)
+        tile_iters = jnp.max(iters.reshape(-1, 128), axis=1)
+        tile_probes = jnp.max(probes.reshape(-1, 128), axis=1)
         return jnp.stack(
-            [jnp.sum(res.cost), jnp.mean(tile_iters.astype(jnp.float32))]
+            [
+                jnp.sum(cost_v),
+                jnp.mean(tile_iters.astype(jnp.float32)),
+                jnp.mean(tile_probes),
+            ]
         )
 
     compiled = run.lower(params, cost, trajs).compile()
@@ -392,13 +407,16 @@ def main():
     floor = measure_dispatch_floor_s()
     device_s = max(p50 - floor, 1e-6)
     trips = float(out[1])  # mean per-tile outer trips (whole-solve kernel)
+    rollouts_per_trip = float(out[2]) / max(trips, 1e-6)
 
     vpu = measure_vpu_peak_gflops()
     bw = measure_hbm_bw_gbs()
     rep = roofline_report(
         n, batch, trips, device_s,
-        rollouts_per_trip=1.0, vpu_peak_gflops=vpu, hbm_bw_gbs=bw,
+        rollouts_per_trip=rollouts_per_trip,
+        vpu_peak_gflops=vpu, hbm_bw_gbs=bw,
     )
+    rep["rollouts_per_trip_measured"] = round(rollouts_per_trip, 2)
     rep.update(
         workload=f"hover batch={batch} N={n} trips={trips:.0f}",
         p50_wall_s=round(p50, 4),

@@ -75,6 +75,54 @@ def _time(compiled, args=(), repeats=5):
     return float(np.median(ts)), out
 
 
+
+_ROOFLINE_CEILINGS = {}
+
+
+def _roofline_pct(params, cost, trajs, dt, options, n, batch, p50, model=None):
+    """Per-config speed-of-light certification (VERDICT r2 #9): achieved
+    GFLOP/s from the analytic work model with the KERNEL-REPORTED trip and
+    probe counts (kernels/solve.py oprob — the executed line-search
+    sweeps, not an assumed 1.0), as a %% of the measured VPU FMA peak.
+    Returns (pct, gflops) or (None, None) for dispatch-floor-bound runs."""
+    from benchmarks.roofline import (
+        measure_dispatch_floor_s,
+        measure_vpu_peak_gflops,
+        solve_flops,
+    )
+    from quadrotorilqr_tpu.kernels.solve import solve_fused_whole
+
+    if not _ROOFLINE_CEILINGS:
+        _ROOFLINE_CEILINGS["vpu"] = measure_vpu_peak_gflops()
+        _ROOFLINE_CEILINGS["floor"] = measure_dispatch_floor_s()
+
+    @jax.jit
+    def stats(p, c, t):
+        _, _, iters, _, probes = solve_fused_whole(
+            p, c, t, dt, options, model=model, return_probes=True
+        )
+        tile_iters = jnp.max(iters.reshape(-1, 128), axis=1)
+        tile_probes = jnp.max(probes.reshape(-1, 128), axis=1)
+        return jnp.stack(
+            [
+                jnp.mean(tile_iters.astype(jnp.float32)),
+                jnp.mean(tile_probes),
+            ]
+        )
+
+    out = np.asarray(stats(params, cost, trajs))
+    trips, probes = float(out[0]), float(out[1])
+    device_s = p50 - _ROOFLINE_CEILINGS["floor"]
+    if device_s <= 0.25 * p50:  # dispatch-floor-bound: no honest device rate
+        return None, None
+    flops = solve_flops(n, batch, trips, probes / max(trips, 1e-6))
+    gflops = flops / device_s / 1e9
+    return (
+        round(100.0 * gflops / _ROOFLINE_CEILINGS["vpu"], 1),
+        round(gflops, 1),
+    )
+
+
 def config1_single_solve(quick):
     """Reference demo workload (quadrotor_ilqr.py:256-306): one solve through
     the whole-solve latency kernel (kernels/solve.py) — the full iLQR loop in
@@ -141,6 +189,9 @@ def config2_hover(quick):
 
     compiled = run.lower(params, cost, trajs).compile()
     p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
+    pct, gflops = _roofline_pct(
+        params, cost, trajs, 0.02, options, n, batch, p50
+    )
     return {
         "config": 2,
         "name": f"batch-{batch} hover-to-waypoint, randomized SE(3) poses (N={n})",
@@ -148,6 +199,8 @@ def config2_hover(quick):
         "value": round(batch / p50, 1),
         "unit": "solves/s/chip",
         "frac_converged": out[1],
+        "pct_vpu_peak": pct,
+        "achieved_gflops": gflops,
     }
 
 
@@ -183,6 +236,9 @@ def config3_figure_eight(quick):
 
     compiled = run.lower(params, cost, trajs).compile()
     p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
+    pct, gflops = _roofline_pct(
+        params, cost, trajs, 0.02, options, n, batch, p50
+    )
     return {
         "config": 3,
         "name": f"batch-{batch} figure-eight tracking, per-scenario weights (N={n})",
@@ -190,6 +246,8 @@ def config3_figure_eight(quick):
         "value": round(batch / p50, 1),
         "unit": "solves/s/chip",
         "frac_converged": out[1],
+        "pct_vpu_peak": pct,
+        "achieved_gflops": gflops,
     }
 
 
@@ -299,6 +357,9 @@ def config5_monte_carlo(quick):
 
     compiled = run.lower(params, cost, trajs).compile()
     p50, out = _time(compiled, (params, cost, trajs), repeats=3)
+    pct, gflops = _roofline_pct(
+        params, cost, trajs, 0.02, options, n, batch, p50
+    )
     return {
         "config": 5,
         "name": f"{batch}-scenario Monte-Carlo library generation (N={n})",
@@ -306,6 +367,8 @@ def config5_monte_carlo(quick):
         "value": round(batch / p50, 1),
         "unit": "solves/s/chip",
         "n_converged": out[1],
+        "pct_vpu_peak": pct,
+        "achieved_gflops": gflops,
     }
 
 
@@ -334,12 +397,14 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    print("\n| # | workload | p50 latency | throughput |")
-    print("|---|----------|-------------|------------|")
+    print("\n| # | workload | p50 latency | throughput | %VPU peak |")
+    print("|---|----------|-------------|------------|-----------|")
     for r in rows:
+        pct = r.get("pct_vpu_peak")
+        pct_s = f"{pct}%" if pct is not None else "—"
         print(
             f"| {r['config']} | {r['name']} | {r['p50_latency_ms']} ms "
-            f"| {r['value']} {r['unit']} |"
+            f"| {r['value']} {r['unit']} | {pct_s} |"
         )
 
 

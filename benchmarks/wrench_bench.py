@@ -113,6 +113,37 @@ def main():
         times.append(dt)
     p50 = float(np.median(times))
     _, frac_conv, mean_iters = out
+
+    # speed-of-light column (VERDICT r2 #9): kernel-reported trips/probes
+    # into the u=6 work model against the measured VPU peak
+    from benchmarks.roofline import (
+        measure_dispatch_floor_s,
+        measure_vpu_peak_gflops,
+        solve_flops,
+    )
+    from quadrotorilqr_tpu.kernels.solve import solve_fused_whole
+
+    @jax.jit
+    def stats(p, c, t):
+        _, _, iters, _, probes = solve_fused_whole(
+            p, c, t, DT_S, options, model=wm, return_probes=True
+        )
+        return jnp.stack(
+            [
+                jnp.mean(jnp.max(iters.reshape(-1, 128), axis=1).astype(jnp.float32)),
+                jnp.mean(jnp.max(probes.reshape(-1, 128), axis=1)),
+            ]
+        )
+
+    st = np.asarray(stats(params, cost, trajs))
+    trips, probes = float(st[0]), float(st[1])
+    vpu = measure_vpu_peak_gflops()
+    floor = measure_dispatch_floor_s()
+    device_s = max(p50 - floor, 1e-6)
+    gflops = solve_flops(
+        HORIZON, BATCH, trips, probes / max(trips, 1e-6), u_dim=6, ju_lo=6
+    ) / device_s / 1e9
+    pct = round(100.0 * gflops / vpu, 1)
     print(
         json.dumps(
             {
@@ -126,6 +157,9 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "frac_converged": frac_conv,
                 "mean_iterations": round(mean_iters, 2),
+                "achieved_gflops": round(gflops, 1),
+                "pct_vpu_peak": pct,
+                "rollouts_per_trip_measured": round(probes / max(trips, 1e-6), 2),
                 "device": str(jax.devices()[0].device_kind),
             }
         )

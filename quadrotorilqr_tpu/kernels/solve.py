@@ -55,7 +55,7 @@ from .backward import (
 from .rollout import _state_minus
 
 # rows of the per-lane solver-state scratch tile
-_COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC = range(7)
+_COST, _DONE, _STATUS, _ITERS, _ALPHA, _ACCEPTED, _BESTC, _PROBES = range(8)
 _STATE_ROWS = 8  # one f32 sublane tile
 
 # ~61 KB VMEM per horizon stage per tile at u=4 (module docstring): beyond
@@ -189,6 +189,8 @@ def _solve_kernel(
     ocost_ref,  # out (1, Bt)
     oiter_ref,  # out (1, Bt) f32 (cast to int32 by the wrapper)
     ostat_ref,  # out (1, Bt) f32 STATUS_* codes
+    oprob_ref,  # out (1, Bt): executed probe sweeps (tile-uniform; the
+    #             roofline work model's rollouts-per-trip measurement)
     ohist_ref,  # out (max_iters, Bt) per-trip cost history ((1, Bt) dummy
     #            when !record_history): slot i = the committed cost of the
     #            lanes that EXECUTED trip i, 0 otherwise — the XLA debug
@@ -350,6 +352,7 @@ def _solve_kernel(
                         0, n_stages, rstage, rinit
                     )
 
+                    put(_PROBES, get(_PROBES) + 1.0)
                     still_pending = _ls_probe_commit(
                         get, put, ls_frac, ls_step, li, active, current,
                         qutk, ktquuk, cand_cost, pending, accepted, alpha,
@@ -391,6 +394,7 @@ def _solve_kernel(
     ocost_ref[:] = get(_COST)
     oiter_ref[:] = get(_ITERS)
     ostat_ref[:] = get(_STATUS)
+    oprob_ref[:] = get(_PROBES)
 
 
 @functools.partial(
@@ -469,7 +473,7 @@ def _solve_call(
         _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
         use_weights, use_box, record_history,
     )
-    oq, ot, ov, ou, ocost, oiter, ostat, ohist = pl.pallas_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, oprob, ohist = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -502,6 +506,7 @@ def _solve_call(
             lane_block((1,)),
             lane_block((1,)),
             lane_block((1,)),
+            lane_block((1,)),
             lane_block((hist_rows,)),
         ],
         out_shape=[
@@ -509,6 +514,7 @@ def _solve_call(
             jax.ShapeDtypeStruct((n, 3, batch), dtype),
             jax.ShapeDtypeStruct((n, 6, batch), dtype),
             jax.ShapeDtypeStruct((n, u, batch), dtype),
+            jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
@@ -550,7 +556,7 @@ def _solve_call(
         lo,
         hi,
     )
-    return oq, ot, ov, ou, ocost, oiter, ostat, ohist
+    return oq, ot, ov, ou, ocost, oiter, ostat, oprob, ohist
 
 
 def solve_fused_whole(
@@ -564,6 +570,7 @@ def solve_fused_whole(
     model=None,
     limits=None,
     return_history=False,
+    return_probes=False,
 ):
     """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
     multiple of 128. Latency-optimized: use solver/batched.py for huge
@@ -636,7 +643,7 @@ def solve_fused_whole(
         dtype,
     )
 
-    oq, ot, ov, ou, ocost, oiter, ostat, ohist = _solve_call(
+    oq, ot, ov, ou, ocost, oiter, ostat, oprob, ohist = _solve_call(
         fscal,
         _to_lanes(traj.states.pose.quat),
         _to_lanes(traj.states.pose.trans),
@@ -686,4 +693,8 @@ def solve_fused_whole(
         oiter[0].astype(jnp.int32),
         ostat[0].astype(jnp.int32),
     )
-    return out + (ohist.T,) if return_history else out
+    if return_history:
+        out = out + (ohist.T,)
+    if return_probes:
+        out = out + (oprob[0],)
+    return out

@@ -180,11 +180,22 @@ def test_wrench_debug_and_refine_paths():
     _assert_same(two, single, atol=1e-10)
 
     dbg_opts = replace(_OPTIONS, populate_debug=True)
+    # since round 3 the latency engine serves debug WITHOUT the batch-loop
+    # downgrade: a CostHistory record straight from the kernel's VMEM
+    # history buffer (full trajectory snapshots live on solve_batch_fused)
+    from quadrotorilqr_tpu.solver import CostHistory
+
     res = solve_batch_latency(
         params, cost, init, DT, dbg_opts, interpret=True, model=wm
     )
-    assert res.debug is not None
-    assert res.debug.trajectories.controls.shape[-1] == 6
+    assert isinstance(res.debug, CostHistory)
     # one debug slot per executed update
     valid_counts = np.asarray(res.debug.valid).sum(axis=1)
     np.testing.assert_array_equal(valid_counts, np.asarray(res.iterations))
+    full = solve_batch_fused(
+        params, cost, init, DT, dbg_opts, interpret=True, model=wm
+    )
+    assert full.debug.trajectories.controls.shape[-1] == 6
+    np.testing.assert_allclose(
+        np.asarray(res.debug.costs), np.asarray(full.debug.costs), atol=1e-9
+    )

@@ -372,14 +372,27 @@ def config5_monte_carlo(quick):
     }
 
 
+RECORD_DIR = os.path.join(os.path.dirname(__file__), "records")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller shapes")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument(
+        "--record",
+        default=None,
+        metavar="TAG",
+        help="archive each config row to benchmarks/records/"
+        "BENCH_cfg{K}_{TAG}.json (e.g. --record r4); "
+        "benchmarks/check_regression.py gates tag-to-tag drops",
+    )
     args = ap.parse_args()
     wanted = {int(x) for x in args.configs.split(",")}
     if not wanted <= {1, 2, 3, 4, 5}:
         ap.error(f"--configs must be a subset of 1-5, got {sorted(wanted)}")
+    if args.record:
+        os.makedirs(RECORD_DIR, exist_ok=True)
 
     fns = {
         1: config1_single_solve,
@@ -394,8 +407,15 @@ def main():
         row = fns[idx](args.quick)
         row["wall_s"] = round(time.perf_counter() - t0, 1)
         row["device"] = str(jax.devices()[0].device_kind)
+        row["quick"] = bool(args.quick)
         print(json.dumps(row), flush=True)
         rows.append(row)
+        if args.record:
+            path = os.path.join(
+                RECORD_DIR, f"BENCH_cfg{idx}_{args.record}.json"
+            )
+            with open(path, "w") as f:
+                json.dump(row, f, indent=1)
 
     print("\n| # | workload | p50 latency | throughput | %VPU peak |")
     print("|---|----------|-------------|------------|-----------|")

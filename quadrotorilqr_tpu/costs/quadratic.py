@@ -143,7 +143,16 @@ def trajectory_cost(cost: QuadraticTrackingCost, states: State, controls):
         return _trajectory_cost_hp(cost, states, controls)
 
 
-def _trajectory_cost_hp(cost, states, controls):
+def per_stage_costs(cost: QuadraticTrackingCost, states: State, controls):
+    """Per-stage cost vector (..., N) — the summands of trajectory_cost.
+    The FDDP line search folds these with per-stage saturation
+    (solver/fddp._saturating_stage_cost_add), matching the fused kernels'
+    sequential accumulation."""
+    with jax.default_matmul_precision("highest"):
+        return _per_stage_costs_hp(cost, states, controls)
+
+
+def _per_stage_costs_hp(cost, states, controls):
     dx = qm.minus(states, cost.desired_states)
     du = controls - cost.desired_controls
     per_stage = jnp.einsum(
@@ -151,4 +160,8 @@ def _trajectory_cost_hp(cost, states, controls):
     ) + jnp.einsum("...ni,...ij,...nj->...n", du, cost.R, du)
     if cost.stage_weights is not None:
         per_stage = per_stage * cost.stage_weights
-    return jnp.sum(per_stage, axis=-1)
+    return per_stage
+
+
+def _trajectory_cost_hp(cost, states, controls):
+    return jnp.sum(_per_stage_costs_hp(cost, states, controls), axis=-1)

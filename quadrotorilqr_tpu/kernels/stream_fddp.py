@@ -67,6 +67,7 @@ from .fddp import (
     _fddp_trip_close,
     _goldstein_probe_commit,
 )
+from ..solver.fddp import _probe_cap, _saturating_stage_cost_add
 from .rollout import _state_minus
 from .stream import (
     DEFAULT_CHUNK,
@@ -90,7 +91,8 @@ def _stream_fddp_kernel(
     use_box,  # static: control limits active (lo/hi refs read)
     ddp,  # static: exact-DDP curvature in the Riccati stage + quad model
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
-    gscal_ref,  # SMEM (8,): [gf, gub, gap_tol, reg_init, up, down, min, max]
+    gscal_ref,  # SMEM (12,): [gf, gub, gap_tol, reg_init, up, down, min,
+    #             max, alpha_dec, alpha_inc, 0, 0]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory
     des_ref,  # HBM (N, DR, Bd) packed desired (Bd = B batched / TILE shared)
     qmat_ref,  # VMEM (12, 12, Bt) cost Q
@@ -139,6 +141,8 @@ def _stream_fddp_kernel(
     reg_down = gscal_ref[5]
     reg_min = gscal_ref[6]
     reg_max = gscal_ref[7]
+    a_dec = gscal_ref[8]
+    a_inc = gscal_ref[9]
     q_l = qmat_ref[:]
     r_l = rmat_ref[:]
     r2_l = 2.0 * r_l
@@ -159,6 +163,12 @@ def _stream_fddp_kernel(
     zeros1 = jnp.zeros((1, bt), dtype)
     ez = jnp.concatenate(
         [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+    )
+    # substepped integration: same chain mapping as kernels/fddp.py
+    subchain = (
+        (lane_model.base.dynamics_step, g1, m_inv, extra, ez)
+        if lane_model.substeps > 1
+        else None
     )
     n_full = n_stages // chunk
     rem = n_stages % chunk
@@ -357,6 +367,8 @@ def _stream_fddp_kernel(
                         w=stage_weight(dbuf[idx]) if use_weights else None,
                         ddp=ddp,
                         drag=drag,
+                        substeps=lane_model.substeps,
+                        chain=subchain,
                     )
                     gbuf[idx, 0:u_dim] = k
                     for r in range(u_dim):
@@ -382,7 +394,7 @@ def _stream_fddp_kernel(
             # p' = J_x p + J_u w + d, dJ(alpha) = alpha L1 + alpha^2 L2
             # through the same forward sweep (the round-2 kernel paid a
             # separate pass), persisting L1/L2 in state rows ----------------
-            def rollout_sweep(alpha, write_mask, with_qm=False):
+            def rollout_sweep(alpha, write_mask, with_qm=False, cap=None):
                 def rchunk(s, w, carry):
                     load_stages(s, w, with_gains=True, with_defs=True)
 
@@ -396,11 +408,33 @@ def _stream_fddp_kernel(
                         drow = dbuf[j]
                         grow = gbuf[j]
                         if with_qm:
-                            # quadratic model from the LIVE trajectory row
+                            # quadratic model from the LIVE trajectory row;
+                            # substepped stage maps chain per-substep blocks
+                            # exactly as kernels/fddp.py's rstage0 does
                             dq, dtr, dv, du_d = unpack(drow)
-                            blocks = _stage_jx_blocks(
-                                dt, g2, ov, oq, i_l, iinv_l, drag
-                            )
+                            if lane_model.substeps > 1:
+                                h = dt / lane_model.substeps
+                                blocks_list = []
+                                sq, st2, sv = oq, ot, ov
+                                for si in range(lane_model.substeps):
+                                    blocks_list.append(
+                                        _stage_jx_blocks(
+                                            h, g2, sv, sq, i_l, iinv_l, drag
+                                        )
+                                    )
+                                    if si < lane_model.substeps - 1:
+                                        sq, st2, sv = (
+                                            lane_model.base.dynamics_step(
+                                                h, g1, m_inv, extra, i_l,
+                                                iinv_l, ez, sq, st2, sv, ou,
+                                            )
+                                        )
+                            else:
+                                blocks_list = [
+                                    _stage_jx_blocks(
+                                        dt, g2, ov, oq, i_l, iinv_l, drag
+                                    )
+                                ]
                             _, c_x, c_xx, duv = _stage_cost_diffs(
                                 oq, ot, ov, ou, dq, dtr, dv, du_d, q_l,
                                 exact=ddp,
@@ -418,11 +452,30 @@ def _stream_fddp_kernel(
                                 L.dot_lanes(p, L.matvec(c_xx, p))
                                 + L.dot_lanes(wv, L.matvec(r2w, wv))
                             )
-                            p2 = _jx_vec(p, *blocks)
-                            p2 = jnp.concatenate(
-                                [p2[0:lo], p2[lo:12] + L.matvec(ju[lo:12], wv)],
-                                axis=0,
-                            )
+                            if lane_model.substeps > 1:
+                                bw = jnp.concatenate(
+                                    [
+                                        jnp.zeros((lo, bt), dtype),
+                                        L.matvec(ju[lo:12], wv),
+                                    ],
+                                    axis=0,
+                                )
+                                jw = bw
+                                for b in blocks_list[1:]:
+                                    jw = _jx_vec(jw, *b) + bw
+                                pc = p
+                                for b in blocks_list:
+                                    pc = _jx_vec(pc, *b)
+                                p2 = pc + jw
+                            else:
+                                p2 = _jx_vec(p, *blocks_list[0])
+                                p2 = jnp.concatenate(
+                                    [
+                                        p2[0:lo],
+                                        p2[lo:12] + L.matvec(ju[lo:12], wv),
+                                    ],
+                                    axis=0,
+                                )
                             p = p2 + fbuf[j, 0:12]
                         first = (s + j) == 0
                         quat = jnp.where(first, oq, quat)
@@ -432,7 +485,15 @@ def _stream_fddp_kernel(
                         u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
                         if use_box:
                             u = jnp.clip(u, lo_ref[:], hi_ref[:])
-                        c = c + stage_cost(quat, trans, vel, u, drow)
+                        # probes after the first saturate at cap — the shared
+                        # op order of solver/fddp._saturating_stage_cost_add
+                        # (lane parity with the VMEM kernel / XLA line search)
+                        cs = stage_cost(quat, trans, vel, u, drow)
+                        c = (
+                            c + cs
+                            if cap is None
+                            else _saturating_stage_cost_add(c, cs, cap)
+                        )
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
                             tbuf[j, 4:7] = jnp.where(write_mask, trans, ot)
@@ -494,10 +555,16 @@ def _stream_fddp_kernel(
                     accepted = get(_ACCEPTED) > 0.5
                     pending = jnp.logical_and(active, jnp.logical_not(accepted))
                     alpha = get(_ALPHA)
-                    cand_cost = rollout_sweep(alpha, None)
+                    l1v = get(_L1)
+                    l2v = get(_L2)
+                    dj = alpha * l1v + alpha * alpha * l2v
+                    thresh = current + jnp.where(dj <= 0.0, gf, gub) * dj
+                    cand_cost = rollout_sweep(
+                        alpha, None, cap=_probe_cap(thresh, current)
+                    )
                     still_pending = _goldstein_probe_commit(
                         get, put, gf, gub, ls_step, active, current,
-                        get(_L1), get(_L2), cand_cost, pending, accepted,
+                        l1v, l2v, cand_cost, pending, accepted,
                         alpha,
                     )
                     flag_ref[1] = jnp.sum(still_pending.astype(dtype))
@@ -517,6 +584,7 @@ def _stream_fddp_kernel(
             n_open, n_take = _fddp_trip_close(
                 get, put, conv, dtype, active, done, current, mu, gap,
                 gap_tol, reg_init, reg_up, reg_down, reg_min, reg_max,
+                a_dec, a_inc,
             )
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
@@ -729,10 +797,12 @@ def solve_fddp_streamed(
 
     fo = FDDPOptions() if fddp_options is None else fddp_options
     lm = lane_model_for(params, model)
-    if lm.substeps != 1:
+    if lm.substeps != 1 and ddp:
         raise ValueError(
-            "the streamed FDDP kernel is single-step; use the XLA path "
-            "(vmap(solver.fddp.solve_fddp)) for substepped models"
+            "ddp=True is single-step math on the FDDP kernels (the "
+            "analytic exact curvature has no chained closed form); use "
+            "the XLA path (vmap(solver.fddp.solve_fddp(ddp=True))) for "
+            "substepped models"
         )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
@@ -773,6 +843,10 @@ def solve_fddp_streamed(
             fo.reg_scale_down,
             fo.reg_min,
             fo.reg_max,
+            fo.alpha_dec,
+            fo.alpha_inc,
+            0.0,
+            0.0,
         ],
         dtype,
     )

@@ -104,6 +104,15 @@ class FDDPOptions:
     goldstein_frac: float = 0.1  # accept frac of a predicted decrease
     goldstein_ub: float = 2.0  # tolerated multiple of a predicted increase
     gap_tol: float | None = None  # None = dtype-resolved (resolve_gap_tol)
+    # mu warm schedule keyed on the ACCEPTED step length (the Crocoddyl
+    # SolverFDDP rule): a full-ish step (alpha >= alpha_dec) decays mu, a
+    # crawling step (alpha <= alpha_inc) RAISES it even though it was
+    # accepted (the local model is untrustworthy — keep the next backward
+    # pass conservative instead of paying a reject-retry trip to rediscover
+    # it), anything between keeps mu. alpha_dec=0 recovers the round-3
+    # always-decay-on-accept behavior.
+    alpha_dec: float = 0.5  # accepted alpha >= this decays mu
+    alpha_inc: float = 0.01  # accepted alpha <= this raises mu
 
 
 def resolve_gap_tol(fddp_options: FDDPOptions, dtype) -> float:
@@ -116,6 +125,61 @@ def resolve_gap_tol(fddp_options: FDDPOptions, dtype) -> float:
     if fddp_options.gap_tol is not None:
         return float(fddp_options.gap_tol)
     return 1e-8 if jnp.dtype(dtype) == jnp.float64 else 1e-5
+
+
+def _next_alpha(alpha, cand_cost, cap, ls_step):
+    """Escalated backtracking: one geometric step (alpha * ls_step) on an
+    ordinary rejection, a k-step JUMP to ~0.1 alpha (k = round(log 0.1 /
+    log ls_step) grid steps, 3 at the default ls_step 0.5) when the probe
+    EXPLODED — candidate cost saturated at the probe cap (or NaN/inf on the
+    raw first probe). Deep backtracks on diverging rollouts (the gyroscopic
+    blowup lanes that dominate aggressive-class probe counts) stop paying
+    one full probe per factor-of-2; healthy rejections keep the classic
+    schedule, so accepted alphas stay on the 1, s, s^2, ... grid.
+
+    Why a BINARY escalation instead of quadratic interpolation: an
+    interpolated alpha is a continuous function of cand_cost - current,
+    which (a) suffers catastrophic cancellation on mild rejections and
+    (b) has a pole where the measured change matches the model's linear
+    term — so the ~1e-16 evaluation differences between the lane kernels
+    and the XLA path flip the chosen step ~1e-3 of the time and compound
+    into divergent iterates (measured: 1-2/128 status flips on the mixed
+    aggressive problem, in every interpolation variant tried). The
+    explosion test `cand_cost < cap` is bit-deterministic across engines:
+    probes accumulate cost with per-stage saturation at cap
+    (_saturating_stage_cost_add), so a saturated candidate equals cap
+    EXACTLY on both engines. Elementwise, one op order, shared verbatim by
+    the XLA line search and the fused kernels (_goldstein_probe_commit)."""
+    log_s = jnp.log(ls_step)
+    k = jnp.maximum(jnp.floor(jnp.log(0.1) / log_s + 0.5), 1.0)
+    # not-exploded == cand < cap (NaN/inf compare false -> escalate)
+    return jnp.where(
+        cand_cost < cap, alpha * ls_step, alpha * jnp.exp(k * log_s)
+    )
+
+
+def _probe_cap(thresh, current):
+    """Saturation bound for line-search probe cost accumulation (strictly
+    above the Goldstein accept threshold, so a saturated candidate is always
+    rejected). Probes after the first accumulate cost with per-stage
+    saturation c <- min(c + stage_cost, cap): stage costs are nonnegative
+    (psd Q/R), so an ACCEPTED candidate (final cost <= thresh < cap) never
+    binds the cap and its committed cost is exact, while a lane whose
+    running cost ever reaches cap ends at EXACTLY cap no matter how many
+    stages remain. That determinism is what lets the fused kernels
+    early-terminate a probe rollout tile once every pending lane has
+    saturated (kernels/fddp.py) while staying lane-for-lane identical to
+    this XLA reference. Elementwise, one shared op order."""
+    return 2.0 * (jnp.abs(thresh) + jnp.abs(current)) + 1.0
+
+
+def _saturating_stage_cost_add(c, stage_c, cap):
+    """One saturating accumulation step (shared op order with the kernels).
+    NaN/inf stage sums also saturate to cap (the compare is false), so an
+    exploded rollout reads as a finite, deterministic, always-rejected
+    cap — the finiteness guard in the accept test stays redundant-safe."""
+    c2 = c + stage_c
+    return jnp.where(c2 <= cap, c2, cap)
 
 
 def defects(params, traj: Trajectory, dt_s, model=qm):
@@ -406,34 +470,44 @@ def solve_fddp(
 
     def line_search(traj, d, current, ks, big_ks, l1, l2):
         def cond(carry):
-            i, _, _, _, accepted = carry
+            i, _, _, _, _, accepted = carry
             return jnp.logical_and(i < ls.max_iters, jnp.logical_not(accepted))
 
         def body(carry):
-            i, step, _, _, _ = carry
+            i, step, _, _, _, _ = carry
             t = rollout_gap(
                 params, traj, d, ks, big_ks, step, dt_s, model, limits
             )
-            c = qc.trajectory_cost(cost, t.states, t.controls)
             dj = step * l1 + step * step * l2
-            actual = c - current
-            accept = jnp.where(
-                dj <= 0,
-                actual <= fo.goldstein_frac * dj,
-                actual <= fo.goldstein_ub * dj,
-            )
-            accept = jnp.logical_and(accept, jnp.isfinite(c))
-            return (i + 1, step * ls.step_update, t, c, accept)
+            gmult = jnp.where(dj <= 0, fo.goldstein_frac, fo.goldstein_ub)
+            # probe 0 evaluates the raw cost; later probes accumulate with
+            # per-stage saturation at cap — the deterministic always-rejected
+            # value the kernels' tile early-out depends on (_probe_cap). An
+            # accepted candidate never binds the cap, so committed costs are
+            # exact either way.
+            scs = qc.per_stage_costs(cost, t.states, t.controls)
+            cap = _probe_cap(current + gmult * dj, current)
+
+            def sat_fold(c, s):
+                return _saturating_stage_cost_add(c, s, cap), None
+
+            c_sat, _ = jax.lax.scan(sat_fold, jnp.zeros((), dtype), scs)
+            c = jnp.where(i == 0, jnp.sum(scs), c_sat)
+            accept = (c - current) <= gmult * dj
+            accept = jnp.logical_and(accept, jnp.abs(c) < jnp.inf)
+            step_next = _next_alpha(step, c, cap, ls.step_update)
+            return (i + 1, step_next, step, t, c, accept)
 
         init = (
             jnp.asarray(0, jnp.int32),
+            jnp.ones((), dtype),
             jnp.ones((), dtype),
             traj,
             current,
             jnp.zeros((), bool),
         )
-        _, _, t, c, accepted = jax.lax.while_loop(cond, body, init)
-        return t, c, accepted
+        _, _, step_used, t, c, accepted = jax.lax.while_loop(cond, body, init)
+        return t, c, accepted, step_used
 
     def cond(carry):
         i, _, _, _, done, _ = carry
@@ -472,20 +546,31 @@ def solve_fddp(
                 derivs, traj.controls, d, options.quu_reg + mu_r, ddp, limits,
                 analytic=analytic, curv=curv, dt_s=dt_s,
             )
-            t, c, accepted = line_search(traj, d, current, ks, big_ks, l1, l2)
+            t, c, accepted, step_used = line_search(
+                traj, d, current, ks, big_ks, l1, l2
+            )
             headroom = mu_r < fo.reg_max
             terminal = jnp.logical_and(
                 jnp.logical_not(accepted), jnp.logical_not(headroom)
             )
-            mu_accept = mu_r * fo.reg_scale_down
-            mu_accept = jnp.where(mu_accept < fo.reg_min, 0.0, mu_accept)
-            mu_retry = jnp.where(
+            mu_dec = mu_r * fo.reg_scale_down
+            mu_dec = jnp.where(mu_dec < fo.reg_min, 0.0, mu_dec)
+            mu_inc = jnp.where(
                 mu_r == 0.0,
                 fo.reg_init,
                 jnp.minimum(mu_r * fo.reg_scale_up, fo.reg_max),
             )
+            # accepted steps consult the step length (Crocoddyl warm
+            # schedule): decay only on confident (long) steps, RAISE on
+            # crawling ones — saves the reject trip that would otherwise
+            # rediscover the bad local model next iteration
+            mu_accept = jnp.where(
+                step_used >= fo.alpha_dec,
+                mu_dec,
+                jnp.where(step_used <= fo.alpha_inc, mu_inc, mu_r),
+            )
             mu_next = jnp.where(
-                accepted, mu_accept, jnp.where(terminal, mu_r, mu_retry)
+                accepted, mu_accept, jnp.where(terminal, mu_r, mu_inc)
             )
             return (trips + 1, mu_next, accepted, terminal, t, c)
 

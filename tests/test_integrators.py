@@ -380,19 +380,12 @@ def test_substepped_kernel_k1_is_base_engine():
     assert substepped_lane_model(QUADROTOR, 1) is QUADROTOR
 
 
-def test_substepped_fddp_routes_to_xla():
-    """The FDDP kernels are single-step; solve_batch_fddp routes substepped
-    models to the vmapped XLA path with identical semantics."""
-    from quadrotorilqr_tpu.solver import solve_fddp
-    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
-
+def _fddp_problem(batch=128, n=12, seed=9, pose_scale=1.0, vel_scale=1.0):
     params = _params()
-    model = substepped(qm, 3)
-    batch, n = 4, 8
-    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     x0 = qm.State(
-        pose=se3.exp(0.5 * jax.random.normal(k1, (batch, 6), F64)),
-        vel=0.5 * jax.random.normal(k2, (batch, 6), F64),
+        pose=se3.exp(pose_scale * jax.random.normal(k1, (batch, 6), F64)),
+        vel=vel_scale * jax.random.normal(k2, (batch, 6), F64),
     )
     hover = jnp.full((n, 4), 1.2 * 9.81 / 4.0, F64)
     desired = Trajectory(
@@ -408,13 +401,91 @@ def test_substepped_fddp_routes_to_xla():
         desired_states=desired.states,
         desired_controls=desired.controls,
     )
-    trajs = initial_trajectory_from_state(x0, desired)
+    return params, cost, initial_trajectory_from_state(x0, desired)
+
+
+def test_substepped_fddp_kernel_matches_xla():
+    """Substepped integration inside the FDDP kernels (VERDICT r3 #2 — the
+    round-3 typed refusal): defects, the gap-transported Riccati chain, the
+    quadratic-model recursion, and the gap-contracting rollouts all run the
+    k-substep stage map; lane-for-lane vs vmap(solve_fddp(model=
+    substepped(qm, k))) on both the VMEM and streamed engines."""
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+    from quadrotorilqr_tpu.solver import solve_fddp
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+
+    params, cost, trajs = _fddp_problem()
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 15)
+    )
+    for k in (2, 4):
+        model = substepped(qm, k)
+        ref = jax.vmap(
+            lambda t: solve_fddp(params, cost, t, DT, opts, model=model)
+        )(trajs)
+        got = solve_batch_fddp(
+            params, cost, trajs, DT, opts, interpret=True, model=model
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.status), np.asarray(ref.status)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(ref.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.trajectory.controls),
+            np.asarray(ref.trajectory.controls),
+            atol=1e-7,
+        )
+        if k == 2:
+            st, sc, si, ss = solve_fddp_streamed(
+                params, cost, trajs, DT, opts, interpret=True, chunk=5,
+                model=model,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ss), np.asarray(got.status)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(si), np.asarray(got.iterations)
+            )
+            np.testing.assert_allclose(
+                np.asarray(sc), np.asarray(got.cost), atol=1e-9
+            )
+    # the workload must exercise the robust machinery
+    assert int(jnp.sum(np.asarray(ref.status) == 1)) > 64
+    assert int(np.asarray(ref.iterations).max()) > int(
+        np.asarray(ref.iterations).min()
+    )
+
+
+def test_substepped_fddp_ddp_refuses_and_routes():
+    """ddp=True stays single-step on the kernels (the analytic curvature
+    has no chained closed form): the fused entry refuses loudly and
+    solve_batch_fddp routes to the XLA path (nested-jacfwd curvature)."""
+    import pytest
+
+    from quadrotorilqr_tpu.kernels.fddp import solve_fddp_fused
+    from quadrotorilqr_tpu.solver import solve_fddp
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+
+    params, cost, trajs = _fddp_problem(batch=4, n=8, pose_scale=0.5,
+                                        vel_scale=0.5)
+    model = substepped(qm, 3)
     opts = ILQROptions(
         convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 20)
     )
-    got = solve_batch_fddp(params, cost, trajs, DT, opts, model=model)
+    with pytest.raises(ValueError, match="single-step"):
+        solve_fddp_fused(
+            params, cost, trajs, DT, opts, model=model, ddp=True
+        )
+    got = solve_batch_fddp(
+        params, cost, trajs, DT, opts, model=model, ddp=True
+    )
     ref = jax.vmap(
-        lambda t: solve_fddp(params, cost, t, DT, opts, model=model)
+        lambda t: solve_fddp(params, cost, t, DT, opts, model=model, ddp=True)
     )(trajs)
     np.testing.assert_array_equal(
         np.asarray(got.status), np.asarray(ref.status)

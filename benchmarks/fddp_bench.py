@@ -145,6 +145,19 @@ def main():
     # feasibility bound.
     gap_tol = float(os.environ.get("QILQR_BENCH_GAP_TOL", 1e-5))
     fddp_opts = FDDPOptions(gap_tol=gap_tol)
+    phase_bounds = tuple(
+        int(x)
+        for x in os.environ.get(
+            "QILQR_BENCH_PHASE1", "8,12,16,20,25,30"
+        ).split(",")
+    )
+    # hybrid curvature: phases STARTING at/after the switch trip run the
+    # exact-DDP curvature (the compacted stragglers), earlier phases run
+    # Gauss-Newton (where exact curvature only quadratizes f32 noise)
+    hybrid_switch = int(os.environ.get("QILQR_BENCH_HYBRID_SWITCH", "16"))
+    hybrid_ddp = tuple(
+        s >= hybrid_switch for s in (0,) + phase_bounds if s < ITERS
+    )
 
     rows = [
         bench_engine(
@@ -162,12 +175,21 @@ def main():
             "fddp_kernel_refine",
             lambda p, c, t: solve_batch_fddp_refine(
                 p, c, t, DT_S, options, fddp_options=fddp_opts,
-                phase1_iters=tuple(
-                    int(x)
-                    for x in os.environ.get(
-                        "QILQR_BENCH_PHASE1", "8,12,16,20,25,30"
-                    ).split(",")
-                ),
+                phase1_iters=phase_bounds,
+                interpret=INTERPRET,
+            ),
+            params, cost, trajs,
+        ),
+        # per-phase HYBRID curvature (VERDICT r3 #4): Gauss-Newton on the
+        # full-batch early phases, exact-DDP analytic curvature on the
+        # compacted straggler phases — DDP's iteration win only where it
+        # pays
+        bench_engine(
+            "fddp_hybrid_refine",
+            lambda p, c, t: solve_batch_fddp_refine(
+                p, c, t, DT_S, options, fddp_options=fddp_opts,
+                phase1_iters=phase_bounds,
+                ddp=hybrid_ddp,
                 interpret=INTERPRET,
             ),
             params, cost, trajs,

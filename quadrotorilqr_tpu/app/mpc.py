@@ -82,6 +82,7 @@ def _mpc_step_impl(
     params, q_weight, r_weight, desired_full, x, warm, k,
     horizon, dt_s, options, interpret, latency_kernel=False,
     stage_weights=None, limits=None, solver="ilqr", fddp_options=None,
+    plant_params=None,
 ):
     """One receding-horizon step (shared by the scanned loop and the
     host-driven single-step path): window targets, warm-started solve,
@@ -128,7 +129,12 @@ def _mpc_step_impl(
         # the divergence-prone exact loop defeats the robust-mode request
         raise ValueError(f"unknown MPC solver {solver!r} (use 'ilqr'/'fddp')")
     u0 = res.trajectory.controls[:, 0]
-    x_next = qm.discrete_dynamics(params, x, u0, dt_s)
+    # the PLANT may differ from the controller's model (plant_params:
+    # parameter mismatch — the robustness condition a deployed MPC loop
+    # actually runs under; None = exact model)
+    x_next = qm.discrete_dynamics(
+        params if plant_params is None else plant_params, x, u0, dt_s
+    )
     warm_next = _shift(res.trajectory)
     return x_next, warm_next, u0, res
 
@@ -194,6 +200,8 @@ def run_mpc(
     limits=None,
     solver: str = "ilqr",
     fddp_options=None,
+    plant_params=None,
+    warm0=None,
 ):
     """Run `n_steps` of warm-started receding-horizon control.
 
@@ -201,8 +209,15 @@ def run_mpc(
     leading axis = time); x0 leaves are (B, ...) with B a multiple of 128.
     Returns a dict of stacked outputs: applied controls "u" (B, K, 4), the
     plant translation history "x_trans" (B, K, 3), per-step solver
-    "iterations"/"cost"/"status" (B, K), and the final full plant state
-    "x_final" (State with (B, ...) leaves).
+    "iterations"/"cost"/"status" (B, K), the final full plant state
+    "x_final" (State with (B, ...) leaves), and "warm_final" — the shifted
+    solution, so CHUNKED drivers (benchmarks/mpc_device_loop.py: K ticks
+    per launch, one host read per chunk) resume the loop exactly.
+    `plant_params` simulates a model-mismatched plant (see _mpc_step_impl);
+    `warm0` (a prior "warm_final") overrides the cold warm start.
+
+    NOTE: `k` counts from 0 within ONE call — chunked drivers window the
+    desired trajectory per chunk (pass desired_full[k0:k0+n_steps+horizon]).
     """
     batch = x0.vel.shape[0]
     dtype = x0.vel.dtype
@@ -215,14 +230,15 @@ def run_mpc(
             f"{n_steps} steps with horizon {horizon} needs >= {n_steps + horizon}"
         )
 
-    warm0 = mpc_warm_start(desired_full, x0, horizon)
+    if warm0 is None:
+        warm0 = mpc_warm_start(desired_full, x0, horizon)
 
     def step(carry, k):
         x, warm = carry
         x_next, warm_next, u0, res = _mpc_step_impl(
             params, q_weight, r_weight, desired_full, x, warm, k,
             horizon, dt_s, options, interpret, latency_kernel, stage_weights,
-            limits, solver, fddp_options,
+            limits, solver, fddp_options, plant_params,
         )
         out = {
             "u": u0,
@@ -233,10 +249,11 @@ def run_mpc(
         }
         return (x_next, warm_next), out
 
-    (x_final, _), outs = jax.lax.scan(
+    (x_final, warm_final), outs = jax.lax.scan(
         step, (x0, warm0), jnp.arange(n_steps, dtype=jnp.int32)
     )
     # scan stacks along axis 0 (time); move batch first
     outs = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), outs)
     outs["x_final"] = x_final
+    outs["warm_final"] = warm_final
     return outs

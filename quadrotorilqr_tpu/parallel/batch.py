@@ -53,7 +53,9 @@ def solve_batch(
     `associative=True` swaps every lane's backward pass for the O(log N)
     parallel-in-time Riccati (solver/parallel_riccati.py) — the small-batch
     x long-horizon regime where the horizon, not the scenario count, must
-    fill the chip.
+    fill the chip. `associative="auto"` applies the measured (B, N)
+    dispatch rule (solver/ilqr.resolve_associative, from the
+    benchmarks/assoc_regime.py grid).
 
     `solver` picks the per-lane algorithm: "ilqr" (exact reference
     semantics, default), "ddp" (full DDP curvature, solver/ddp.py), "fddp"
@@ -88,6 +90,12 @@ def solve_batch(
     )
     if model is None:
         from ..models import quadrotor as model
+    if associative == "auto":
+        associative = ilqr_module.resolve_associative(
+            initial_trajs.controls.shape[0], initial_trajs.controls.shape[1]
+        )
+        if solver != "ilqr" or limits is not None:
+            associative = False  # auto never routes to an unsupported combo
     if solver == "ilqr" or solver == "ddp":
         if associative and solver == "ddp":
             raise ValueError("associative and ddp are mutually exclusive")

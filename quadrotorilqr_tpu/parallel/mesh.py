@@ -231,13 +231,34 @@ def solve_sharded_fddp(
     ddp: bool = False,
     limits=None,
     model=None,
+    refine=None,
 ):
     """Robust-solver multi-chip path: shard_map of the FDDP kernels
     (solver/batched.solve_batch_fddp — whole-solve or streamed per shard,
     exact-DDP curvature with ddp=True) over the scenario mesh, with psum'd
     global statistics. The multi-host Monte-Carlo story for the HARD
-    scenario classes (BASELINE.json config 5's robust-mode counterpart)."""
+    scenario classes (BASELINE.json config 5's robust-mode counterpart).
+
+    `refine` (int or tuple of cumulative trip boundaries, the
+    solve_batch_fddp_refine semantics) turns on CROSS-DEVICE straggler
+    rebalance: at each boundary the global pending mask is gathered, the
+    pending lanes are permuted to the FRONT of the global batch (a GSPMD
+    gather — the collective rides ICI), and the next phase resumes exactly
+    via the kernels' mu/status/iters rows. A device whose lanes all
+    converged stops grinding full trips for a straggler neighbor: the
+    straggler population lands on the fewest devices/tiles and every
+    all-frozen tile degrades to a per-trip skip. `ddp` may then be a
+    per-phase tuple (the HYBRID curvature schedule: Gauss-Newton early
+    phases, exact curvature on the compacted stragglers)."""
     from ..solver.batched import solve_batch_fddp
+
+    if refine is not None:
+        return _sharded_fddp_refine(
+            params, cost, initial_trajs, dt_s, options, mesh, axis_name,
+            fddp_options, interpret, ddp, limits, model, refine,
+        )
+    if isinstance(ddp, tuple):
+        raise ValueError("per-phase ddp tuples require refine=...")
 
     def per_shard_solve(p, c, t):
         return solve_batch_fddp(
@@ -247,6 +268,221 @@ def solve_sharded_fddp(
 
     return _shard_map_solve(
         per_shard_solve, params, cost, initial_trajs, mesh, axis_name
+    )
+
+
+def _sharded_fddp_refine(
+    params, cost, initial_trajs, dt_s, options, mesh, axis_name,
+    fddp_options, interpret, ddp, limits, model, refine,
+):
+    """Multi-phase compacted robust solve ACROSS the mesh (VERDICT r3 #3).
+
+    One jitted global program (zero host round trips between phases):
+
+      1. each phase shard_maps the FDDP engine (kernels/fddp.py VMEM or
+         kernels/stream_fddp.py streamed) over the scenario mesh, resuming
+         from the per-lane mu/status/iters rows (zeros == fresh start, the
+         engines' own encoding);
+      2. at each boundary the GLOBAL pending mask orders a stable argsort
+         permutation; gathering every lane operand through it is a plain
+         `a[perm]` on the sharded global arrays — GSPMD lowers it to the
+         cross-device collective — with sharding constraints pinning the
+         result back to the scenario axis;
+      3. the final results scatter back through the inverse permutation.
+
+    Lane-for-lane identical to the single-device
+    solver/batched.solve_batch_fddp_refine (cross-program FMA-fusion noise
+    aside — statuses/iterations match exactly, tests/test_parallel_refine).
+    Requests the kernels cannot serve are REFUSED loudly (resume rows are
+    a kernel feature; there is no XLA fallback to silently lose the
+    rebalance to)."""
+    from dataclasses import replace
+
+    from jax import shard_map
+
+    from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
+    from ..kernels.models import lane_model_for
+    from ..kernels.stream_fddp import solve_fddp_streamed
+    from ..lie.se3 import SE3
+    from ..models.quadrotor import State
+    from ..solver.fddp import FDDPOptions
+    from ..solver.ilqr import STATUS_MAX_ITERS
+
+    if fddp_options is None:
+        fddp_options = FDDPOptions()
+    try:
+        lane_model = lane_model_for(params, model)
+    except TypeError as e:
+        raise ValueError(
+            "solve_sharded_fddp(refine=...) needs a kernel-servable model "
+            "(the resume rows are a kernel feature)"
+        ) from e
+    if options.line_search_params.max_iters < 1:
+        raise ValueError(
+            "solve_sharded_fddp(refine=...) needs line-search probes >= 1 "
+            "(zero-probe solves route to XLA, which cannot resume)"
+        )
+    if limits is not None and any(jnp.ndim(b) != 0 for b in limits):
+        raise ValueError(
+            "per-scenario limits are unsupported on the sharded refine "
+            "path (use scalar bounds, or the single-device "
+            "solve_batch_fddp_refine)"
+        )
+
+    cc = options.convergence_criteria
+    total = int(cc.max_iters)
+    bounds = (refine,) if isinstance(refine, int) else tuple(refine)
+    budgets, used = [], 0
+    for b in bounds:
+        b = min(int(b), total)
+        if b > used:
+            budgets.append(b - used)
+            used = b
+    budgets.append(total - used)
+    ddp_seq = (
+        tuple(bool(d) for d in ddp)
+        if isinstance(ddp, tuple)
+        else (bool(ddp),) * len(budgets)
+    )
+    if len(ddp_seq) != len(budgets):
+        raise ValueError(
+            f"per-phase ddp needs one flag per phase: {len(budgets)} "
+            f"phases from refine={refine!r}, got {len(ddp_seq)} flags"
+        )
+    if lane_model.substeps != 1 and any(ddp_seq):
+        raise ValueError(
+            "ddp=True is single-step math on the FDDP kernels; no phase "
+            "may combine it with a substepped model"
+        )
+
+    batch = initial_trajs.controls.shape[0]
+    horizon = initial_trajs.controls.shape[1]
+    n_dev = mesh.devices.size
+    if batch % (n_dev * 128) != 0:
+        raise ValueError(
+            f"global batch {batch} must give every one of the {n_dev} "
+            "devices a multiple of the 128-lane kernel tile"
+        )
+    engine = (
+        solve_fddp_streamed
+        if horizon > max_horizon_for_fddp(lane_model.u_dim)
+        else solve_fddp_fused
+    )
+    dtype = initial_trajs.controls.dtype
+    spec = P(axis_name)
+    sharding = NamedSharding(mesh, spec)
+    cost_flags = _cost_batched_flags(cost)
+    params_batched = jnp.ndim(params.mass_kg) >= 1
+
+    batch_spec = jax.tree.map(lambda _: spec, initial_trajs)
+    params_spec = jax.tree.map(
+        lambda _: spec if params_batched else P(), params
+    )
+    cost_spec = jax.tree.map(
+        lambda leaf, b: spec if b else P(), cost, cost_flags
+    )
+    cost_in = jax.tree.map(
+        lambda leaf, b: leaf if b
+        else jnp.zeros((), jnp.asarray(leaf).dtype),
+        cost, cost_flags,
+    )
+    params_in = params if params_batched else jax.tree.map(
+        lambda leaf: jnp.zeros((), jnp.asarray(leaf).dtype), params
+    )
+    traj_spec = Trajectory(
+        times=spec,
+        states=State(pose=SE3(quat=spec, trans=spec), vel=spec),
+        controls=spec,
+    )
+
+    def make_phase(budget, phase_ddp):
+        opts_k = replace(
+            options, convergence_criteria=replace(cc, max_iters=budget)
+        )
+
+        def per_shard(p, c, t, mu, status, iters):
+            c = jax.tree.map(
+                lambda shared, local, b: local if b else shared,
+                cost, c, cost_flags,
+            )
+            return engine(
+                p if params_batched else params, c, t, dt_s, opts_k,
+                fddp_options=fddp_options, interpret=interpret, model=model,
+                ddp=phase_ddp, limits=limits,
+                initial_mu=mu, initial_status=status, initial_iters=iters,
+                return_mu=True,
+            )
+
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(params_spec, cost_spec, batch_spec, spec, spec, spec),
+            out_specs=(traj_spec, spec, spec, spec, spec),
+            check_vma=False,
+        )
+
+    phases = [
+        make_phase(budget, ddp_seq[k]) for k, budget in enumerate(budgets)
+    ]
+
+    def pin(a):
+        return jax.lax.with_sharding_constraint(a, sharding)
+
+    def run(params_g, cost_g, traj):
+        cur2orig = pin(jnp.arange(batch))
+        # zeros ARE the engines' fresh-start encoding (lane_row(None))
+        mu = pin(jnp.zeros((batch,), dtype))
+        status = pin(jnp.zeros((batch,), jnp.int32))
+        iters = pin(jnp.zeros((batch,), jnp.int32))
+        for k, phase in enumerate(phases):
+            traj, cost_v, iters, status, mu = phase(
+                params_g, cost_g, traj, mu, status, iters
+            )
+            if k == len(phases) - 1:
+                break
+            pending = status == STATUS_MAX_ITERS
+            # stable: pending lanes first, relative order preserved both
+            # ways, so the scatter-back is bit-reproducible
+            perm = jnp.argsort(jnp.logical_not(pending), stable=True)
+            gather = lambda a: pin(a[perm])
+            cur2orig = gather(cur2orig)
+            traj = jax.tree.map(gather, traj)
+            mu, status, iters = gather(mu), gather(status), gather(iters)
+            if params_batched:
+                params_g = jax.tree.map(gather, params_g)
+            cost_g = jax.tree.map(
+                lambda a, b: gather(a) if b else a, cost_g, cost_flags
+            )
+        inv = jnp.argsort(cur2orig, stable=True)
+        scatter = lambda a: pin(a[inv])
+        result = SolveResult(
+            trajectory=jax.tree.map(scatter, traj),
+            cost=scatter(cost_v),
+            iterations=scatter(iters),
+            status=scatter(status),
+            debug=None,
+        )
+        # global stats on the already-global arrays (the psum the
+        # non-refine path does per shard happens implicitly in these
+        # cross-shard reductions)
+        conv = (result.status == STATUS_CONVERGED).astype(jnp.float32)
+        stats = {
+            "n_converged": jnp.sum(conv),
+            "mean_iterations": jnp.mean(
+                result.iterations.astype(jnp.float32)
+            ),
+            "mean_cost": jnp.mean(result.cost),
+            "total_cost": jnp.sum(result.cost),
+        }
+        return result, stats
+
+    run = jax.jit(run)
+    if params_batched:
+        params_in = shard_scenarios(params_in, mesh, axis_name)
+    return run(
+        params_in,
+        _place_cost(cost_in, mesh, axis_name),
+        shard_scenarios(initial_trajs, mesh, axis_name),
     )
 
 

@@ -509,8 +509,9 @@ def solve_batch_fddp(
         lane_model = lane_model_for(params, model)
     except TypeError:  # outside the LaneModel protocol
         lane_model = None
-    if lane_model is not None and lane_model.substeps != 1:
-        lane_model = None  # FDDP kernels are single-step (kernels/fddp.py)
+    if lane_model is not None and lane_model.substeps != 1 and ddp:
+        # the analytic exact curvature is single-step math (kernels/fddp.py)
+        lane_model = None
     kernel_ok = (
         lane_model is not None and options.line_search_params.max_iters >= 1
     )
@@ -712,7 +713,15 @@ def solve_batch_fddp_refine(
     class ~6% of lanes consume the deep half of the budget and, spread
     over all tiles, force nearly every tile to run it; compacted they
     occupy 2-3 tiles. Requests the kernels cannot serve fall back to the
-    single-phase path (which routes them to XLA)."""
+    single-phase path (which routes them to XLA).
+
+    `ddp` may be a per-phase TUPLE (one flag per phase) — the HYBRID
+    curvature schedule (VERDICT r3 #4): Gauss-Newton on the cheap early
+    phases where the exact curvature only quadratizes f32 noise, exact-DDP
+    curvature on the compacted straggler phases where its iteration win
+    pays. The flip is exact: the resume rows carry mu/status/iters and the
+    backward pass recomputes everything else from the merged trajectory.
+    A uniform tuple collapses to its bool (identical program)."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
     from ..kernels.models import lane_model_for
     from ..kernels.stream_fddp import solve_fddp_streamed
@@ -720,6 +729,9 @@ def solve_batch_fddp_refine(
 
     if fddp_options is None:
         fddp_options = FDDPOptions()
+    if isinstance(ddp, tuple) and len(set(bool(d) for d in ddp)) == 1:
+        ddp = bool(ddp[0])
+    hybrid = isinstance(ddp, tuple)
     try:
         lane_model = lane_model_for(params, model)
     except TypeError:
@@ -731,11 +743,26 @@ def solve_batch_fddp_refine(
         if isinstance(phase1_iters, int)
         else tuple(phase1_iters)
     )
+    if hybrid and (
+        lane_model is None
+        or lane_model.substeps != 1
+        or options.line_search_params.max_iters < 1
+    ):
+        raise ValueError(
+            "the hybrid curvature schedule (per-phase ddp tuple) is a "
+            "kernel feature: it needs a kernel-servable SINGLE-STEP model "
+            "and line-search probes >= 1"
+        )
     if (
         lane_model is None
         or options.line_search_params.max_iters < 1
         or all(min(int(b), total) == total for b in bounds)
     ):
+        if hybrid:
+            raise ValueError(
+                f"per-phase ddp {ddp!r} needs at least two phases; "
+                f"phase1_iters={phase1_iters!r} leaves one"
+            )
         return solve_batch_fddp(
             params, cost, initial_trajs, dt_s, options,
             fddp_options=fddp_options, interpret=interpret, model=model,
@@ -785,6 +812,13 @@ def solve_batch_fddp_refine(
             budgets.append(b - used)
             used = b
     budgets.append(total - used)
+    ddp_seq = ddp if hybrid else (ddp,) * len(budgets)
+    if len(ddp_seq) != len(budgets):
+        raise ValueError(
+            f"per-phase ddp needs one flag per phase: {len(budgets)} "
+            f"phases from phase1_iters={phase1_iters!r}, got "
+            f"{len(ddp_seq)} flags"
+        )
 
     cost_flags = qc.cost_batched_flags(cost)
     params_batched = jnp.ndim(params.mass_kg) >= 1
@@ -825,7 +859,7 @@ def solve_batch_fddp_refine(
         traj, cost_v, iters, status, mu = engine(
             params_g, cost_g, traj, dt_s, opts_k,
             fddp_options=fddp_options, interpret=interpret, model=model,
-            ddp=ddp, limits=limits_g,
+            ddp=ddp_seq[k], limits=limits_g,
             initial_mu=mu,
             initial_status=status,
             initial_iters=iters,

@@ -354,6 +354,22 @@ def _write_debug(debug: IterDebug, i, traj: Trajectory, cost):
     )
 
 
+# associative="auto" dispatch frontier, measured on v5e
+# (benchmarks/assoc_regime.py grid — re-run after kernel/compiler changes):
+# the O(log N) pass costs ~3x the flops per stage, so it wins only where
+# DEPTH dominates — small batch x long horizon. Large batches fill the chip
+# with scenario parallelism and the sequential scan wins at every N.
+ASSOC_AUTO_MAX_BATCH = 16
+ASSOC_AUTO_MIN_HORIZON = 512
+
+
+def resolve_associative(batch: int, horizon: int) -> bool:
+    """The associative="auto" rule: parallel-in-time Riccati iff the
+    (batch, horizon) cell is inside the measured win region of
+    benchmarks/assoc_regime.py."""
+    return batch <= ASSOC_AUTO_MAX_BATCH and horizon >= ASSOC_AUTO_MIN_HORIZON
+
+
 @partial(
     jax.jit, static_argnames=("options", "dt_s", "associative", "model", "ddp")
 )
@@ -397,6 +413,8 @@ def solve(
     new_cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
     debug0 = _empty_debug(initial_traj, max_iters) if options.populate_debug else None
 
+    if associative == "auto":
+        associative = resolve_associative(1, initial_traj.controls.shape[0])
     if associative and ddp:
         raise ValueError("associative=True and ddp=True are mutually exclusive")
     if associative:

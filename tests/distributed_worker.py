@@ -125,6 +125,54 @@ def main():
     n_conv4 = int((np.asarray(ref_fddp.status) == 1).sum())
     assert int(float(stats4["n_converged"])) == n_conv4
 
+    # CROSS-DEVICE straggler rebalance across the PROCESS boundary
+    # (VERDICT r3 #3): the compaction gather crosses the gloo mesh; lane
+    # parity with the single-process compacted refine (statuses and
+    # iterations exact, values at cross-program tolerance)
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp_refine
+
+    rb = 128 * mesh.devices.size  # per-shard batch must tile exactly
+    key_r = jax.random.PRNGKey(5)
+    x0r, desired_r = workloads.hover_to_waypoint(
+        key_r, rb, n=6, dt_s=DT, dtype=F64, pose_scale=1.2
+    )
+    cost_r = QuadraticTrackingCost(
+        Q=cost.Q, R=cost.R,
+        desired_states=desired_r.states,
+        desired_controls=desired_r.controls,
+    )
+    full_trajs_r = initial_trajectory_from_state(x0r, desired_r)
+    opts_r = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 6)
+    )
+    ref_refine = solve_batch_fddp_refine(
+        params, cost_r, full_trajs_r, DT, opts_r, phase1_iters=2,
+        interpret=True,
+    )
+    lo_r, n_local_r = distributed.local_scenario_slice(rb, mesh)
+    local_r = jax.tree.map(
+        lambda a: a[lo_r : lo_r + n_local_r], full_trajs_r
+    )
+    trajs_r = distributed.distribute_batch(local_r, mesh)
+    res5, stats5 = solve_sharded_fddp(
+        params, cost_r, trajs_r, DT, opts_r, mesh, interpret=True, refine=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(distributed.process_local_data(res5.status)),
+        np.asarray(ref_refine.status)[lo_r : lo_r + n_local_r],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(distributed.process_local_data(res5.iterations)),
+        np.asarray(ref_refine.iterations)[lo_r : lo_r + n_local_r],
+    )
+    np.testing.assert_allclose(
+        np.asarray(distributed.process_local_data(res5.cost)),
+        np.asarray(ref_refine.cost)[lo_r : lo_r + n_local_r],
+        rtol=1e-9,
+    )
+    n_conv5 = int((np.asarray(ref_refine.status) == 1).sum())
+    assert int(float(stats5["n_converged"])) == n_conv5
+
     distributed.shutdown()
     print(f"WORKER {PROC_ID} OK", flush=True)
 

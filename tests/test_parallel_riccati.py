@@ -99,3 +99,45 @@ def test_solve_batch_associative():
         np.asarray(r_seq.trajectory.controls),
         atol=1e-7,
     )
+
+
+def test_associative_auto_dispatch():
+    """associative="auto" applies the measured (B, N) rule
+    (solver/ilqr.resolve_associative) and matches the explicit choice;
+    unsupported combos (fddp / limits) never route to the associative
+    pass."""
+    from quadrotorilqr_tpu.parallel.batch import solve_batch
+    from quadrotorilqr_tpu.solver.ilqr import (
+        ASSOC_AUTO_MAX_BATCH,
+        ASSOC_AUTO_MIN_HORIZON,
+        resolve_associative,
+    )
+    from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
+
+    assert resolve_associative(1, ASSOC_AUTO_MIN_HORIZON)
+    assert not resolve_associative(1, ASSOC_AUTO_MIN_HORIZON - 1)
+    assert not resolve_associative(ASSOC_AUTO_MAX_BATCH + 1, 10_000)
+
+    params, cost, trajs = _problem(n=8)
+    sub = jax.tree.map(lambda a: a[:4], trajs)
+    options = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-10, 1e-10, 4)
+    )
+    # B=4, N=8 -> rule says sequential: "auto" must equal explicit False
+    # bit-for-bit (same program)
+    r_auto = solve_batch(params, cost, sub, 0.02, options, associative="auto")
+    r_seq = solve_batch(params, cost, sub, 0.02, options, associative=False)
+    np.testing.assert_array_equal(
+        np.asarray(r_auto.cost), np.asarray(r_seq.cost)
+    )
+    # auto + fddp / auto + limits run (never raising the explicit-True
+    # incompatibility errors)
+    r = solve_batch(
+        params, cost, sub, 0.02, options, associative="auto", solver="fddp"
+    )
+    assert r.cost.shape == (4,)
+    r = solve_batch(
+        params, cost, sub, 0.02, options, associative="auto",
+        limits=(0.0, 50.0),
+    )
+    assert r.cost.shape == (4,)

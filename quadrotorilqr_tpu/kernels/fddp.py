@@ -49,8 +49,8 @@ VERDICT r2 #1) — per-lane VALUES are unchanged, only sweep structure:
     a cap strictly above the Goldstein threshold
     (solver/fddp._probe_cap) — a saturated candidate is deterministic
     (== cap) on every engine, which buys (a) tile EARLY-OUT of probe
-    rollouts once every pending lane has saturated (chunked sweep,
-    stale chunks skipped) and (b) ESCALATED backtracking
+    rollouts once every pending lane has saturated (per-stage pl.when
+    predication, remaining stages skip) and (b) ESCALATED backtracking
     (solver/fddp._next_alpha): an exploded probe jumps ~0.1 alpha in
     one step instead of walking down geometrically. Fractional
     executed-sweep counts ride the _PROBES row for the roofline;
@@ -490,10 +490,11 @@ def _fddp_kernel(
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
 
-            def rollout_stage(n, quat, trans, vel, c, alpha, pending, cap=None):
+            def rollout_stage(n, quat, trans, vel, c, alpha, pending, sat=None):
                 """One gap-contracting rollout stage (fddp.rollout_gap) +
                 candidate write; returns the next state and running cost.
-                `cap` (probes after the first) saturates the accumulation —
+                `sat=(gdj, current, cap)` (probes after the first) runs the
+                frozen-saturating accumulation —
                 solver/fddp._saturating_stage_cost_add, the shared op order
                 the XLA line search folds with."""
                 dx = _state_minus(
@@ -509,8 +510,8 @@ def _fddp_kernel(
                 cs = stage_cost(quat, trans, vel, u, n)
                 c = (
                     c + cs
-                    if cap is None
-                    else _saturating_stage_cost_add(c, cs, cap)
+                    if sat is None
+                    else _saturating_stage_cost_add(c, cs, *sat)
                 )
                 bq_ref[n] = jnp.where(pending, quat, bq_ref[n])
                 bt_ref[n] = jnp.where(pending, trans, bt_ref[n])
@@ -615,15 +616,6 @@ def _fddp_kernel(
             )
             flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
-            # static chunk bounds for the in-probe early-out: at most ~8
-            # unrolled pl.when blocks (compile-size bound), at least 8
-            # stages per chunk (check-overhead bound)
-            _chunk = max(8, -(-n_stages // 8))
-            _chunk_bounds = [
-                (s, min(s + _chunk, n_stages))
-                for s in range(0, n_stages, _chunk)
-            ]
-
             def ls_trip(j, tok2):
                 @pl.when(flag_ref[1] > 0.5)
                 def _():
@@ -632,17 +624,24 @@ def _fddp_kernel(
                     alpha = get(_ALPHA)
                     l1v = get(_L1)
                     l2v = get(_L2)
-                    # ---- chunked probe rollout with tile early-out: the
-                    # accumulation saturates per stage at cap (strictly above
-                    # the Goldstein threshold), so once EVERY pending lane
-                    # has saturated the remaining chunks cannot change any
-                    # committed value (saturated cand == cap exactly — the
-                    # same value the XLA path's full saturated fold ends at)
-                    # and the sweep stops. Deep backtracks on exploding
-                    # rollouts stop paying full-horizon sweeps. ----
+                    # ---- probe rollout with per-stage tile early-out: the
+                    # frozen-saturating fold (_saturating_stage_cost_add)
+                    # freezes a lane's accumulation at its first Goldstein
+                    # crossing (reject guaranteed by the accept test's own
+                    # arithmetic) and saturates explosions at cap, so once
+                    # EVERY pending lane is frozen the remaining stages
+                    # cannot change any committed value (the XLA path's
+                    # full fold ends at the same frozen values) and the
+                    # rest of the sweep is a predicated skip — EVERY
+                    # rejected probe stops early, not just exploding ones.
+                    # The carry rides cr_ref rows (the kernels/solve.py
+                    # pattern: bounded fori_loop + pl.when + flag rows — an
+                    # unrolled-chunk variant was tried and compiled ~10x
+                    # slower for the same semantics). ----
                     dj = alpha * l1v + alpha * alpha * l2v
-                    thresh = current + jnp.where(dj <= 0.0, gf, gub) * dj
-                    cap = _probe_cap(thresh, current)
+                    gdj = jnp.where(dj <= 0.0, gf, gub) * dj
+                    cap = _probe_cap(current + gdj, current)
+                    sat = (gdj, current, cap)
 
                     cr_ref[0:4] = oq_ref[0]
                     cr_ref[4:7] = ot_ref[0]
@@ -650,39 +649,50 @@ def _fddp_kernel(
                     cr_ref[13:14] = zeros1
                     flag_ref[3] = jnp.ones((), dtype)
 
-                    for c0, c1 in _chunk_bounds:
-
+                    def rstage(n, tok3):
                         @pl.when(flag_ref[3] > 0.5)
-                        def _(c0=c0, c1=c1):
-                            def rstage(n, carry):
-                                quat, trans, vel, c = carry
-                                return rollout_stage(
-                                    n, quat, trans, vel, c, alpha, pending,
-                                    cap=cap,
-                                )
-
-                            quat, trans, vel, c = jax.lax.fori_loop(
-                                c0, c1, rstage,
-                                (
-                                    cr_ref[0:4],
-                                    cr_ref[4:7],
-                                    cr_ref[7:13],
-                                    cr_ref[13:14],
-                                ),
+                        def _():
+                            quat, trans, vel, c = rollout_stage(
+                                n, cr_ref[0:4], cr_ref[4:7], cr_ref[7:13],
+                                cr_ref[13:14], alpha, pending, sat=sat,
                             )
                             cr_ref[0:4] = quat
                             cr_ref[4:7] = trans
                             cr_ref[7:13] = vel
                             cr_ref[13:14] = c
-                            # fractional probe accounting: the roofline work
-                            # model consumes EXECUTED sweep-equivalents
-                            put(
-                                _PROBES,
-                                get(_PROBES) + (c1 - c0) / n_stages,
+                            # viability check + fractional probe accounting
+                            # every 8th stage (and at the sweep end): the
+                            # lane reduction + SMEM flag write cost real
+                            # per-stage time when run every stage (measured
+                            # ~5% off the GN throughput), and the flag only
+                            # ever flips False — checking at 8-stage
+                            # granularity keeps the early-out and amortizes
+                            # the bookkeeping 8x. The increment covers the
+                            # stages since the last check boundary, so the
+                            # _PROBES row still counts EXECUTED
+                            # sweep-equivalents (the roofline contract).
+                            at_check = jnp.logical_or(
+                                n % 8 == 7, n == n_stages - 1
                             )
-                            viable = jnp.logical_and(pending, c < cap)
-                            flag_ref[3] = jnp.sum(viable.astype(dtype))
 
+                            @pl.when(at_check)
+                            def _():
+                                put(
+                                    _PROBES,
+                                    get(_PROBES)
+                                    + (n % 8 + 1).astype(dtype) / n_stages,
+                                )
+                                # viable = not frozen: the fold's own
+                                # freeze arithmetic, so stopping is exact
+                                viable = jnp.logical_and(
+                                    pending,
+                                    jnp.logical_not((c - current) > gdj),
+                                )
+                                flag_ref[3] = jnp.sum(viable.astype(dtype))
+
+                        return tok3
+
+                    jax.lax.fori_loop(0, n_stages, rstage, 0)
                     cand_cost = cr_ref[13:14]
                     still = _goldstein_probe_commit(
                         get, put, gf, gub, ls_step, active, current,

@@ -394,7 +394,7 @@ def _stream_fddp_kernel(
             # p' = J_x p + J_u w + d, dJ(alpha) = alpha L1 + alpha^2 L2
             # through the same forward sweep (the round-2 kernel paid a
             # separate pass), persisting L1/L2 in state rows ----------------
-            def rollout_sweep(alpha, write_mask, with_qm=False, cap=None):
+            def rollout_sweep(alpha, write_mask, with_qm=False, sat=None):
                 def rchunk(s, w, carry):
                     load_stages(s, w, with_gains=True, with_defs=True)
 
@@ -485,14 +485,15 @@ def _stream_fddp_kernel(
                         u = ou + alpha * grow[0:u_dim] + feedback(grow, dx)
                         if use_box:
                             u = jnp.clip(u, lo_ref[:], hi_ref[:])
-                        # probes after the first saturate at cap — the shared
-                        # op order of solver/fddp._saturating_stage_cost_add
-                        # (lane parity with the VMEM kernel / XLA line search)
+                        # probes after the first run the frozen-saturating
+                        # fold — the shared op order of
+                        # solver/fddp._saturating_stage_cost_add (lane
+                        # parity with the VMEM kernel / XLA line search)
                         cs = stage_cost(quat, trans, vel, u, drow)
                         c = (
                             c + cs
-                            if cap is None
-                            else _saturating_stage_cost_add(c, cs, cap)
+                            if sat is None
+                            else _saturating_stage_cost_add(c, cs, *sat)
                         )
                         if write_mask is not None:
                             tbuf[j, 0:4] = jnp.where(write_mask, quat, oq)
@@ -558,9 +559,10 @@ def _stream_fddp_kernel(
                     l1v = get(_L1)
                     l2v = get(_L2)
                     dj = alpha * l1v + alpha * alpha * l2v
-                    thresh = current + jnp.where(dj <= 0.0, gf, gub) * dj
+                    gdj = jnp.where(dj <= 0.0, gf, gub) * dj
                     cand_cost = rollout_sweep(
-                        alpha, None, cap=_probe_cap(thresh, current)
+                        alpha, None,
+                        sat=(gdj, current, _probe_cap(current + gdj, current)),
                     )
                     still_pending = _goldstein_probe_commit(
                         get, put, gf, gub, ls_step, active, current,

@@ -173,13 +173,28 @@ def _probe_cap(thresh, current):
     return 2.0 * (jnp.abs(thresh) + jnp.abs(current)) + 1.0
 
 
-def _saturating_stage_cost_add(c, stage_c, cap):
-    """One saturating accumulation step (shared op order with the kernels).
-    NaN/inf stage sums also saturate to cap (the compare is false), so an
-    exploded rollout reads as a finite, deterministic, always-rejected
-    cap — the finiteness guard in the accept test stays redundant-safe."""
+def _saturating_stage_cost_add(c, stage_c, gdj, current, cap):
+    """One frozen-saturating accumulation step (shared op order with the
+    kernels). Stage costs are nonnegative (psd Q/R; stage weights are
+    assumed nonnegative — negative ones would only make the search more
+    conservative, identically on every engine), so the running cost is
+    nondecreasing and the Goldstein accept test (c - current) <= gdj is
+    MONOTONE along the horizon: once a prefix fails it, the full candidate
+    must fail it. The fold therefore FREEZES at the first crossing — using
+    the accept test's EXACT arithmetic, so freeze implies reject
+    bit-identically on every engine — which (a) makes the committed
+    rejected value independent of where accumulation stops at or after the
+    crossing (the kernels early-out the REST of the probe sweep on every
+    rejected probe, not just exploding ones) and (b) preserves the
+    escalation signal: a stage that EXPLODES before the crossing still
+    saturates to exactly cap (NaN/inf land on cap too — the compare is
+    false), the deterministic value _next_alpha's multi-step jump keys
+    on. An accepted candidate never crosses, so its committed cost stays
+    the exact full fold."""
+    frozen = (c - current) > gdj
     c2 = c + stage_c
-    return jnp.where(c2 <= cap, c2, cap)
+    c2 = jnp.where(c2 <= cap, c2, cap)
+    return jnp.where(frozen, c, c2)
 
 
 def defects(params, traj: Trajectory, dt_s, model=qm):
@@ -480,20 +495,22 @@ def solve_fddp(
             )
             dj = step * l1 + step * step * l2
             gmult = jnp.where(dj <= 0, fo.goldstein_frac, fo.goldstein_ub)
+            gdj = gmult * dj
             # probe 0 evaluates the raw cost; later probes accumulate with
-            # per-stage saturation at cap — the deterministic always-rejected
-            # value the kernels' tile early-out depends on (_probe_cap). An
-            # accepted candidate never binds the cap, so committed costs are
-            # exact either way.
+            # the frozen-saturating fold (_saturating_stage_cost_add):
+            # freeze at the first Goldstein crossing, saturate explosions
+            # at cap — the deterministic rejected values the kernels' tile
+            # early-out depends on. An accepted candidate never crosses, so
+            # committed costs are exact either way.
             scs = qc.per_stage_costs(cost, t.states, t.controls)
-            cap = _probe_cap(current + gmult * dj, current)
+            cap = _probe_cap(current + gdj, current)
 
             def sat_fold(c, s):
-                return _saturating_stage_cost_add(c, s, cap), None
+                return _saturating_stage_cost_add(c, s, gdj, current, cap), None
 
             c_sat, _ = jax.lax.scan(sat_fold, jnp.zeros((), dtype), scs)
             c = jnp.where(i == 0, jnp.sum(scs), c_sat)
-            accept = (c - current) <= gmult * dj
+            accept = (c - current) <= gdj
             accept = jnp.logical_and(accept, jnp.abs(c) < jnp.inf)
             step_next = _next_alpha(step, c, cap, ls.step_update)
             return (i + 1, step_next, step, t, c, accept)

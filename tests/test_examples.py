@@ -49,3 +49,11 @@ def test_example_06_integration_accuracy():
     errors, results = _load("06_integration_accuracy").main(n=10, max_iters=40)
     assert errors["rk4 (same work as substepped(4))"] < 0.05 * errors["substepped(4)"]
     assert all(int(r.status) == 1 for r in results.values())
+
+
+def test_example_07_fleet_scaling():
+    flat, compact, hybrid, stats = _load("07_fleet_scaling").main(
+        batch=256, budget=8
+    )
+    assert int((hybrid.status == 1).sum()) >= int((flat.status == 1).sum())
+    assert float(stats["n_converged"]) >= 0

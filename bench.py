@@ -17,7 +17,9 @@ Prints ONE JSON line:
 
 Env overrides (for quick local runs): QILQR_BENCH_BATCH, QILQR_BENCH_HORIZON,
 QILQR_BENCH_ITERS, QILQR_BENCH_REPEATS, QILQR_BENCH_SKIP_ORACLE,
-QILQR_BENCH_PATH=whole|loop|xla (default: whole — the whole-solve kernel).
+QILQR_BENCH_PATH=super|whole|loop|xla (default: super — the whole-solve
+kernel in the SUPERTILE layout: 1024 scenarios per grid step, 8 in the
+sublane dim; measured 1.5-1.6x the minor-lane layout, kernels/solve.py).
 """
 
 from __future__ import annotations
@@ -138,14 +140,18 @@ def time_tpu_solves(options):
     )
 
     # path: "whole" (whole-solve kernel, fastest measured at every batch
-    # size) | "loop" (batch-level kernel loop) | "xla" (vmapped XLA)
-    path = os.environ.get("QILQR_BENCH_PATH", "whole")
+    # size) | "super" (whole-solve kernel in the SUPERTILE layout — 1024
+    # scenarios per grid step, 8 in the sublane dim; kernels/solve.py) |
+    # "loop" (batch-level kernel loop) | "xla" (vmapped XLA)
+    path = os.environ.get("QILQR_BENCH_PATH", "super")
     if os.environ.get("QILQR_BENCH_NO_FUSED"):
         path = "xla"
 
     @jax.jit
     def run(p, c, t):
-        if path == "whole":
+        if path == "super":
+            result = solve_batch_latency(p, c, t, DT_S, options, supertile=True)
+        elif path == "whole":
             result = solve_batch_latency(p, c, t, DT_S, options)
         elif path == "loop":
             result = solve_batch_fused(p, c, t, DT_S, options)

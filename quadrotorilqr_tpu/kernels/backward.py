@@ -61,10 +61,11 @@ def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l, drag=None):
     helpers skip the multiply — bit-identical to the drag-free family),
     and D gains the -I⁻¹ diag(da) term
     (quadrotor_drag.continuous_dynamics_jacobians)."""
-    b = quat.shape[-1]
+    bshape = quat.shape[1:]  # (B,) lane layout / (8, 128) supertile
     dtype = quat.dtype
     ez = jnp.concatenate(
-        [jnp.zeros((2, b), dtype), jnp.ones((1, b), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
     g_blk = (-dt * g) * L.hat(r_t_ez)
@@ -192,7 +193,7 @@ def _vfxx_lanes(dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk):
     layout, reusing the j_x blocks already in registers: p_blk =
     Adj(Exp(-dt v)), t_blk = dt·Jr(dt v) (backward._stage_jx_blocks), so
     ½dt·AᵀCJr = ½ p_blkᵀ C t_blk and dt²·½JrᵀCJr = ½ t_blkᵀ C t_blk."""
-    b = quat.shape[-1]
+    bshape = quat.shape[1:]
     dtype = quat.dtype
     w_p = v_x[0:6]
     c_w = _ad_cot_lanes(w_p)
@@ -204,7 +205,8 @@ def _vfxx_lanes(dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk):
     )
 
     ez = jnp.concatenate(
-        [jnp.zeros((2, b), dtype), jnp.ones((1, b), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     r_t_ez = L.quat_rotate(L.quat_conjugate(quat), ez)
     w_lin = v_x[6:9]
@@ -219,7 +221,7 @@ def _vfxx_lanes(dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk):
     hy = L.hat(y)
     g_gyro = dt * (L.matmul(hy, i_l) - L.matmul(i_l, hy))
 
-    z33 = jnp.zeros((3, 3, b), dtype)
+    z33 = jnp.zeros((3, 3) + bshape, dtype)
     g_pp = L.block2x2(z33, z33, z33, g_grav)
     g_ss = g_ss + L.block2x2(z33, z33, z33, g_gyro)
     return L.block2x2(g_pp, g_ps, L.transpose(g_ps), g_ss)
@@ -410,7 +412,8 @@ def _riccati_stage(
         q_xx = c_xx + vj
         vxx_ju = L.matmul(v_xx, ju_full)
         q_uu = (
-            r2_l + L.matmul(jut_full, vxx_ju) + quu_reg * L.eye(m, q_l)
+            # L.eye takes a lane VECTOR reference for the batch shape
+            r2_l + L.matmul(jut_full, vxx_ju) + quu_reg * L.eye(m, c_u)
         )
         q_xu = vxx_ju
         for b in reversed(blocks_list):
@@ -435,7 +438,9 @@ def _riccati_stage(
                 dt, g, quat, vel, i_l, iinv_l, v_x, p_blk, t_blk
             )
         vxx_ju = L.matmul(v_xx[:, lo:12], ju_lo)
-        q_uu = r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, q_l)
+        q_uu = (
+            r2_l + L.matmul(jut_lo, vxx_ju[lo:12]) + quu_reg * L.eye(m, c_u)
+        )
         q_xu = _jxt_mat(vxx_ju, *blocks)
         if penalty is not None:
             q_xu = q_xu + pcxu

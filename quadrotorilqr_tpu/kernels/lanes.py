@@ -61,9 +61,28 @@ def transpose(m):
 
 
 def eye(n, like):
-    """(n, n, B) identity broadcast over lanes."""
-    e = jnp.eye(n, dtype=like.dtype)[:, :, None]
-    return jnp.broadcast_to(e, (n, n, like.shape[-1]))
+    """(n, n, ...B) identity broadcast over lanes.
+
+    `like` must be a lane VECTOR — (d, ...B) — whose trailing dims are the
+    batch shape: (B,) in the minor-lane layout, (8, 128) in the supertile
+    layout. The rest of this module is trailing-shape agnostic; this is
+    the one helper that materializes a batch shape, and a vector reference
+    is the only rank-unambiguous way to name it (a matrix (r, c, B) and a
+    supertile vector (d, 8, 128) have the same rank)."""
+    bshape = like.shape[1:]
+    shape = (n, n) + bshape
+    # broadcasted_iota + float select, not reshape(jnp.eye(n)): Mosaic's
+    # layout inference rejects the rank-raising shape cast of a 2-D
+    # constant inside supertile (4-D) kernels ("unsupported shape cast"),
+    # and a bool-valued branch select would hit the i8->i1 truncation it
+    # cannot lower — selecting between FLOAT operands lowers everywhere.
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return jnp.where(
+        r == c,
+        jnp.ones(shape, like.dtype),
+        jnp.zeros(shape, like.dtype),
+    )
 
 
 def block2x2(a, b, c, d):

@@ -63,6 +63,36 @@ _STATE_ROWS = 8  # one f32 sublane tile
 # longer horizons to the streamed kernel automatically.
 MAX_HORIZON = 256
 
+# SUPERTILE layout (benchmarks/layout_probe.py): 1024 scenarios per grid
+# step, 8 riding the SUBLANE dim and 128 the lane dim — (r, c, 8, 128)
+# lane matrices are perfectly dense for every (r, c) (the minor-lane
+# layout wastes (8 - c % 8) % 8 sublanes per row at c < 8) and transposes
+# become free leading-dim swaps. Measured 1.22x on the Riccati stage mix
+# and ~100x faster Mosaic compiles. VMEM per stage is 8x the 128-lane
+# tile's, so the horizon budget shrinks accordingly.
+SUPER_SUB = 8
+SUPER_TILE = SUPER_SUB * TILE  # 1024 scenarios
+
+
+def _to_super(a):
+    """(..., B) per-lane array -> (..., 8, S*128): supertile s's (8, 128)
+    block holds scenarios [s*1024, (s+1)*1024), row-major (sublane-major
+    within the block)."""
+    core = a.shape[:-1]
+    s = a.shape[-1] // SUPER_TILE
+    x = a.reshape(core + (s, SUPER_SUB, TILE))
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(core + (SUPER_SUB, s * TILE))
+
+
+def _from_super(a, batch):
+    """Inverse of _to_super: (..., 8, S*128) -> (..., batch)."""
+    core = a.shape[:-2]
+    s = batch // SUPER_TILE
+    x = a.reshape(core + (SUPER_SUB, s, TILE))
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(core + (batch,))
+
 
 def max_horizon_for(u_dim):
     """Model-aware VMEM horizon bound. Per-stage VMEM is ~(48 + 16*u) rows
@@ -223,11 +253,12 @@ def _solve_kernel(
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     box = (lo_ref[:], hi_ref[:]) if use_box else None
-    bt = q_l.shape[-1]
+    bshape = q_l.shape[2:]  # (Bt,) lane layout / (8, 128) supertile
     dtype = q_l.dtype
-    zeros1 = jnp.zeros((1, bt), dtype)
+    zeros1 = jnp.zeros((1,) + bshape, dtype)
     ez = jnp.concatenate(
-        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     # substepped integration (kernels/models.substepped_lane_model): the
     # Riccati stage chains per-substep jacobian blocks; the chain rolls the
@@ -262,9 +293,9 @@ def _solve_kernel(
     ot_ref[:] = t_ref[:]
     ov_ref[:] = v_ref[:]
     ou_ref[:] = u_ref[:]
-    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    st_ref[:] = jnp.zeros((_STATE_ROWS,) + bshape, dtype)
     if record_history:
-        ohist_ref[:] = jnp.zeros((max_iters, bt), dtype)
+        ohist_ref[:] = jnp.zeros((max_iters,) + bshape, dtype)
 
     if continuation or max_iters == 0:
         # the input trajectory is feasible: its true cost seeds the loop
@@ -300,8 +331,8 @@ def _solve_kernel(
                 return (v_x2, v_xx2, qutk + qutk_inc, ktquuk + ktquuk_inc)
 
             binit = (
-                jnp.zeros((12, bt), dtype),
-                jnp.zeros((12, 12, bt), dtype),
+                jnp.zeros((12,) + bshape, dtype),
+                jnp.zeros((12, 12) + bshape, dtype),
                 zeros1,
                 zeros1,
             )
@@ -312,8 +343,8 @@ def _solve_kernel(
             )
 
             # ---- line search (ilqr.hh:174-194; trip 0 = forced full step) ----
-            put(_ALPHA, jnp.ones((1, bt), dtype))
-            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_ALPHA, jnp.ones((1,) + bshape, dtype))
+            put(_ACCEPTED, jnp.zeros((1,) + bshape, dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
 
@@ -381,7 +412,7 @@ def _solve_kernel(
                 # committed cost for active lanes, zeros otherwise — the
                 # exact buffer convention of the XLA debug path
                 ohist_ref[i] = jnp.where(
-                    active[0], get(_COST)[0], jnp.zeros((bt,), dtype)
+                    active[0], get(_COST)[0], jnp.zeros(bshape, dtype)
                 )
             flag_ref[0] = jnp.where(
                 n_open < 0.5, jnp.ones((), dtype), jnp.zeros((), dtype)
@@ -412,6 +443,7 @@ def _solve_kernel(
         "cost_batched",
         "params_batched",
         "interpret",
+        "supertile",
     ),
 )
 def _solve_call(
@@ -447,27 +479,67 @@ def _solve_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     extra_core = extra.shape[:-1]  # per-model operand core dims
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
+    w_core = w.shape[:-1]
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    if supertile:
+        # (..., B) per-lane operands -> (..., 8, S*128); (..., TILE)
+        # broadcast tiles materialize across the 8 sublanes
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        (
+            states_q, states_t, states_v, controls, des_q, des_t, des_v,
+            des_u, q_mat, r_mat, w, g, m_inv, ju, extra, inertia,
+            inertia_inv, lo, hi,
+        ) = map(
+            prep,
+            (
+                states_q, states_t, states_v, controls, des_q, des_t,
+                des_v, des_u, q_mat, r_mat, w, g, m_inv, ju, extra,
+                inertia, inertia_inv, lo, hi,
+            ),
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
     cost_block = lane_block if cost_batched else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
-    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    w_block = (cost_block if use_weights else fixed_block)(w_core)
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
     hist_rows = max_iters if record_history else 1
     kernel = functools.partial(
         _solve_kernel, n, max_iters, ls_max_iters, continuation, lane_model,
@@ -510,24 +582,24 @@ def _solve_call(
             lane_block((hist_rows,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
-            jax.ShapeDtypeStruct((n, 3, batch), dtype),
-            jax.ShapeDtypeStruct((n, 6, batch), dtype),
-            jax.ShapeDtypeStruct((n, u, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((hist_rows, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 3) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 6) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, u) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((hist_rows,) + obatch, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, u, TILE), dtype),
-            pltpu.VMEM((n, u, 12, TILE), dtype),
-            pltpu.VMEM((n, 4, TILE), dtype),
-            pltpu.VMEM((n, 3, TILE), dtype),
-            pltpu.VMEM((n, 6, TILE), dtype),
-            pltpu.VMEM((n, u, TILE), dtype),
-            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.VMEM((n, u) + btile, dtype),
+            pltpu.VMEM((n, u, 12) + btile, dtype),
+            pltpu.VMEM((n, 4) + btile, dtype),
+            pltpu.VMEM((n, 3) + btile, dtype),
+            pltpu.VMEM((n, 6) + btile, dtype),
+            pltpu.VMEM((n, u) + btile, dtype),
+            pltpu.VMEM((_STATE_ROWS,) + btile, dtype),
             pltpu.SMEM((2,), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -556,6 +628,9 @@ def _solve_call(
         lo,
         hi,
     )
+    if supertile:
+        outs = (oq, ot, ov, ou, ocost, oiter, ostat, oprob, ohist)
+        return tuple(_from_super(a, batch) for a in outs)
     return oq, ot, ov, ou, ocost, oiter, ostat, oprob, ohist
 
 
@@ -571,6 +646,7 @@ def solve_fused_whole(
     limits=None,
     return_history=False,
     return_probes=False,
+    supertile=False,
 ):
     """Whole-solve single-kernel iLQR for (B, N, ...) trajectories, B a
     multiple of 128. Latency-optimized: use solver/batched.py for huge
@@ -598,6 +674,11 @@ def solve_fused_whole(
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if supertile and batch % SUPER_TILE != 0:
+        raise ValueError(
+            f"supertile=True needs batch a multiple of {SUPER_TILE} "
+            f"(8 sublane scenarios x 128 lanes per grid step), got {batch}"
+        )
     if n > max_horizon_for(lm.u_dim):
         raise ValueError(
             f"horizon {n} exceeds the whole-solve kernel's VMEM budget "
@@ -676,6 +757,7 @@ def solve_fused_whole(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     new_traj = Trajectory(
         times=traj.times,

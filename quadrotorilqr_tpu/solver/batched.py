@@ -345,7 +345,9 @@ def solve_batch_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("dt_s", "options", "interpret", "continuation", "model"),
+    static_argnames=(
+        "dt_s", "options", "interpret", "continuation", "model", "supertile",
+    ),
 )
 def solve_batch_latency(
     params,
@@ -357,6 +359,7 @@ def solve_batch_latency(
     continuation: bool = False,
     model=None,
     limits=None,
+    supertile: bool = False,
 ) -> SolveResult:
     """Latency-optimized batched solve: the ENTIRE iLQR loop in one Pallas
     kernel per 128-lane tile (kernels/solve.py) — no per-trip kernel
@@ -397,7 +400,10 @@ def solve_batch_latency(
             limits=limits,
         )
     batch = initial_trajs.controls.shape[0]
-    pad = (-batch) % 128
+    # supertile (kernels/solve.py SUPER_TILE): 1024 scenarios per grid
+    # step, 8 in the sublane dim — the dense-register throughput layout
+    # (benchmarks/layout_probe.py). Pads to 1024-lane supertiles.
+    pad = (-batch) % (1024 if supertile else 128)
     if pad:
         def pad_lane(a):
             return jnp.concatenate(
@@ -419,6 +425,7 @@ def solve_batch_latency(
             continuation=continuation,
             model=model,
             limits=_pad_limits(limits, pad_lane),
+            supertile=supertile,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -432,7 +439,7 @@ def solve_batch_latency(
         traj, cost_v, iterations, status, hist = solve_fused_whole(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
-            limits=limits, return_history=True,
+            limits=limits, return_history=True, supertile=supertile,
         )
         # executed updates are consecutive from trip 0 per lane, so the
         # valid mask is exactly arange < iterations (matches the XLA
@@ -443,10 +450,13 @@ def solve_batch_latency(
         )
         debug = CostHistory(costs=hist, valid=valid)
     else:
+        kw = {"supertile": True} if (
+            supertile and engine is solve_fused_whole
+        ) else {}
         traj, cost_v, iterations, status = engine(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
-            limits=limits,
+            limits=limits, **kw,
         )
         debug = None
     return SolveResult(

@@ -354,20 +354,29 @@ def _write_debug(debug: IterDebug, i, traj: Trajectory, cost):
     )
 
 
-# associative="auto" dispatch frontier, measured on v5e
-# (benchmarks/assoc_regime.py grid — re-run after kernel/compiler changes):
-# the O(log N) pass costs ~3x the flops per stage, so it wins only where
-# DEPTH dominates — small batch x long horizon. Large batches fill the chip
-# with scenario parallelism and the sequential scan wins at every N.
-ASSOC_AUTO_MAX_BATCH = 16
+# associative="auto" dispatch frontier, measured on v5e 2026-08-20
+# (benchmarks/assoc_regime.py grid; re-run after kernel/compiler changes).
+# The O(log N) pass costs ~3x the flops per stage, so it wins only where
+# DEPTH dominates — tiny batch x long horizon. Measured cells (p50, full
+# solves, f32): B=1 it wins from N=512 (1288->1268 ms) through N=2048
+# (5069->4983); B=8 it wins at N=512 (260->247) but LOSES at N=2048
+# (1046 vs 1425 — 8 lanes x 2048 stages already fill the chip); B>=64
+# sequential wins everywhere measured. The wins are 2-5% — the settled
+# verdict is that scenario parallelism dominates this problem class and
+# parallel-in-time is a latency niche (BENCH_LOCAL.md), kept because the
+# niche (single-scenario long-horizon MPC replanning) is real.
 ASSOC_AUTO_MIN_HORIZON = 512
+ASSOC_AUTO_LANE_BUDGET = 4096  # assoc iff batch <= max(1, budget/horizon)
 
 
 def resolve_associative(batch: int, horizon: int) -> bool:
     """The associative="auto" rule: parallel-in-time Riccati iff the
     (batch, horizon) cell is inside the measured win region of
-    benchmarks/assoc_regime.py."""
-    return batch <= ASSOC_AUTO_MAX_BATCH and horizon >= ASSOC_AUTO_MIN_HORIZON
+    benchmarks/assoc_regime.py (see the frontier note above — every
+    measured cell agrees with this predicate)."""
+    return horizon >= ASSOC_AUTO_MIN_HORIZON and batch <= max(
+        1, ASSOC_AUTO_LANE_BUDGET // horizon
+    )
 
 
 @partial(

@@ -108,15 +108,18 @@ def test_associative_auto_dispatch():
     pass."""
     from quadrotorilqr_tpu.parallel.batch import solve_batch
     from quadrotorilqr_tpu.solver.ilqr import (
-        ASSOC_AUTO_MAX_BATCH,
         ASSOC_AUTO_MIN_HORIZON,
         resolve_associative,
     )
     from quadrotorilqr_tpu.solver.options import ConvergenceCriteria, ILQROptions
 
+    # the measured frontier (benchmarks/assoc_regime.py, v5e 2026-08-20)
     assert resolve_associative(1, ASSOC_AUTO_MIN_HORIZON)
+    assert resolve_associative(1, 8192)  # B=1 wins at every long horizon
+    assert resolve_associative(8, 512)
+    assert not resolve_associative(8, 2048)  # measured sequential win
     assert not resolve_associative(1, ASSOC_AUTO_MIN_HORIZON - 1)
-    assert not resolve_associative(ASSOC_AUTO_MAX_BATCH + 1, 10_000)
+    assert not resolve_associative(64, 10_000)
 
     params, cost, trajs = _problem(n=8)
     sub = jax.tree.map(lambda a: a[:4], trajs)

@@ -214,6 +214,34 @@ def main():
             params, cost, trajs,
         ),
     ]
+    # QILQR_BENCH_SUBSTEPS=k adds the robust+accurate rows (VERDICT r3 #2):
+    # k-substep Lie-Euler integration inside the FDDP kernel (chained
+    # per-substep Riccati blocks) vs the same model on the exact loop —
+    # at coarse dt better integration shrinks the per-stage defect AND
+    # the diverging-rollout mass, so it should win on BOTH axes.
+    ksub = int(os.environ.get("QILQR_BENCH_SUBSTEPS", "0"))
+    if ksub > 1:
+        from quadrotorilqr_tpu.models import quadrotor as qm_module
+        from quadrotorilqr_tpu.models.integrators import substepped
+
+        sub = substepped(qm_module, ksub)
+        rows += [
+            bench_engine(
+                f"fddp_kernel_k{ksub}",
+                lambda p, c, t: solve_batch_fddp(
+                    p, c, t, DT_S, options, fddp_options=fddp_opts,
+                    interpret=INTERPRET, model=sub,
+                ),
+                params, cost, trajs,
+            ),
+            bench_engine(
+                f"exact_loop_kernel_k{ksub}",
+                lambda p, c, t: solve_batch_latency(
+                    p, c, t, DT_S, options, interpret=INTERPRET, model=sub,
+                ),
+                params, cost, trajs,
+            ),
+        ]
     print(
         json.dumps(
             {

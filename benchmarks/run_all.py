@@ -176,6 +176,10 @@ def config2_hover(quick):
     trajs = initial_trajectory_from_state(init_states, desired)
     params = _params()
     options = _options()
+    # NOT supertile: at batch 1024 the supertile layout is a single
+    # 1024-scenario grid step, which trades away per-128-lane-tile trip
+    # adaptivity — measured 26,697 vs 29,942 solves/s on this config
+    # (supertile wins from ~4 grid steps up; config 5 and bench.py use it)
 
     @jax.jit
     def run(p, c, t):
@@ -223,6 +227,10 @@ def config3_figure_eight(quick):
     trajs = initial_trajectory_from_state(init_states, fig8)
     params = _params()
     options = _options()
+    # NOT supertile: N=200 with per-scenario Q/R exceeds the supertile
+    # VMEM budget (measured compile OOM, 138M/128M — the routing in
+    # solve_batch_latency now falls back to the lane layout for exactly
+    # this shape class)
 
     @jax.jit
     def run(p, c, t):
@@ -341,10 +349,11 @@ def config5_monte_carlo(quick):
     trajs = initial_trajectory_from_state(init_states, desired)
     params = _params()
     options = _options(max_iters=8)
+    supertile = batch >= 1024  # see config2 note
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_latency(p, c, t, 0.02, options)
+        res = solve_batch_latency(p, c, t, 0.02, options, supertile=supertile)
         # Monte-Carlo reduction (single-chip here; multi-chip via
         # parallel.mesh.solve_sharded_fused — validated on the CPU mesh)
         return jnp.stack(

@@ -403,6 +403,18 @@ def solve_batch_latency(
     # supertile (kernels/solve.py SUPER_TILE): 1024 scenarios per grid
     # step, 8 in the sublane dim — the dense-register throughput layout
     # (benchmarks/layout_probe.py). Pads to 1024-lane supertiles.
+    # VMEM guard: a supertile grid step holds 8x a 128-lane tile's
+    # per-stage rows, so the horizon budget is ~200 stages (measured:
+    # N=200 compiles, N=200 + per-scenario Q/R OOMs at 138M/128M VMEM) —
+    # shapes past it fall back to the lane layout rather than fail the
+    # Mosaic allocation.
+    if supertile:
+        n_stages = initial_trajs.controls.shape[1]
+        batched_cost = any(
+            jax.tree.leaves(qc.cost_batched_flags(cost))
+        )
+        if n_stages > (128 if batched_cost else 200):
+            supertile = False
     pad = (-batch) % (1024 if supertile else 128)
     if pad:
         def pad_lane(a):

@@ -269,12 +269,21 @@ def measure_dispatch_floor_s(repeats=10) -> float:
     return _time_compiled(compiled, (x,), repeats)
 
 
-def measure_vpu_peak_gflops(iters=6000, shape=(2048, 512), chains=4) -> float:
-    """Achievable f32 VPU FMA rate: `chains` independent y = y*a+b chains
-    (hides FMA latency) over a VMEM-resident block, 2 flops/element/iter per
-    chain, timed minus dispatch floor. `iters` is sized so compute time
-    (~30-60 ms) dominates the ~25 ms dispatch floor — with comparable
-    magnitudes the subtraction amplifies tunnel noise into 2x errors."""
+def measure_vpu_peak_gflops(iters=800, shape=(2048, 512), chains=4,
+                            depth=32) -> float:
+    """f32 VPU FMA ceiling: `chains` independent chains, each applying
+    `depth` dependent in-register FMAs per element per loop iteration
+    (2*chains*depth flops per element touch). Timed minus dispatch floor;
+    `iters` sized so compute (~30-60 ms) dominates the ~25 ms floor.
+
+    depth matters: at depth=1 (the rounds-1..3 micro-kernel) each FMA
+    pairs with a VMEM read+write of the loop carry, measuring a
+    VMEM-STREAM-bound ~1.1-1.2 TF/s, NOT the FMA unit — the round-4
+    supertile kernels sustained 2.25 TF/s against it (BENCH_LOCAL.md).
+    Deep in-register chains measure the unit itself: on v5e, 3.7 TF/s at
+    depth=8 rising to ~4.6 TF/s at depth=32 (measured 2026-08-20). Use
+    measure_vmem_fma_gflops for the streaming ceiling, which is the
+    binding one for code at ~1 flop/element-touch."""
     a = jnp.float32(1.000001)
 
     @jax.jit
@@ -282,7 +291,12 @@ def measure_vpu_peak_gflops(iters=6000, shape=(2048, 512), chains=4) -> float:
         ys = tuple(y + jnp.float32(i) for i in range(chains))
 
         def body(_, ys):
-            return tuple(v * a + jnp.float32(1e-7) for v in ys)
+            out = []
+            for v in ys:
+                for _ in range(depth):
+                    v = v * a + jnp.float32(1e-7)
+                out.append(v)
+            return tuple(out)
 
         ys = jax.lax.fori_loop(0, iters, body, ys)
         acc = ys[0]
@@ -293,8 +307,19 @@ def measure_vpu_peak_gflops(iters=6000, shape=(2048, 512), chains=4) -> float:
     y = jnp.ones(shape, jnp.float32)
     compiled = burn.lower(y).compile()
     t = _time_compiled(compiled, (y,)) - measure_dispatch_floor_s()
-    flops = 2.0 * chains * iters * shape[0] * shape[1]
+    flops = 2.0 * chains * depth * iters * shape[0] * shape[1]
     return flops / max(t, 1e-9) / 1e9
+
+
+def measure_vmem_fma_gflops(iters=6000, shape=(2048, 512), chains=4) -> float:
+    """f32 FMA rate at ONE flop-pair per element touch (depth=1): each
+    loop iteration streams every chain's block through VMEM around a
+    single FMA. This is the rounds-1..3 "VPU peak" (~1.1-1.2 TF/s on
+    v5e) — kept as the STREAMING ceiling, the binding roofline for code
+    whose register-level arithmetic intensity is ~1 (sweeping chains
+    4..32 does not raise it; 32 spills and drops to ~0.66 TF/s)."""
+    return measure_vpu_peak_gflops(iters=iters, shape=shape, chains=chains,
+                                   depth=1)
 
 
 def measure_hbm_bw_gbs(mb=512, sweeps=8, repeats=5) -> float:
@@ -417,6 +442,11 @@ def main():
         vpu_peak_gflops=vpu, hbm_bw_gbs=bw,
     )
     rep["rollouts_per_trip_measured"] = round(rollouts_per_trip, 2)
+    # the streaming (depth=1) FMA rate: the binding ceiling for code at
+    # ~1 flop per element touch; the solver kernels sit between the two
+    rep["vmem_stream_fma_gflops_measured"] = round(
+        measure_vmem_fma_gflops(), 1
+    )
     rep.update(
         workload=f"hover batch={batch} N={n} trips={trips:.0f}",
         p50_wall_s=round(p50, 4),

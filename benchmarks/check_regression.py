@@ -73,6 +73,18 @@ def check(prev_tag, new_tag, tol):
             notes.append(f"cfg{cfg}: quick-flag mismatch, skipped")
             continue
         ratio = float(n["value"]) / float(p["value"])
+        # dispatch-floor-bound configs (the MPC loop: per-dispatch p50 IS
+        # the ~27 ms tunnel round trip) measure the remote link, not the
+        # chip — measured 1.8-2.5 kHz run-to-run on IDENTICAL code, and
+        # the stable number lives in benchmarks/mpc_device_loop.py
+        # (device per-tick latency). Report, never gate.
+        if "per_dispatch_ms" in n:
+            notes.append(
+                f"cfg{cfg}: {p['value']:.1f} -> {n['value']:.1f} "
+                f"{n['unit']} ({100 * (ratio - 1):+.1f}%)  "
+                "[tunnel-bound, not gated — device cert: mpc_device_loop]"
+            )
+            continue
         pc, nc = _convergence(p), _convergence(n)
         # a throughput drop is gated UNLESS convergence strictly improved
         # (the legitimate trade); a drop in both always fails

@@ -185,29 +185,41 @@ def time_tpu_solves(options):
     p50 = float(np.median(times))
     _, frac_conv, mean_iters = out
 
-    # tunnel dispatch floor, measured in the SAME session: a trivial
-    # dispatch + one packed read. The wall p50 above carries this
-    # intercept, which swings 27-45 ms day-to-day (BENCH_LOCAL.md round-4
-    # provenance) — the device-rate field factors it out so the stable
-    # chip number rides alongside the honest wall number.
-    @jax.jit
-    def _nop(x):
-        return jnp.sum(x) * jnp.float32(1.000001)
+    # device-side rate by CHUNK-SIZE SLOPE (VERDICT r4 #4: the intercept
+    # method — p50 minus a same-session nop floor — left a 12-17 ms
+    # residual whose noise swung the derived rate 1.4x between same-day
+    # runs). One launch runs the SAME batched solve S times sequentially
+    # (the carry feeds an eps=0 perturbation into the next solve's
+    # controls, so XLA cannot collapse the chain); wall(S) = intercept +
+    # S * device_s, and the slope estimator cancels the tunnel intercept
+    # exactly — the mpc_device_loop.py method applied to the headline.
+    from dataclasses import replace as _dc_replace
 
-    x = jnp.ones((8,), jnp.float32)
-    nop = _nop.lower(x).compile()
-    np.asarray(nop(x))  # warm-up
-    floor_samples = []
-    for _ in range(max(REPEATS, 5)):
-        t0 = time.perf_counter()
-        np.asarray(nop(x))
-        floor_samples.append(time.perf_counter() - t0)
-    # MIN, not median: the fixed cost is the best-case round trip; median
-    # folds tunnel hiccups into the "floor" and can exceed the solve p50
-    floor = float(np.min(floor_samples))
-    device_s = p50 - floor
-    if device_s <= 0.2 * p50:  # dispatch-bound: no honest device rate
-        device_s = None
+    from quadrotorilqr_tpu.utils.profiling import chunk_slope
+
+    def body(carry, p, c, t, eps):
+        t2 = _dc_replace(t, controls=t.controls + eps * carry[0])
+        if path == "super":
+            result = solve_batch_latency(
+                p, c, t2, DT_S, options, supertile=True
+            )
+        elif path == "whole":
+            result = solve_batch_latency(p, c, t2, DT_S, options)
+        elif path == "loop":
+            result = solve_batch_fused(p, c, t2, DT_S, options)
+        else:
+            result = solve_batch(p, c, t2, DT_S, options)
+        return jnp.stack(
+            [
+                jnp.sum(result.cost),
+                jnp.mean((result.status == 1).astype(jnp.float32)),
+                jnp.mean(result.iterations.astype(jnp.float32)),
+            ]
+        )
+
+    device_s, floor, _ = chunk_slope(
+        body, (params, cost, trajs, jnp.float32(0.0)), repeats=REPEATS
+    )
     return BATCH / p50, p50, compile_s, frac_conv, mean_iters, floor, device_s
 
 
@@ -349,6 +361,7 @@ def main():
                 "device_solves_per_sec": (
                     round(BATCH / device_s, 1) if device_s else None
                 ),
+                "device_method": "chunk_slope",
                 "compile_s": round(compile_s, 1),
                 "frac_converged": frac_conv,
                 "mean_iterations": round(mean_iters, 2),

@@ -72,7 +72,34 @@ def check(prev_tag, new_tag, tol):
         if p.get("quick") != n.get("quick"):
             notes.append(f"cfg{cfg}: quick-flag mismatch, skipped")
             continue
-        ratio = float(n["value"]) / float(p["value"])
+        # DEVICE-side fields gate when both records carry them (r5+:
+        # chunk-slope rates are tunnel-independent, so the 10% tolerance
+        # finally measures the chip, not the remote link — VERDICT r4 #4).
+        # MPC records gate on the device per-tick cost (lower = better).
+        if (
+            p.get("device_per_tick_ms") is not None
+            and n.get("device_per_tick_ms") is not None
+        ):
+            ratio = float(p["device_per_tick_ms"]) / float(
+                n["device_per_tick_ms"]
+            )
+            line = (
+                f"cfg{cfg}: device/tick {p['device_per_tick_ms']:.3f} -> "
+                f"{n['device_per_tick_ms']:.3f} ms "
+                f"({100 * (1 / ratio - 1):+.1f}%)"
+            )
+            if ratio < 1.0 - tol:
+                failures.append(line + "  [REGRESSION]")
+            else:
+                notes.append(line)
+            continue
+        gate_field, unit = "value", n["unit"]
+        if (
+            p.get("device_rate") is not None
+            and n.get("device_rate") is not None
+        ):
+            gate_field, unit = "device_rate", "device solves/s"
+        ratio = float(n[gate_field]) / float(p[gate_field])
         # dispatch-floor-bound configs (the MPC loop: per-dispatch p50 IS
         # the ~27 ms tunnel round trip) measure the remote link, not the
         # chip — measured 1.8-2.5 kHz run-to-run on IDENTICAL code, and
@@ -92,7 +119,8 @@ def check(prev_tag, new_tag, tol):
             pc is not None and nc is not None and nc > pc + 1e-3
         )
         line = (
-            f"cfg{cfg}: {p['value']:.1f} -> {n['value']:.1f} {n['unit']} "
+            f"cfg{cfg}: {float(p[gate_field]):.1f} -> "
+            f"{float(n[gate_field]):.1f} {unit} "
             f"({100 * (ratio - 1):+.1f}%)"
         )
         if pc is not None and nc is not None:

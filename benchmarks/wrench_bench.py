@@ -86,32 +86,42 @@ def main():
         convergence_criteria=ConvergenceCriteria(1e-6, 1e-6, ITERS),
     )
 
-    @jax.jit
-    def run(p, c, t):
-        result = solve_batch_latency(p, c, t, DT_S, options, model=wm)
-        return jnp.stack(
-            [
-                jnp.sum(result.cost),
-                jnp.mean((result.status == 1).astype(jnp.float32)),
-                jnp.mean(result.iterations.astype(jnp.float32)),
-            ]
-        )
+    def bench(supertile):
+        @jax.jit
+        def run(p, c, t):
+            result = solve_batch_latency(
+                p, c, t, DT_S, options, model=wm, supertile=supertile
+            )
+            return jnp.stack(
+                [
+                    jnp.sum(result.cost),
+                    jnp.mean((result.status == 1).astype(jnp.float32)),
+                    jnp.mean(result.iterations.astype(jnp.float32)),
+                ]
+            )
 
-    t0 = time.perf_counter()
-    compiled = run.lower(params, cost, trajs).compile()
-    compile_s = time.perf_counter() - t0
-
-    def timed():
         t0 = time.perf_counter()
-        packed = np.asarray(compiled(params, cost, trajs))
-        return time.perf_counter() - t0, tuple(float(v) for v in packed)
+        compiled = run.lower(params, cost, trajs).compile()
+        compile_s = time.perf_counter() - t0
 
-    _, out = timed()  # warm-up
-    times = []
-    for _ in range(REPEATS):
-        dt, out = timed()
-        times.append(dt)
-    p50 = float(np.median(times))
+        def timed():
+            t0 = time.perf_counter()
+            packed = np.asarray(compiled(params, cost, trajs))
+            return time.perf_counter() - t0, tuple(float(v) for v in packed)
+
+        _, out = timed()  # warm-up
+        times = []
+        for _ in range(REPEATS):
+            dt, out = timed()
+            times.append(dt)
+        return float(np.median(times)), compile_s, out
+
+    # supertile row (VERDICT r4 #8): the model-generic claim must survive
+    # the round-4 layout — u=6 reshapes the blocks, never forks the kernel
+    p50_super, compile_super, out_super = (
+        bench(True) if BATCH % 1024 == 0 else (None, None, None)
+    )
+    p50, compile_s, out = bench(False)
     _, frac_conv, mean_iters = out
 
     # speed-of-light column (VERDICT r2 #9): kernel-reported trips/probes
@@ -160,6 +170,15 @@ def main():
                 "achieved_gflops": round(gflops, 1),
                 "pct_vpu_peak": pct,
                 "rollouts_per_trip_measured": round(probes / max(trips, 1e-6), 2),
+                "supertile_solves_per_sec": (
+                    round(BATCH / p50_super, 1) if p50_super else None
+                ),
+                "supertile_frac_converged": (
+                    out_super[1] if out_super else None
+                ),
+                "supertile_speedup": (
+                    round(p50 / p50_super, 2) if p50_super else None
+                ),
                 "device": str(jax.devices()[0].device_kind),
             }
         )

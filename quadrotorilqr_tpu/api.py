@@ -145,9 +145,25 @@ class QuadrotorILQR:
         # Mosaic TPU kernels have no float64 support — the fused path is for
         # the f32 throughput regime; f64 (the ctor default, for reference
         # parity) falls back to the vmapped XLA solver. The kernel engines
-        # implement the exact reference loop (with stage weights): a
-        # non-default solver routes to the vmapped XLA path.
+        # implement the exact reference loop (with stage weights).
         fusable_dtype = initial_trajs.controls.dtype == jnp.float32
+        # Mosaic compiles on TPU only; other backends (CPU tests, the
+        # virtual mesh) run the kernels in interpreter mode
+        interpret = jax.devices()[0].platform != "tpu"
+        if fused and fusable_dtype and self.solver in ("fddp", "fddp-ddp"):
+            # robust solvers ride the FDDP kernels with the measured-best
+            # defaults (VERDICT r4 #6): the auto multi-phase compaction +
+            # hybrid curvature schedule, supertile from 4 grid steps up
+            from .solver.batched import solve_batch_fddp
+
+            return solve_batch_fddp(
+                self.params, self.cost, initial_trajs, self.dt_s,
+                self.options,
+                ddp=(self.solver == "fddp-ddp"),
+                refine="auto",
+                supertile=initial_trajs.controls.shape[0] >= 4096,
+                interpret=interpret,
+            )
         fusable = fusable_dtype and self.solver == "ilqr"
         if fused and fusable:
             if latency:
@@ -156,11 +172,13 @@ class QuadrotorILQR:
                 from .solver.batched import solve_batch_latency
 
                 return solve_batch_latency(
-                    self.params, self.cost, initial_trajs, self.dt_s, self.options
+                    self.params, self.cost, initial_trajs, self.dt_s,
+                    self.options, interpret=interpret,
                 )
             from .solver.batched import solve_batch_fused
 
             return solve_batch_fused(
-                self.params, self.cost, initial_trajs, self.dt_s, self.options
+                self.params, self.cost, initial_trajs, self.dt_s,
+                self.options, interpret=interpret,
             )
         return jax.vmap(self._solve_one)(initial_trajs)

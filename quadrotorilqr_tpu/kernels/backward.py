@@ -30,6 +30,7 @@ per-scenario (BASELINE.json config 3).
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,38 @@ from jax.experimental.pallas import tpu as pltpu
 from . import lanes as L
 
 TILE = 128
+
+# SUPERTILE layout (benchmarks/layout_probe.py): 1024 scenarios per grid
+# step, 8 riding the SUBLANE dim and 128 the lane dim — (r, c, 8, 128)
+# lane matrices are perfectly dense for every (r, c) (the minor-lane
+# layout wastes (8 - c % 8) % 8 sublanes per row at c < 8) and transposes
+# become free leading-dim swaps. Measured 1.22x on the Riccati stage mix
+# and ~100x faster Mosaic compiles. VMEM per stage is 8x the 128-lane
+# tile's, so the horizon budget shrinks accordingly. (Defined here — the
+# shared bottom of the kernel stack — and re-exported by kernels/solve.py;
+# every kernel family rides it since round 5.)
+SUPER_SUB = 8
+SUPER_TILE = SUPER_SUB * TILE  # 1024 scenarios
+
+
+def _to_super(a):
+    """(..., B) per-lane array -> (..., 8, S*128): supertile s's (8, 128)
+    block holds scenarios [s*1024, (s+1)*1024), row-major (sublane-major
+    within the block)."""
+    core = a.shape[:-1]
+    s = a.shape[-1] // SUPER_TILE
+    x = a.reshape(core + (s, SUPER_SUB, TILE))
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(core + (SUPER_SUB, s * TILE))
+
+
+def _from_super(a, batch):
+    """Inverse of _to_super: (..., 8, S*128) -> (..., batch)."""
+    core = a.shape[:-2]
+    s = batch // SUPER_TILE
+    x = a.reshape(core + (SUPER_SUB, s, TILE))
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(core + (batch,))
 
 
 def _stage_jx_blocks(dt, g, v, quat, i_l, iinv_l, drag=None):
@@ -352,15 +385,33 @@ def _riccati_stage(
     stage-constant per-SUBSTEP `ju` operand = (dt/k)·j_cont_u; the
     substepped LaneModel preps params at dt/k). `chain` must then supply
     (base_dynamics_step, g1, m_inv, extra, ez) to roll the intermediate
-    substates. Requires ddp=False (the analytic curvature is single-step
-    math)."""
+    substates.
+
+    ddp + substeps (round 5 — the last engine refusal): the exact
+    curvature of the CHAINED stage map F = f_k∘···∘f_1, by the
+    second-order chain rule. With ω_j = A_{j+1}ᵀ···A_kᵀ v_x (the value
+    gradient pulled back to substep j's output), C_j = A_j···A_1 and
+    JU_j = Σ_{m<=j} A_j···A_{m+1}B (state/control Jacobians INTO substep
+    j+1's input), and G_j = ω_{j+1}·f_xx evaluated at the rolled substate
+    s_j (the per-substep analytic _vfxx_lanes at h = dt/k):
+
+        v_x·F_xx = Σ_j C_jᵀ G_j C_j        -> Q_xx
+        v_x·F_uu = Σ_j JU_jᵀ G_j JU_j      -> Q_uu
+        v_x·F_xu = Σ_j C_jᵀ G_j JU_j       -> Q_xu
+
+    Unlike the single-step family (f_uu = f_ux = 0 exactly), the chain
+    HAS control curvature from the second substep on (the state fed into
+    f_{j+1} depends on u), so Q_uu/Q_xu gain terms too — matching the
+    XLA nested-jacfwd joint Hessian (solver/ddp.stage_curvatures_joint).
+    """
     if substeps > 1:
-        assert not ddp, "exact-DDP curvature is single-step math"
         base_step, g1, m_inv, extra, ez = chain
         h = dt / substeps
         blocks_list = []
+        substates = []
         sq, st_, sv = quat, trans, vel
         for i in range(substeps):
+            substates.append((sq, sv))
             blocks_list.append(
                 _stage_jx_blocks(h, g, sv, sq, i_l, iinv_l, drag)
             )
@@ -418,6 +469,56 @@ def _riccati_stage(
         q_xu = vxx_ju
         for b in reversed(blocks_list):
             q_xu = _jxt_mat(q_xu, *b)
+        if ddp:
+            # chained exact curvature (docstring): ω_j by pullback, then
+            # one inside-out pass accumulating the three conjugated sums.
+            # C_j / JU_j build forward (dense 12x12 / 12xm from substep 2
+            # on; substep 1 contributes with C_0 = I, JU_0 = 0).
+            h = dt / substeps
+            omega = [None] * substeps
+            wc = v_x
+            for j in reversed(range(substeps)):
+                omega[j] = wc
+                wc = _jxt_vec(wc, *blocks_list[j])
+            gxx = guu = gxu = None
+            c_mat = None  # C_j (None == identity, j = 0)
+            ju_acc = None  # JU_j (None == zero, j = 0)
+            for j in range(substeps):
+                sq_j, sv_j = substates[j]
+                pb, tb = blocks_list[j][0], blocks_list[j][1]
+                g_j = _vfxx_lanes(
+                    h, g, sq_j, sv_j, i_l, iinv_l, omega[j], pb, tb
+                )
+                if c_mat is None:
+                    gxx = g_j if gxx is None else gxx + g_j
+                else:
+                    gj_c = L.matmul(g_j, c_mat)
+                    gxx = gxx + L.matmul(L.transpose(c_mat), gj_c)
+                if ju_acc is not None:
+                    gj_ju = L.matmul(g_j, ju_acc)
+                    t_uu = L.matmul(L.transpose(ju_acc), gj_ju)
+                    guu = t_uu if guu is None else guu + t_uu
+                    t_xu = (
+                        gj_ju
+                        if c_mat is None
+                        else L.matmul(L.transpose(c_mat), gj_ju)
+                    )
+                    gxu = t_xu if gxu is None else gxu + t_xu
+                if j < substeps - 1:
+                    c_mat = (
+                        _jx_mat(L.eye(12, c_u), *blocks_list[j])
+                        if c_mat is None
+                        else _jx_mat(c_mat, *blocks_list[j])
+                    )
+                    ju_acc = (
+                        ju
+                        if ju_acc is None
+                        else _jx_mat(ju_acc, *blocks_list[j]) + ju
+                    )
+            q_xx = q_xx + gxx
+            if guu is not None:
+                q_uu = q_uu + _sym_lanes(guu)
+                q_xu = q_xu + gxu
         if penalty is not None:
             q_xu = q_xu + pcxu
     else:
@@ -542,7 +643,9 @@ def _backward_kernel(
         iinv_l = iinv_ref[:]
         drag = lane_model.drag_rows(extra_ref[:])
         box = (lo_ref[:], hi_ref[:]) if use_box else None
-        bt = q_l.shape[-1]
+        # (Bt,) lane layout / (8, 128) supertile: the body is layout-
+        # agnostic (kernels/solve.py pattern)
+        bshape = q_l.shape[2:]
         dtype = q_l.dtype
 
         def stage(idx, carry):
@@ -571,10 +674,10 @@ def _backward_kernel(
             return (v_x_new, v_xx_new, qutk + qutk_inc, ktquuk + ktquuk_inc)
 
         init = (
-            jnp.zeros((12, bt), dtype),
-            jnp.zeros((12, 12, bt), dtype),
-            jnp.zeros((1, bt), dtype),
-            jnp.zeros((1, bt), dtype),
+            jnp.zeros((12,) + bshape, dtype),
+            jnp.zeros((12, 12) + bshape, dtype),
+            jnp.zeros((1,) + bshape, dtype),
+            jnp.zeros((1,) + bshape, dtype),
         )
         _, _, qutk, ktquuk = jax.lax.fori_loop(0, n_stages, stage, init)
         red_ref[:] = jnp.concatenate([qutk, ktquuk], axis=0)
@@ -641,57 +744,81 @@ def _prep_params(params, dt_s, dtype):
     )
 
 
+class CostBatched(typing.NamedTuple):
+    """Static PER-OPERAND-GROUP cost batchedness (hashable: rides jit
+    static argnames). Round 5 split the old single any-leaf flag: a
+    per-scenario Q/R (config 3) used to promote the DESIRED stream — the
+    dominant per-stage VMEM — to per-lane layout too, which is what pushed
+    N=200 + per-scenario Q/R past the supertile VMEM budget (the r4
+    compile OOM at 138M/128M). Q/R (and params) are stage-CONSTANT tiles:
+    batching them costs ~1 MB per supertile grid step, not ~14 MB."""
+
+    des: bool  # desired q/t/v/u targets per-scenario
+    qr: bool  # Q/R weight matrices per-scenario
+    w: bool  # stage weights per-scenario
+
+    @property
+    def any(self):
+        return self.des or self.qr or self.w
+
+    @property
+    def stagewise(self):
+        """Batched PER-STAGE operands (the VMEM-budget-relevant ones:
+        desired rides (N, d) rows per lane; weights ride (N, 1))."""
+        return self.des or self.w
+
+
 def _prep_cost(cost, batch, dtype, r_scale=1.0):
-    """Lane-layout cost operands + static batched flag.
+    """Lane-layout cost operands + static per-group batched flags.
 
-    If ANY cost leaf carries a leading batch dim (per-scenario weights or
-    targets, BASELINE.json config 3), every cost operand is materialized in
-    per-lane layout (d..., B); otherwise they are single-tile broadcasts the
-    kernel grid re-reads (index_map 0). Mixed batched/shared leaves are
-    broadcast up to batched.
+    Each operand GROUP (desired targets / Q+R / stage weights) is
+    materialized per-lane ((d..., B)) iff a leaf of THAT group carries a
+    leading batch dim; shared groups stay single-tile broadcasts the
+    kernel grid re-reads (index_map 0). Mixed batched/shared leaves
+    within a group are broadcast up to batched.
 
-    Returns (des_q, des_t, des_v, des_u, q_mat, r, w, batched): `w` is the
-    per-stage cost-weight operand ((N, 1, TILE-or-B); costs/quadratic.py
-    stage_weights) or a (1, 1, TILE) ones dummy the kernels never read when
-    weights are absent — test `cost.stage_weights is not None` for the
-    static use_weights flag.
+    Returns (des_q, des_t, des_v, des_u, q_mat, r, w, CostBatched): `w` is
+    the per-stage cost-weight operand ((N, 1, TILE-or-B);
+    costs/quadratic.py stage_weights) or a (1, 1, TILE) ones dummy the
+    kernels never read when weights are absent — test
+    `cost.stage_weights is not None` for the static use_weights flag.
     """
     des = cost.desired_states
     sw = cost.stage_weights
-    batched = any(
+    des_b = any(
         leaf.ndim == 3
         for leaf in (
-            cost.Q,
-            cost.R,
             cost.desired_controls,
             des.pose.quat,
             des.pose.trans,
             des.vel,
         )
-    ) or (sw is not None and jnp.ndim(sw) == 2)
+    )
+    qr_b = any(leaf.ndim == 3 for leaf in (cost.Q, cost.R))
+    w_b = sw is not None and jnp.ndim(sw) == 2
 
-    def prep(a, core_ndim):
+    def prep(a, core_ndim, batched):
         a = jnp.asarray(a, dtype)
         if not batched:
             return jnp.broadcast_to(a[..., None], a.shape + (TILE,))
-        if a.ndim == core_ndim:  # shared leaf in a batched cost
+        if a.ndim == core_ndim:  # shared leaf in a batched group
             a = jnp.broadcast_to(a, (batch,) + a.shape)
         return _to_lanes(a)
 
     if sw is None:
         w = _bcast_tile(jnp.ones((1, 1), dtype), dtype)
     else:
-        w = prep(jnp.asarray(sw, dtype)[..., None], 2)  # (..., N, 1)
+        w = prep(jnp.asarray(sw, dtype)[..., None], 2, w_b)  # (..., N, 1)
 
     return (
-        prep(des.pose.quat, 2),
-        prep(des.pose.trans, 2),
-        prep(des.vel, 2),
-        prep(cost.desired_controls, 2),
-        prep(cost.Q, 2),
-        prep(r_scale * cost.R, 2),
+        prep(des.pose.quat, 2, des_b),
+        prep(des.pose.trans, 2, des_b),
+        prep(des.vel, 2, des_b),
+        prep(cost.desired_controls, 2, des_b),
+        prep(cost.Q, 2, qr_b),
+        prep(r_scale * cost.R, 2, qr_b),
         w,
-        batched,
+        CostBatched(des_b, qr_b, w_b),
     )
 
 
@@ -700,6 +827,7 @@ def _prep_cost(cost, batch, dtype, r_scale=1.0):
     static_argnames=(
         "dt_s", "n", "batch", "lane_model", "use_box", "use_weights",
         "use_penalty", "cost_batched", "params_batched", "interpret",
+        "supertile",
     ),
 )
 def _backward_call(
@@ -738,30 +866,77 @@ def _backward_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
-    cost_block = lane_block if cost_batched else fixed_block
-    param_block = lane_block if params_batched else fixed_block
+    w_core = w.shape[:-1]
+    extra_core = extra.shape[:-1]
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    pen_cores = tuple(a.shape[:-1] for a in (pcx, pcu, pcxx, pcuu, pcxu))
+    if supertile:
+        # supertile layout (kernels/solve.py): per-lane operands
+        # -> (..., 8, S*128); broadcast tiles materialize across sublanes
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        (
+            states_q, states_t, states_v, controls, des_q, des_t, des_v,
+            des_u, q_mat, r2, w, g, ju, extra, inertia, inertia_inv, lo,
+            hi, pcx, pcu, pcxx, pcuu, pcxu,
+        ) = map(
+            prep,
+            (
+                states_q, states_t, states_v, controls, des_q, des_t,
+                des_v, des_u, q_mat, r2, w, g, ju, extra, inertia,
+                inertia_inv, lo, hi, pcx, pcu, pcxx, pcuu, pcxu,
+            ),
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
+    # per-GROUP cost batchedness (CostBatched): desired targets and Q/R
+    # may be independently shared or per-scenario
+    des_block = lane_block if cost_batched.des else fixed_block
+    qr_block = lane_block if cost_batched.qr else fixed_block
+    param_block = lane_block if params_batched else fixed_block
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
     # dummy weights are a single broadcast tile — never lane-indexed
-    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
-    extra_core = extra.shape[:-1]
-    pen_block = lambda a: (lane_block if use_penalty else fixed_block)(
-        a.shape[:-1]
+    w_block = (
+        lane_block if (use_weights and cost_batched.w) else fixed_block
+    )(w_core)
+    pen_blocks = tuple(
+        (lane_block if use_penalty else fixed_block)(core)
+        for core in pen_cores
     )
     kernel = functools.partial(
         _backward_kernel, n, lane_model, use_box, use_weights, use_penalty
@@ -776,12 +951,12 @@ def _backward_call(
             lane_block((n, 3)),
             lane_block((n, 6)),
             lane_block((n, u)),
-            cost_block((n, 4)),
-            cost_block((n, 3)),
-            cost_block((n, 6)),
-            cost_block((n, u)),
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            des_block((n, 4)),
+            des_block((n, 3)),
+            des_block((n, 6)),
+            des_block((n, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             w_block,
             param_block((1, 1)),
             param_block((12, u)),
@@ -790,11 +965,7 @@ def _backward_call(
             param_block((3, 3)),
             box_block,
             box_block,
-            pen_block(pcx),
-            pen_block(pcu),
-            pen_block(pcxx),
-            pen_block(pcuu),
-            pen_block(pcxu),
+            *pen_blocks,
         ],
         out_specs=[
             lane_block((n, u)),
@@ -802,12 +973,12 @@ def _backward_call(
             lane_block((2,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, u, batch), dtype),
-            jax.ShapeDtypeStruct((n, u, 12, batch), dtype),
-            jax.ShapeDtypeStruct((2, batch), dtype),
+            jax.ShapeDtypeStruct((n, u) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, u, 12) + obatch, dtype),
+            jax.ShapeDtypeStruct((2,) + obatch, dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(120 if supertile else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -837,6 +1008,8 @@ def _backward_call(
         pcuu,
         pcxu,
     )
+    if supertile:
+        return tuple(_from_super(a, batch) for a in (ks, big_ks, red))
     return ks, big_ks, red
 
 
@@ -865,7 +1038,7 @@ def _prep_limits(limits, u_dim, dtype):
 
 def backward_pass_fused(
     params, cost, traj, dt_s, quu_reg=0.0, interpret=False, tile_act=None,
-    model=None, limits=None, penalty=None,
+    model=None, limits=None, penalty=None, supertile=False,
 ):
     """Drop-in batched replacement for vmap(solver.ilqr.backward_pass).
 
@@ -915,8 +1088,15 @@ def backward_pass_fused(
     lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
 
     scal = jnp.asarray([dt_s, quu_reg, 0.0, 0.0], dtype)
+    if supertile and batch % SUPER_TILE != 0:
+        raise ValueError(
+            f"supertile=True needs batch a multiple of {SUPER_TILE}, "
+            f"got {batch}"
+        )
     if tile_act is None:
-        tile_act = jnp.ones((batch // TILE,), jnp.int32)
+        tile_act = jnp.ones(
+            (batch // (SUPER_TILE if supertile else TILE),), jnp.int32
+        )
     # AL penalty operands ((B, N, ...) per-stage quadratics incl. the
     # nonzero C_xu cross term — solver/auglag) enter as per-lane tiles;
     # rank-matched broadcast dummies otherwise
@@ -965,6 +1145,7 @@ def backward_pass_fused(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     ks = jnp.moveaxis(ks, -1, 0)  # (B, N, u)
     big_ks = jnp.moveaxis(big_ks, -1, 0)  # (B, N, u, 12)

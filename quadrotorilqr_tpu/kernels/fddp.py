@@ -68,8 +68,11 @@ Substepped models (kernels/models.substepped_lane_model) run natively
 (VERDICT r3 #2): defects and rollouts use the chained k-substep stage
 map, the Riccati stage chains per-substep jacobian blocks
 (backward._riccati_stage substeps/chain), and the quadratic-model
-recursion accumulates the chained J_u — only ddp=True stays single-step
-(the analytic curvature has no chained closed form; it refuses loudly).
+recursion accumulates the chained J_u. Since round 5 ddp=True composes
+with substeps too: the exact curvature of the CHAINED stage map —
+including the f_uu/f_xu terms the chain introduces — in closed form
+(backward._riccati_stage's second-order chain rule; the last engine
+refusal, VERDICT r4 #5).
 
 `limits=(lo, hi)` swaps the stage gain solve for the projected-Newton
 box-QP and clamps every rollout control (solve_fddp(limits=...)
@@ -102,7 +105,7 @@ from .backward import (
     _to_lanes,
 )
 from .rollout import _state_minus
-from .solve import MAX_HORIZON
+from .solve import MAX_HORIZON, SUPER_SUB, SUPER_TILE, _from_super, _to_super
 from ..solver.fddp import (
     _next_alpha,
     _probe_cap,
@@ -325,12 +328,15 @@ def _fddp_kernel(
     i_l = i_ref[:]
     iinv_l = iinv_ref[:]
     box = (lo_ref[:], hi_ref[:]) if use_box else None
-    bt = q_l.shape[-1]
+    # trailing batch shape: (Bt,) lane layout / (8, 128) supertile — the
+    # body below is layout-agnostic exactly like kernels/solve.py's
+    bshape = q_l.shape[2:]
     dtype = q_l.dtype
     lo = lane_model.ju_lo
-    zeros1 = jnp.zeros((1, bt), dtype)
+    zeros1 = jnp.zeros((1,) + bshape, dtype)
     ez = jnp.concatenate(
-        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     # substepped integration (kernels/models.substepped_lane_model): the
     # Riccati stage and the quadratic-model recursion chain per-substep
@@ -373,7 +379,7 @@ def _fddp_kernel(
     ot_ref[:] = t_ref[:]
     ov_ref[:] = v_ref[:]
     ou_ref[:] = u_ref[:]
-    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    st_ref[:] = jnp.zeros((_STATE_ROWS,) + bshape, dtype)
     put(_MU, imu_ref[:])
     put(_STATUS, istat_ref[:])
     put(_ITERS, iiter_ref[:])
@@ -450,7 +456,7 @@ def _fddp_kernel(
 
                     @pl.when(n == n_stages - 1)
                     def _():
-                        d_ref[n] = jnp.zeros((12, bt), dtype)
+                        d_ref[n] = jnp.zeros((12,) + bshape, dtype)
 
                 # first-order value transport across the gap (FDDP): only
                 # the linear terms q_x/q_u see the transported gradient
@@ -473,8 +479,8 @@ def _fddp_kernel(
                 return (v_x2, v_xx2)
 
             binit = (
-                jnp.zeros((12, bt), dtype),
-                jnp.zeros((12, 12, bt), dtype),
+                jnp.zeros((12,) + bshape, dtype),
+                jnp.zeros((12, 12) + bshape, dtype),
             )
             jax.lax.fori_loop(0, n_stages, bstage, binit)
             gap = get(_GAP)
@@ -485,8 +491,8 @@ def _fddp_kernel(
             # dJ(alpha) = alpha L1 + alpha^2 L2 (fddp fwd scan) through the
             # SAME forward sweep — the round-2 kernel paid a separate pass
             # for it; its L1/L2 persist in state rows for later probes. ----
-            put(_ALPHA, jnp.ones((1, bt), dtype))
-            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_ALPHA, jnp.ones((1,) + bshape, dtype))
+            put(_ACCEPTED, jnp.zeros((1,) + bshape, dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
 
@@ -577,7 +583,7 @@ def _fddp_kernel(
                     # mirror of the Riccati JU accumulation
                     bw = jnp.concatenate(
                         [
-                            jnp.zeros((lo, bt), dtype),
+                            jnp.zeros((lo,) + bshape, dtype),
                             L.matvec(ju[lo:12], wv),
                         ],
                         axis=0,
@@ -602,7 +608,7 @@ def _fddp_kernel(
 
             rinit0 = (
                 oq_ref[0], ot_ref[0], ov_ref[0], zeros1,
-                jnp.zeros((12, bt), dtype), zeros1, zeros1,
+                jnp.zeros((12,) + bshape, dtype), zeros1, zeros1,
             )
             _, _, _, cand_cost, _, l1, l2 = jax.lax.fori_loop(
                 0, n_stages, rstage0, rinit0
@@ -612,7 +618,8 @@ def _fddp_kernel(
             put(_L2, l2)
             still_pending = _goldstein_probe_commit(
                 get, put, gf, gub, ls_step, active, current, l1, l2,
-                cand_cost, active, jnp.zeros((1, bt), bool), get(_ALPHA),
+                cand_cost, active, jnp.zeros((1,) + bshape, bool),
+                get(_ALPHA),
             )
             flag_ref[1] = jnp.sum(still_pending.astype(dtype))
 
@@ -759,6 +766,7 @@ def _fddp_kernel(
         "cost_batched",
         "params_batched",
         "interpret",
+        "supertile",
     ),
 )
 def _fddp_call(
@@ -797,27 +805,71 @@ def _fddp_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     extra_core = extra.shape[:-1]  # per-model operand core dims
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
-    cost_block = lane_block if cost_batched else fixed_block
-    param_block = lane_block if params_batched else fixed_block
-    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    w_core = w.shape[:-1]
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    if supertile:
+        # supertile layout (kernels/solve.py): (..., B) per-lane operands
+        # -> (..., 8, S*128); (..., TILE) broadcast tiles materialize
+        # across the 8 sublanes
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        (
+            states_q, states_t, states_v, controls, des_q, des_t, des_v,
+            des_u, q_mat, r_mat, w, g, m_inv, ju, extra, inertia,
+            inertia_inv, lo, hi, imu, istat, iiter,
+        ) = map(
+            prep,
+            (
+                states_q, states_t, states_v, controls, des_q, des_t,
+                des_v, des_u, q_mat, r_mat, w, g, m_inv, ju, extra,
+                inertia, inertia_inv, lo, hi, imu, istat, iiter,
+            ),
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
+    des_block = lane_block if cost_batched.des else fixed_block
+    qr_block = lane_block if cost_batched.qr else fixed_block
+    param_block = lane_block if params_batched else fixed_block
+    w_block = (
+        lane_block if (use_weights and cost_batched.w) else fixed_block
+    )(w_core)
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
     kernel = functools.partial(
         _fddp_kernel, n, max_iters, ls_max_iters, lane_model, use_weights,
         use_box, ddp,
@@ -832,12 +884,12 @@ def _fddp_call(
             lane_block((n, 3)),
             lane_block((n, 6)),
             lane_block((n, u)),
-            cost_block((n, 4)),
-            cost_block((n, 3)),
-            cost_block((n, 6)),
-            cost_block((n, u)),
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            des_block((n, 4)),
+            des_block((n, 3)),
+            des_block((n, 6)),
+            des_block((n, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             w_block,
             param_block((1, 1)),
             param_block((1, 1)),
@@ -863,30 +915,32 @@ def _fddp_call(
             lane_block((1,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
-            jax.ShapeDtypeStruct((n, 3, batch), dtype),
-            jax.ShapeDtypeStruct((n, 6, batch), dtype),
-            jax.ShapeDtypeStruct((n, u, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 3) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 6) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, u) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, u, TILE), dtype),
-            pltpu.VMEM((n, u, 12, TILE), dtype),
-            pltpu.VMEM((n, 4, TILE), dtype),
-            pltpu.VMEM((n, 3, TILE), dtype),
-            pltpu.VMEM((n, 6, TILE), dtype),
-            pltpu.VMEM((n, u, TILE), dtype),
-            pltpu.VMEM((n, 12, TILE), dtype),
-            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
-            pltpu.VMEM((16, TILE), dtype),
+            pltpu.VMEM((n, u) + btile, dtype),
+            pltpu.VMEM((n, u, 12) + btile, dtype),
+            pltpu.VMEM((n, 4) + btile, dtype),
+            pltpu.VMEM((n, 3) + btile, dtype),
+            pltpu.VMEM((n, 6) + btile, dtype),
+            pltpu.VMEM((n, u) + btile, dtype),
+            pltpu.VMEM((n, 12) + btile, dtype),
+            pltpu.VMEM((_STATE_ROWS,) + btile, dtype),
+            pltpu.VMEM((16,) + btile, dtype),
             pltpu.SMEM((4,), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            # see kernels/solve.py: supertile grid steps may legitimately
+            # use up to ~120 MiB of the v5e's 128 MiB VMEM
+            vmem_limit_bytes=(120 if supertile else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -915,7 +969,10 @@ def _fddp_call(
         istat,
         iiter,
     )
-    return oq, ot, ov, ou, ocost, oiter, ostat, omu, oprob
+    outs = (oq, ot, ov, ou, ocost, oiter, ostat, omu, oprob)
+    if supertile:
+        return tuple(_from_super(a, batch) for a in outs)
+    return outs
 
 
 def solve_fddp_fused(
@@ -934,6 +991,7 @@ def solve_fddp_fused(
     initial_iters=None,
     return_mu=False,
     return_probes=False,
+    supertile=False,
 ):
     """Whole-solve single-kernel FDDP for (B, N, ...) trajectories, B a
     multiple of 128. Same inputs as solver/fddp.solve_fddp. `ddp=True`
@@ -951,7 +1009,15 @@ def solve_fddp_fused(
     Levenberg schedule and iteration count against this call's max_iters
     budget. `return_mu=True` appends the final per-lane mu to the tuple —
     the compacted two-phase driver (solver/batched.solve_batch_fddp_refine)
-    threads it between phases."""
+    threads it between phases.
+
+    `supertile=True` runs the dense-register (r, c, 8, 128) layout
+    (kernels/solve.py SUPER_TILE: 1024 scenarios per grid step, 8 riding
+    the sublane dim) — the kernel BODY is unchanged (trailing-shape
+    agnostic), so lane parity certifies a layout transform
+    (tests/test_fddp_supertile.py). Needs batch % 1024 == 0; VMEM per
+    grid step is 8x the lane tile's, so the horizon budget shrinks
+    (solver/batched.solve_batch_fddp guards and demotes)."""
     from ..lie.se3 import SE3
     from ..models.quadrotor import State
     from ..solver.fddp import FDDPOptions
@@ -960,17 +1026,15 @@ def solve_fddp_fused(
 
     fo = FDDPOptions() if fddp_options is None else fddp_options
     lm = lane_model_for(params, model)
-    if lm.substeps != 1 and ddp:
-        raise ValueError(
-            "ddp=True is single-step math on the FDDP kernels (the "
-            "analytic exact curvature has no chained closed form); use "
-            "the XLA path (vmap(solver.fddp.solve_fddp(ddp=True))) for "
-            "substepped models"
-        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if supertile and batch % SUPER_TILE != 0:
+        raise ValueError(
+            f"supertile=True needs batch a multiple of {SUPER_TILE} "
+            f"(8 sublane scenarios x 128 lanes per grid step), got {batch}"
+        )
     if n > max_horizon_for_fddp(lm.u_dim):
         raise ValueError(
             f"horizon {n} exceeds the FDDP kernel's VMEM budget "
@@ -1060,6 +1124,7 @@ def solve_fddp_fused(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     new_traj = Trajectory(
         times=traj.times,

@@ -98,11 +98,13 @@ def _rollout_kernel(
         extra = extra_ref[:]
         i_l = i_ref[:]
         iinv_l = iinv_ref[:]
-        bt = alpha.shape[-1]
+        # (Bt,) lane layout / (8, 128) supertile: layout-agnostic body
+        bshape = alpha.shape[1:]
         dtype = alpha.dtype
 
         ez = jnp.concatenate(
-            [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+            [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+            axis=0,
         )
 
         def stage(n, carry):
@@ -146,7 +148,7 @@ def _rollout_kernel(
             q_ref[0],
             t_ref[0],
             v_ref[0],
-            jnp.zeros((1, bt), dtype),
+            jnp.zeros((1,) + bshape, dtype),
         )
         _, _, _, cost = jax.lax.fori_loop(0, n_stages, stage, init)
         cost_ref[:] = cost
@@ -156,7 +158,7 @@ def _rollout_kernel(
     jax.jit,
     static_argnames=(
         "n", "batch", "lane_model", "use_box", "use_weights",
-        "cost_batched", "params_batched", "interpret",
+        "cost_batched", "params_batched", "interpret", "supertile",
     ),
 )
 def _rollout_call(
@@ -191,27 +193,70 @@ def _rollout_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = states_q.dtype
     u = controls.shape[1]  # control dimension (lane layout (N, u, B))
     extra_core = extra.shape[:-1]  # per-model operand core dims
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
+    w_core = w.shape[:-1]
     bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    if supertile:
+        from .backward import SUPER_SUB, SUPER_TILE, _to_super
+
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        (
+            states_q, states_t, states_v, controls, ks, big_ks, alpha,
+            des_q, des_t, des_v, des_u, q_mat, r_mat, w, g, m_inv, extra,
+            inertia, inertia_inv, lo, hi,
+        ) = map(
+            prep,
+            (
+                states_q, states_t, states_v, controls, ks, big_ks,
+                alpha, des_q, des_t, des_v, des_u, q_mat, r_mat, w, g,
+                m_inv, extra, inertia, inertia_inv, lo, hi,
+            ),
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * len(shape) + (i,), memory_space=pltpu.VMEM
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
-    cost_block = lane_block if cost_batched else fixed_block
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
+    des_block = lane_block if cost_batched.des else fixed_block
+    qr_block = lane_block if cost_batched.qr else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    w_block = (cost_block if use_weights else fixed_block)(w.shape[:-1])
+    w_block = (
+        lane_block if (use_weights and cost_batched.w) else fixed_block
+    )(w_core)
     kernel = functools.partial(
         _rollout_kernel, n, lane_model.dynamics_step, use_box, use_weights
     )
@@ -228,12 +273,12 @@ def _rollout_call(
             lane_block((n, u)),
             lane_block((n, u, 12)),
             lane_block((1,)),
-            cost_block((n, 4)),
-            cost_block((n, 3)),
-            cost_block((n, 6)),
-            cost_block((n, u)),
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            des_block((n, 4)),
+            des_block((n, 3)),
+            des_block((n, 6)),
+            des_block((n, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             w_block,
             param_block((1, 1)),
             param_block((1, 1)),
@@ -251,14 +296,14 @@ def _rollout_call(
             lane_block((1,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 4, batch), dtype),
-            jax.ShapeDtypeStruct((n, 3, batch), dtype),
-            jax.ShapeDtypeStruct((n, 6, batch), dtype),
-            jax.ShapeDtypeStruct((n, u, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct((n, 4) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 3) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, 6) + obatch, dtype),
+            jax.ShapeDtypeStruct((n, u) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(120 if supertile else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -286,12 +331,18 @@ def _rollout_call(
         lo,
         hi,
     )
+    if supertile:
+        from .backward import _from_super
+
+        return tuple(
+            _from_super(a, batch) for a in (oq, ot, ov, ou, cost)
+        )
     return oq, ot, ov, ou, cost
 
 
 def rollout_cost_fused(
     params, cost, traj, ks, big_ks, alpha, dt_s, interpret=False,
-    tile_act=None, model=None, limits=None,
+    tile_act=None, model=None, limits=None, supertile=False,
 ):
     """Batched replacement for vmap(forward_sim) + vmap(trajectory_cost).
 
@@ -326,8 +377,20 @@ def rollout_cost_fused(
     )
     lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
     scal = jnp.asarray([dt_s, 0.0, 0.0, 0.0], dtype)
+    if supertile:
+        from .backward import SUPER_TILE
+
+        if batch % SUPER_TILE != 0:
+            raise ValueError(
+                f"supertile=True needs batch a multiple of {SUPER_TILE}, "
+                f"got {batch}"
+            )
     if tile_act is None:
-        tile_act = jnp.ones((batch // TILE,), jnp.int32)
+        from .backward import SUPER_TILE
+
+        tile_act = jnp.ones(
+            (batch // (SUPER_TILE if supertile else TILE),), jnp.int32
+        )
 
     oq, ot, ov, ou, cost_out = _rollout_call(
         scal,
@@ -361,6 +424,7 @@ def rollout_cost_fused(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     new_traj = Trajectory(
         times=traj.times,

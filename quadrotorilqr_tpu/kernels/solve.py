@@ -47,10 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
 from .backward import (
+    SUPER_SUB,
+    SUPER_TILE,
     TILE,
+    _from_super,
     _prep_cost,
     _riccati_stage,
     _to_lanes,
+    _to_super,
 )
 from .rollout import _state_minus
 
@@ -62,37 +66,6 @@ _STATE_ROWS = 8  # one f32 sublane tile
 # this Mosaic fails allocation. solver/batched.solve_batch_latency routes
 # longer horizons to the streamed kernel automatically.
 MAX_HORIZON = 256
-
-# SUPERTILE layout (benchmarks/layout_probe.py): 1024 scenarios per grid
-# step, 8 riding the SUBLANE dim and 128 the lane dim — (r, c, 8, 128)
-# lane matrices are perfectly dense for every (r, c) (the minor-lane
-# layout wastes (8 - c % 8) % 8 sublanes per row at c < 8) and transposes
-# become free leading-dim swaps. Measured 1.22x on the Riccati stage mix
-# and ~100x faster Mosaic compiles. VMEM per stage is 8x the 128-lane
-# tile's, so the horizon budget shrinks accordingly.
-SUPER_SUB = 8
-SUPER_TILE = SUPER_SUB * TILE  # 1024 scenarios
-
-
-def _to_super(a):
-    """(..., B) per-lane array -> (..., 8, S*128): supertile s's (8, 128)
-    block holds scenarios [s*1024, (s+1)*1024), row-major (sublane-major
-    within the block)."""
-    core = a.shape[:-1]
-    s = a.shape[-1] // SUPER_TILE
-    x = a.reshape(core + (s, SUPER_SUB, TILE))
-    x = jnp.moveaxis(x, -3, -2)
-    return x.reshape(core + (SUPER_SUB, s * TILE))
-
-
-def _from_super(a, batch):
-    """Inverse of _to_super: (..., 8, S*128) -> (..., batch)."""
-    core = a.shape[:-2]
-    s = batch // SUPER_TILE
-    x = a.reshape(core + (SUPER_SUB, s, TILE))
-    x = jnp.moveaxis(x, -2, -3)
-    return x.reshape(core + (batch,))
-
 
 def max_horizon_for(u_dim):
     """Model-aware VMEM horizon bound. Per-stage VMEM is ~(48 + 16*u) rows
@@ -533,9 +506,12 @@ def _solve_call(
             shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
         )
         obatch = (batch,)
-    cost_block = lane_block if cost_batched else fixed_block
+    des_block = lane_block if cost_batched.des else fixed_block
+    qr_block = lane_block if cost_batched.qr else fixed_block
     param_block = lane_block if params_batched else fixed_block
-    w_block = (cost_block if use_weights else fixed_block)(w_core)
+    w_block = (
+        lane_block if (use_weights and cost_batched.w) else fixed_block
+    )(w_core)
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
@@ -554,12 +530,12 @@ def _solve_call(
             lane_block((n, 3)),
             lane_block((n, 6)),
             lane_block((n, u)),
-            cost_block((n, 4)),
-            cost_block((n, 3)),
-            cost_block((n, 6)),
-            cost_block((n, u)),
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            des_block((n, 4)),
+            des_block((n, 3)),
+            des_block((n, 6)),
+            des_block((n, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             w_block,
             param_block((1, 1)),
             param_block((1, 1)),
@@ -603,7 +579,12 @@ def _solve_call(
             pltpu.SMEM((2,), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            # supertile grid steps hold 8x the per-stage rows; v5e has
+            # 128 MiB physical VMEM and the N=200 + per-scenario Q/R
+            # workload (config 3) measures 113.8 MiB scoped — the 100 MiB
+            # default headroom is only needed for the multi-program lane
+            # pipelines
+            vmem_limit_bytes=(120 if supertile else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(

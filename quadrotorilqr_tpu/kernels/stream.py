@@ -58,7 +58,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes as L
-from .backward import TILE, _prep_cost, _riccati_stage, _to_lanes
+from .backward import (
+    SUPER_SUB,
+    SUPER_TILE,
+    TILE,
+    _from_super,
+    _prep_cost,
+    _riccati_stage,
+    _to_lanes,
+    _to_super,
+)
 from .rollout import _state_minus
 from .solve import (
     _ACCEPTED,
@@ -118,6 +127,7 @@ def _stream_kernel(
     lane_model,  # model family descriptor (kernels/models.py)
     use_weights,  # static: per-stage cost weights ride the desired stream
     use_box,  # static: control limits active (lo/hi refs read)
+    supertile,  # static: packed arrays carry an extra (8,) sublane dim
     fscal_ref,  # SMEM (8,): [dt, quu_reg, rtol, atol, ls_step, ls_frac, 0, 0]
     tin_ref,  # HBM (N, TR, B) packed initial trajectory (TR = traj_rows(u))
     des_ref,  # HBM (N, TR, Bd) packed desired (Bd = B batched / TILE shared)
@@ -167,11 +177,14 @@ def _stream_kernel(
     iinv_l = iinv_ref[:]
     u_dim = ju.shape[1]  # control dimension (static)
     box = (lo_ref[:], hi_ref[:]) if use_box else None
-    bt = q_l.shape[-1]
+    # trailing batch shape: (Bt,) lane layout / (8, 128) supertile — the
+    # body is layout-agnostic (kernels/solve.py pattern)
+    bshape = q_l.shape[2:]
     dtype = q_l.dtype
-    zeros1 = jnp.zeros((1, bt), dtype)
+    zeros1 = jnp.zeros((1,) + bshape, dtype)
     ez = jnp.concatenate(
-        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     # substepped integration (kernels/models.substepped_lane_model): the
     # Riccati stage chains per-substep jacobian blocks; the chain rolls the
@@ -194,24 +207,28 @@ def _stream_kernel(
         diff = jnp.abs(cur - new)
         return jnp.logical_or(diff < rtol * jnp.abs(cur), diff < atol)
 
-    # ---- DMA plumbing (sync: start + wait; see module docstring) ---------
+    # ---- DMA plumbing (sync: start + wait; see module docstring).
+    # Under supertile the packed HBM arrays carry an extra (8,) sublane
+    # dim before the lane dim, so the tile slice gains a full-dim `:`.
     def copy(src, dst, slot):
         cp = pltpu.make_async_copy(src, dst, sems.at[slot])
         cp.start()
         return cp
 
+    def live_at(s, w):
+        if supertile:
+            return live_ref.at[pl.ds(s, w), :, :, pl.ds(lane0, TILE)]
+        return live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)]
+
+    def des_at(s, w):
+        if supertile:
+            return des_ref.at[pl.ds(s, w), :, :, pl.ds(dlane0, TILE)]
+        return des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)]
+
     def load_stages(s, w, with_gains):
         cps = [
-            copy(
-                live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
-                tbuf.at[pl.ds(0, w)],
-                0,
-            ),
-            copy(
-                des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)],
-                dbuf.at[pl.ds(0, w)],
-                1,
-            ),
+            copy(live_at(s, w), tbuf.at[pl.ds(0, w)], 0),
+            copy(des_at(s, w), dbuf.at[pl.ds(0, w)], 1),
         ]
         if with_gains:
             cps.append(
@@ -224,11 +241,7 @@ def _stream_kernel(
         copy(gbuf.at[pl.ds(0, w)], gains_ref.at[pl.ds(s, w)], 2).wait()
 
     def store_traj(s, w):
-        copy(
-            tbuf.at[pl.ds(0, w)],
-            live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
-            3,
-        ).wait()
+        copy(tbuf.at[pl.ds(0, w)], live_at(s, w), 3).wait()
 
     def sweep(process, carry0, reverse=False):
         """Run `process(start, width, carry)` over every horizon chunk.
@@ -274,12 +287,19 @@ def _stream_kernel(
         return stage_weight(drow) * c if use_weights else c
 
     # ---- init: live trajectory := input (one HBM->HBM DMA per tile) ------
-    copy(
-        tin_ref.at[:, :, pl.ds(lane0, TILE)],
-        live_ref.at[:, :, pl.ds(lane0, TILE)],
-        0,
-    ).wait()
-    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    if supertile:
+        copy(
+            tin_ref.at[:, :, :, pl.ds(lane0, TILE)],
+            live_ref.at[:, :, :, pl.ds(lane0, TILE)],
+            0,
+        ).wait()
+    else:
+        copy(
+            tin_ref.at[:, :, pl.ds(lane0, TILE)],
+            live_ref.at[:, :, pl.ds(lane0, TILE)],
+            0,
+        ).wait()
+    st_ref[:] = jnp.zeros((_STATE_ROWS,) + bshape, dtype)
 
     if continuation or max_iters == 0:
         # the input trajectory is feasible: its true cost seeds the loop
@@ -331,8 +351,8 @@ def _stream_kernel(
                 return carry
 
             binit = (
-                jnp.zeros((12, bt), dtype),
-                jnp.zeros((12, 12, bt), dtype),
+                jnp.zeros((12,) + bshape, dtype),
+                jnp.zeros((12, 12) + bshape, dtype),
                 zeros1,
                 zeros1,
             )
@@ -383,17 +403,17 @@ def _stream_kernel(
                     return carry
 
                 rinit = (
-                    jnp.zeros((4, bt), dtype),
-                    jnp.zeros((3, bt), dtype),
-                    jnp.zeros((6, bt), dtype),
+                    jnp.zeros((4,) + bshape, dtype),
+                    jnp.zeros((3,) + bshape, dtype),
+                    jnp.zeros((6,) + bshape, dtype),
                     zeros1,
                 )
                 return sweep(rchunk, rinit)[3]
 
             # ---- line search (ilqr.hh:174-194): cost-only probes ----
-            put(_ALPHA, jnp.ones((1, bt), dtype))
-            put(_TRIED, jnp.ones((1, bt), dtype))
-            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_ALPHA, jnp.ones((1,) + bshape, dtype))
+            put(_TRIED, jnp.ones((1,) + bshape, dtype))
+            put(_ACCEPTED, jnp.zeros((1,) + bshape, dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
 
@@ -453,6 +473,7 @@ def _stream_kernel(
         "cost_batched",
         "params_batched",
         "interpret",
+        "supertile",
     ),
 )
 def _stream_call(
@@ -481,8 +502,8 @@ def _stream_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = traj_packed.dtype
     w = min(chunk, n)
     u = lane_model.u_dim
@@ -490,24 +511,74 @@ def _stream_call(
     dr = des_rows(u, use_weights)
     gr = gain_rows(u)
     extra_core = extra.shape[:-1]  # per-model operand core dims
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,),
-        lambda i: (0,) * len(shape) + (i,),
-        memory_space=pltpu.VMEM,
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
-    cost_block = lane_block if cost_batched else fixed_block
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    # the packed desired STREAM carries targets + stage weights, so it is
+    # per-lane iff either group is (the wrapper broadcast-upped the other);
+    # Q/R ride their own VMEM blocks with their own flag (CostBatched)
+    stream_b = cost_batched.des or (use_weights and cost_batched.w)
+    if supertile:
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            # VMEM operands: broadcast tiles materialize across sublanes
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        q_mat, r_mat, g, m_inv, ju, extra, inertia, inertia_inv, lo, hi = (
+            map(
+                prep,
+                (
+                    q_mat, r_mat, g, m_inv, ju, extra, inertia,
+                    inertia_inv, lo, hi,
+                ),
+            )
+        )
+        # packed HBM streams gain the sublane dim: (N, rows, 8, lanes)
+        traj_packed = _to_super(traj_packed)
+        des_packed = (
+            _to_super(des_packed)
+            if des_packed.shape[-1] != TILE
+            else jnp.broadcast_to(
+                des_packed[..., None, :], des_packed.shape[:-1] + btile
+            )
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+        scratch_tail = btile
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,),
+            lambda i: (0,) * len(shape) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
+        scratch_tail = (TILE,)
+    qr_block = lane_block if cost_batched.qr else fixed_block
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
     kernel = functools.partial(
         _stream_kernel,
         n,
@@ -515,10 +586,11 @@ def _stream_call(
         ls_max_iters,
         continuation,
         w,
-        cost_batched,
+        stream_b,
         lane_model,
         use_weights,
         use_box,
+        supertile,
     )
     live, _, ocost, oiter, ostat = pl.pallas_call(
         kernel,
@@ -527,8 +599,8 @@ def _stream_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             hbm,
             hbm,
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             param_block((1, 1)),
             param_block((1, 1)),
             param_block((12, u)),
@@ -546,17 +618,21 @@ def _stream_call(
             lane_block((1,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, tr, batch), dtype),
-            jax.ShapeDtypeStruct((n, gr, TILE), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct(
+                (n, tr) + (btile[:-1] + (batch // SUPER_SUB,) if supertile
+                           else (batch,)),
+                dtype,
+            ),
+            jax.ShapeDtypeStruct((n, gr) + scratch_tail, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w, tr, TILE), dtype),
-            pltpu.VMEM((w, dr, TILE), dtype),
-            pltpu.VMEM((w, gr, TILE), dtype),
-            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.VMEM((w, tr) + scratch_tail, dtype),
+            pltpu.VMEM((w, dr) + scratch_tail, dtype),
+            pltpu.VMEM((w, gr) + scratch_tail, dtype),
+            pltpu.VMEM((_STATE_ROWS,) + scratch_tail, dtype),
             pltpu.SMEM((2,), dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -580,7 +656,30 @@ def _stream_call(
         lo,
         hi,
     )
+    if supertile:
+        # (N, TR, 8, S*128) -> (N, TR, batch); lane rows likewise
+        live = _from_super(live, batch)
+        ocost, oiter, ostat = (
+            _from_super(a, batch) for a in (ocost, oiter, ostat)
+        )
     return live, ocost, oiter, ostat
+
+
+def _up_stream(des_ops, w_op, cb, batch):
+    """The packed desired stream carries targets AND stage weights: if only
+    ONE group is per-scenario (CostBatched.des != .w), broadcast the shared
+    group's (..., TILE) tiles up to (..., B) so the stream packs at one
+    width. No-op when the flags agree."""
+    stream_b = cb.des or (w_op is not None and cb.w)
+    if not stream_b or batch == TILE:
+        return des_ops + (w_op,)
+
+    def up(a):
+        if a is None or a.shape[-1] == batch:
+            return a
+        return jnp.broadcast_to(a[..., :1], a.shape[:-1] + (batch,))
+
+    return tuple(up(a) for a in des_ops) + (up(w_op),)
 
 
 def _pack_stages(q, t, v, u, w=None):
@@ -610,6 +709,7 @@ def solve_fused_streamed(
     chunk=DEFAULT_CHUNK,
     model=None,
     limits=None,
+    supertile=False,
 ):
     """Streamed whole-solve iLQR for (B, N, ...) trajectories, B a multiple
     of 128, any horizon (HBM-bound rather than VMEM-bound). Lane-for-lane
@@ -630,6 +730,16 @@ def solve_fused_streamed(
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if supertile and batch % SUPER_TILE != 0:
+        raise ValueError(
+            f"supertile=True needs batch a multiple of {SUPER_TILE}, "
+            f"got {batch}"
+        )
+    if supertile and chunk == DEFAULT_CHUNK:
+        # the supertile window is 8x per stage; shrink the default chunk
+        # so the windows stay in the same VMEM envelope (any explicit
+        # chunk is honored verbatim)
+        chunk = DEFAULT_CHUNK // 4
     dtype = controls.dtype
     ls = options.line_search_params
     if int(ls.max_iters) < 1:
@@ -672,7 +782,11 @@ def solve_fused_streamed(
         _to_lanes(controls),
     )
     des_packed = _pack_stages(
-        des_q, des_t, des_v, des_u, w_op if use_weights else None
+        *_up_stream(
+            (des_q, des_t, des_v, des_u),
+            w_op if use_weights else None,
+            cost_batched, batch,
+        )
     )
 
     live, ocost, oiter, ostat = _stream_call(
@@ -701,6 +815,7 @@ def solve_fused_streamed(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     unpack = lambda lo, hi: jnp.moveaxis(live[:, lo:hi, :], -1, 0)
     new_traj = Trajectory(

@@ -69,9 +69,16 @@ from .fddp import (
 )
 from ..solver.fddp import _probe_cap, _saturating_stage_cost_add
 from .rollout import _state_minus
+from .backward import (
+    SUPER_SUB,
+    SUPER_TILE,
+    _from_super,
+    _to_super,
+)
 from .stream import (
     DEFAULT_CHUNK,
     _pack_stages,
+    _up_stream,
     des_rows,
     gain_rows,
     traj_rows,
@@ -90,6 +97,7 @@ def _stream_fddp_kernel(
     use_weights,  # static: per-stage cost weights ride the desired stream
     use_box,  # static: control limits active (lo/hi refs read)
     ddp,  # static: exact-DDP curvature in the Riccati stage + quad model
+    supertile,  # static: packed arrays carry an extra (8,) sublane dim
     fscal_ref,  # SMEM (8,): [dt, quu_reg floor, rtol, atol, ls_step, 0, 0, 0]
     gscal_ref,  # SMEM (12,): [gf, gub, gap_tol, reg_init, up, down, min,
     #             max, alpha_dec, alpha_inc, 0, 0]
@@ -158,11 +166,13 @@ def _stream_fddp_kernel(
     u_dim = ju.shape[1]
     box = (lo_ref[:], hi_ref[:]) if use_box else None
     lo = lane_model.ju_lo
-    bt = q_l.shape[-1]
+    # trailing batch shape: (Bt,) lane layout / (8, 128) supertile
+    bshape = q_l.shape[2:]
     dtype = q_l.dtype
-    zeros1 = jnp.zeros((1, bt), dtype)
+    zeros1 = jnp.zeros((1,) + bshape, dtype)
     ez = jnp.concatenate(
-        [jnp.zeros((2, bt), dtype), jnp.ones((1, bt), dtype)], axis=0
+        [jnp.zeros((2,) + bshape, dtype), jnp.ones((1,) + bshape, dtype)],
+        axis=0,
     )
     # substepped integration: same chain mapping as kernels/fddp.py
     subchain = (
@@ -189,18 +199,20 @@ def _stream_fddp_kernel(
         cp.start()
         return cp
 
+    def live_at(s, w):
+        if supertile:
+            return live_ref.at[pl.ds(s, w), :, :, pl.ds(lane0, TILE)]
+        return live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)]
+
+    def des_at(s, w):
+        if supertile:
+            return des_ref.at[pl.ds(s, w), :, :, pl.ds(dlane0, TILE)]
+        return des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)]
+
     def load_stages(s, w, with_gains=False, with_defs=False):
         cps = [
-            copy(
-                live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
-                tbuf.at[pl.ds(0, w)],
-                0,
-            ),
-            copy(
-                des_ref.at[pl.ds(s, w), :, pl.ds(dlane0, TILE)],
-                dbuf.at[pl.ds(0, w)],
-                1,
-            ),
+            copy(live_at(s, w), tbuf.at[pl.ds(0, w)], 0),
+            copy(des_at(s, w), dbuf.at[pl.ds(0, w)], 1),
         ]
         if with_gains:
             cps.append(copy(gains_ref.at[pl.ds(s, w)], gbuf.at[pl.ds(0, w)], 2))
@@ -213,11 +225,7 @@ def _stream_fddp_kernel(
         copy(gbuf.at[pl.ds(0, w)], gains_ref.at[pl.ds(s, w)], 2).wait()
 
     def store_traj(s, w):
-        copy(
-            tbuf.at[pl.ds(0, w)],
-            live_ref.at[pl.ds(s, w), :, pl.ds(lane0, TILE)],
-            3,
-        ).wait()
+        copy(tbuf.at[pl.ds(0, w)], live_at(s, w), 3).wait()
 
     def sweep(process, carry0, reverse=False):
         """Run `process(start, width, carry)` over every horizon chunk
@@ -261,15 +269,24 @@ def _stream_fddp_kernel(
         return stage_weight(drow) * c if use_weights else c
 
     def pack_defect(dk):
-        return jnp.concatenate([dk, jnp.zeros((4, bt), dtype)], axis=0)
+        return jnp.concatenate(
+            [dk, jnp.zeros((4,) + bshape, dtype)], axis=0
+        )
 
     # ---- init: live trajectory := input; seed the TRUE cost ---------------
-    copy(
-        tin_ref.at[:, :, pl.ds(lane0, TILE)],
-        live_ref.at[:, :, pl.ds(lane0, TILE)],
-        0,
-    ).wait()
-    st_ref[:] = jnp.zeros((_STATE_ROWS, bt), dtype)
+    if supertile:
+        copy(
+            tin_ref.at[:, :, :, pl.ds(lane0, TILE)],
+            live_ref.at[:, :, :, pl.ds(lane0, TILE)],
+            0,
+        ).wait()
+    else:
+        copy(
+            tin_ref.at[:, :, pl.ds(lane0, TILE)],
+            live_ref.at[:, :, pl.ds(lane0, TILE)],
+            0,
+        ).wait()
+    st_ref[:] = jnp.zeros((_STATE_ROWS,) + bshape, dtype)
     put(_MU, imu_ref[:])
     put(_STATUS, istat_ref[:])
     put(_ITERS, iiter_ref[:])
@@ -380,11 +397,11 @@ def _stream_fddp_kernel(
                 return (v_x, v_xx, q0, t0, v0)
 
             binit = (
-                jnp.zeros((12, bt), dtype),
-                jnp.zeros((12, 12, bt), dtype),
-                jnp.zeros((4, bt), dtype),
-                jnp.zeros((3, bt), dtype),
-                jnp.zeros((6, bt), dtype),
+                jnp.zeros((12,) + bshape, dtype),
+                jnp.zeros((12, 12) + bshape, dtype),
+                jnp.zeros((4,) + bshape, dtype),
+                jnp.zeros((3,) + bshape, dtype),
+                jnp.zeros((6,) + bshape, dtype),
             )
             sweep(bchunk, binit, reverse=True)
             gap = get(_GAP)
@@ -455,7 +472,7 @@ def _stream_fddp_kernel(
                             if lane_model.substeps > 1:
                                 bw = jnp.concatenate(
                                     [
-                                        jnp.zeros((lo, bt), dtype),
+                                        jnp.zeros((lo,) + bshape, dtype),
                                         L.matvec(ju[lo:12], wv),
                                     ],
                                     axis=0,
@@ -521,14 +538,14 @@ def _stream_fddp_kernel(
                     return carry
 
                 rinit = (
-                    jnp.zeros((4, bt), dtype),
-                    jnp.zeros((3, bt), dtype),
-                    jnp.zeros((6, bt), dtype),
+                    jnp.zeros((4,) + bshape, dtype),
+                    jnp.zeros((3,) + bshape, dtype),
+                    jnp.zeros((6,) + bshape, dtype),
                     zeros1,
                 )
                 if with_qm:
                     rinit = rinit + (
-                        jnp.zeros((12, bt), dtype), zeros1, zeros1,
+                        jnp.zeros((12,) + bshape, dtype), zeros1, zeros1,
                     )
                     out = sweep(rchunk, rinit)
                     return out[3], out[5], out[6]
@@ -536,8 +553,8 @@ def _stream_fddp_kernel(
 
             # ---- Goldstein line search: cost-only probes (probe 0 fused
             # with the quadratic model) --------------------------------------
-            put(_ALPHA, jnp.ones((1, bt), dtype))
-            put(_ACCEPTED, jnp.zeros((1, bt), dtype))
+            put(_ALPHA, jnp.ones((1,) + bshape, dtype))
+            put(_ACCEPTED, jnp.zeros((1,) + bshape, dtype))
             put(_BESTC, current)
             flag_ref[1] = jnp.sum(active.astype(dtype))
 
@@ -546,7 +563,8 @@ def _stream_fddp_kernel(
             put(_L2, l2)
             still0 = _goldstein_probe_commit(
                 get, put, gf, gub, ls_step, active, current, l1, l2,
-                cand0, active, jnp.zeros((1, bt), bool), get(_ALPHA),
+                cand0, active, jnp.zeros((1,) + bshape, bool),
+                get(_ALPHA),
             )
             flag_ref[1] = jnp.sum(still0.astype(dtype))
 
@@ -620,6 +638,7 @@ def _stream_fddp_kernel(
         "cost_batched",
         "params_batched",
         "interpret",
+        "supertile",
     ),
 )
 def _stream_fddp_call(
@@ -652,8 +671,8 @@ def _stream_fddp_call(
     cost_batched,
     params_batched,
     interpret,
+    supertile=False,
 ):
-    n_tiles = batch // TILE
     dtype = traj_packed.dtype
     w = min(chunk, n)
     u = lane_model.u_dim
@@ -661,35 +680,84 @@ def _stream_fddp_call(
     dr = des_rows(u, use_weights)
     gr = gain_rows(u)
     extra_core = extra.shape[:-1]
-    lane_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,),
-        lambda i: (0,) * len(shape) + (i,),
-        memory_space=pltpu.VMEM,
-    )
-    fixed_block = lambda shape: pl.BlockSpec(
-        shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
-    )
-    cost_block = lane_block if cost_batched else fixed_block
+    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
+    box_batched = lo.shape[-1] != TILE
+    # desired stream (targets + weights) vs Q/R: independent flags
+    # (CostBatched; see kernels/stream.py)
+    stream_b = cost_batched.des or (use_weights and cost_batched.w)
+    if supertile:
+        n_tiles = batch // SUPER_TILE
+        btile = (SUPER_SUB, TILE)
+
+        def prep(a):
+            if a.shape[-1] == TILE and batch != TILE:
+                return jnp.broadcast_to(
+                    a[..., None, :], a.shape[:-1] + btile
+                )
+            return _to_super(a)
+
+        (
+            q_mat, r_mat, g, m_inv, ju, extra, inertia, inertia_inv, lo,
+            hi, imu, istat, iiter,
+        ) = map(
+            prep,
+            (
+                q_mat, r_mat, g, m_inv, ju, extra, inertia, inertia_inv,
+                lo, hi, imu, istat, iiter,
+            ),
+        )
+        traj_packed = _to_super(traj_packed)
+        des_packed = (
+            _to_super(des_packed)
+            if des_packed.shape[-1] != TILE
+            else jnp.broadcast_to(
+                des_packed[..., None, :], des_packed.shape[:-1] + btile
+            )
+        )
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * len(shape) + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + btile,
+            lambda i: (0,) * (len(shape) + 2),
+            memory_space=pltpu.VMEM,
+        )
+        obatch = (SUPER_SUB, n_tiles * TILE)
+        scratch_tail = btile
+    else:
+        n_tiles = batch // TILE
+        btile = (TILE,)
+        lane_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,),
+            lambda i: (0,) * len(shape) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+        fixed_block = lambda shape: pl.BlockSpec(
+            shape + (TILE,), lambda i: (0,) * (len(shape) + 1), memory_space=pltpu.VMEM
+        )
+        obatch = (batch,)
+        scratch_tail = (TILE,)
+    qr_block = lane_block if cost_batched.qr else fixed_block
     param_block = lane_block if params_batched else fixed_block
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    bound_core = lo.shape[:-1]  # (u,) real bounds / (1,) dummy
     # bounds may be shared (one (., TILE) broadcast tile; at a single tile
     # the two index maps coincide, so shape inference is unambiguous) or
     # per-scenario ((., B) lane tiles — backward._prep_limits)
-    box_block = (lane_block if lo.shape[-1] != TILE else fixed_block)(
-        bound_core
-    )
+    box_block = (lane_block if box_batched else fixed_block)(bound_core)
     kernel = functools.partial(
         _stream_fddp_kernel,
         n,
         max_iters,
         ls_max_iters,
         w,
-        cost_batched,
+        stream_b,
         lane_model,
         use_weights,
         use_box,
         ddp,
+        supertile,
     )
     live, _, _, ocost, oiter, ostat, omu = pl.pallas_call(
         kernel,
@@ -699,8 +767,8 @@ def _stream_fddp_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             hbm,
             hbm,
-            cost_block((12, 12)),
-            cost_block((u, u)),
+            qr_block((12, 12)),
+            qr_block((u, u)),
             param_block((1, 1)),
             param_block((1, 1)),
             param_block((12, u)),
@@ -723,20 +791,24 @@ def _stream_fddp_call(
             lane_block((1,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, tr, batch), dtype),
-            jax.ShapeDtypeStruct((n, gr, TILE), dtype),
-            jax.ShapeDtypeStruct((n, DEFECT_ROWS, TILE), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
-            jax.ShapeDtypeStruct((1, batch), dtype),
+            jax.ShapeDtypeStruct(
+                (n, tr) + (btile[:-1] + (batch // SUPER_SUB,) if supertile
+                           else (batch,)),
+                dtype,
+            ),
+            jax.ShapeDtypeStruct((n, gr) + scratch_tail, dtype),
+            jax.ShapeDtypeStruct((n, DEFECT_ROWS) + scratch_tail, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
+            jax.ShapeDtypeStruct((1,) + obatch, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w, tr, TILE), dtype),
-            pltpu.VMEM((w, dr, TILE), dtype),
-            pltpu.VMEM((w, gr, TILE), dtype),
-            pltpu.VMEM((w, DEFECT_ROWS, TILE), dtype),
-            pltpu.VMEM((_STATE_ROWS, TILE), dtype),
+            pltpu.VMEM((w, tr) + scratch_tail, dtype),
+            pltpu.VMEM((w, dr) + scratch_tail, dtype),
+            pltpu.VMEM((w, gr) + scratch_tail, dtype),
+            pltpu.VMEM((w, DEFECT_ROWS) + scratch_tail, dtype),
+            pltpu.VMEM((_STATE_ROWS,) + scratch_tail, dtype),
             pltpu.SMEM((3,), dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
@@ -764,6 +836,11 @@ def _stream_fddp_call(
         istat,
         iiter,
     )
+    if supertile:
+        live = _from_super(live, batch)
+        ocost, oiter, ostat, omu = (
+            _from_super(a, batch) for a in (ocost, oiter, ostat, omu)
+        )
     return live, ocost, oiter, ostat, omu
 
 
@@ -783,6 +860,7 @@ def solve_fddp_streamed(
     initial_status=None,
     initial_iters=None,
     return_mu=False,
+    supertile=False,
 ):
     """Streamed whole-solve FDDP for (B, N, ...) trajectories, B a multiple
     of 128, ANY horizon (HBM-bound). Lane-for-lane identical to
@@ -799,17 +877,19 @@ def solve_fddp_streamed(
 
     fo = FDDPOptions() if fddp_options is None else fddp_options
     lm = lane_model_for(params, model)
-    if lm.substeps != 1 and ddp:
-        raise ValueError(
-            "ddp=True is single-step math on the FDDP kernels (the "
-            "analytic exact curvature has no chained closed form); use "
-            "the XLA path (vmap(solver.fddp.solve_fddp(ddp=True))) for "
-            "substepped models"
-        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if supertile and batch % SUPER_TILE != 0:
+        raise ValueError(
+            f"supertile=True needs batch a multiple of {SUPER_TILE}, "
+            f"got {batch}"
+        )
+    if supertile and chunk == DEFAULT_CHUNK:
+        # supertile windows are 8x per stage: shrink the default chunk to
+        # stay in the same VMEM envelope (explicit chunks are honored)
+        chunk = DEFAULT_CHUNK // 4
     dtype = controls.dtype
     ls = options.line_search_params
     if int(ls.max_iters) < 1:
@@ -858,8 +938,14 @@ def solve_fddp_streamed(
         _to_lanes(traj.states.vel),
         _to_lanes(controls),
     )
+    from .stream import _up_stream
+
     des_packed = _pack_stages(
-        des_q, des_t, des_v, des_u, w_op if use_weights else None
+        *_up_stream(
+            (des_q, des_t, des_v, des_u),
+            w_op if use_weights else None,
+            cost_batched, batch,
+        )
     )
 
     def lane_row(a):
@@ -897,6 +983,7 @@ def solve_fddp_streamed(
         cost_batched,
         params_batched,
         interpret,
+        supertile,
     )
     unpack = lambda lo_, hi_: jnp.moveaxis(live[:, lo_:hi_, :], -1, 0)
     new_traj = Trajectory(

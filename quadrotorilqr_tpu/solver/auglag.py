@@ -390,6 +390,7 @@ def solve_auglag(
     jax.jit,
     static_argnames=(
         "constraints", "dt_s", "options", "al_options", "model", "interpret",
+        "supertile",
     ),
 )
 def solve_auglag_batch(
@@ -402,6 +403,7 @@ def solve_auglag_batch(
     al_options: ALOptions = ALOptions(),
     model=None,
     interpret: bool = False,
+    supertile: bool = False,
 ) -> ALSolveResult:
     """Batched constrained solve at KERNEL speed (VERDICT r2 #8): the AL
     inner loop's backward passes run on the fused Pallas engine with the
@@ -417,7 +419,13 @@ def solve_auglag_batch(
     the AUGMENTED cost) and the same PHR outer loop (per-lane multiplier
     updates, mu schedule, feasibility statuses), with finished lanes
     frozen. initial_trajs leaves are (B, N, ...); batches pad to the
-    128-lane kernel tile."""
+    128-lane kernel tile.
+
+    `supertile=True` runs the backward + rollout kernels in the
+    dense-register (r, c, 8, 128) layout (kernels/backward.py SUPER_TILE
+    — the round-5 layout, threaded through the per-pass kernels so the
+    CONSTRAINED path rides it too, VERDICT r4 #7); pads to 1024-lane
+    supertiles, VMEM-guard demotion as in solve_batch_latency."""
     from ..kernels.backward import backward_pass_fused
     from ..kernels.rollout import rollout_cost_fused
 
@@ -425,7 +433,21 @@ def solve_auglag_batch(
     batch = initial_trajs.controls.shape[0]
     n = initial_trajs.controls.shape[-2]
     dtype = initial_trajs.controls.dtype
-    pad = (-batch) % 128
+    if supertile:
+        from ..kernels.models import lane_model_for
+        from .batched import _supertile_horizon_budget
+
+        try:
+            u_dim = lane_model_for(params, model).u_dim
+        except TypeError:
+            u_dim = None
+        # rows_base=48 + the five streamed penalty operand rows (~25/stage
+        # at u=4) — stay conservative and reuse the stricter FDDP base
+        if u_dim is None or n > _supertile_horizon_budget(
+            cost, params, u_dim, rows_base=60
+        ):
+            supertile = False
+    pad = (-batch) % (1024 if supertile else 128)
     if pad:
         def pad_lane(a):
             return jnp.concatenate(
@@ -447,6 +469,7 @@ def solve_auglag_batch(
             al_options=al_options,
             model=model,
             interpret=interpret,
+            supertile=supertile,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -515,7 +538,7 @@ def solve_auglag_batch(
                 pending = jnp.logical_and(active, ~accepted)
                 cand, _ = rollout_cost_fused(
                     params, cost, traj, ks, big_ks, alpha, dt_s,
-                    interpret=interpret, model=model,
+                    interpret=interpret, model=model, supertile=supertile,
                 )
                 cand_cost = aug_cost(cand, lam, mu)
                 desired = ls.desired_reduction_frac * expected_cost_reduction(
@@ -558,6 +581,7 @@ def solve_auglag_batch(
             ks, big_ks, qutk, ktquuk = backward_pass_fused(
                 params, cost, traj, dt_s, quu_reg=options.quu_reg,
                 interpret=interpret, model=model, penalty=pen,
+                supertile=supertile,
             )
             current = new_cost
             expected = current + expected_cost_reduction(qutk, ktquuk)
@@ -571,7 +595,7 @@ def solve_auglag_batch(
                 cand, _ = rollout_cost_fused(
                     params, cost, traj, ks, big_ks,
                     jnp.ones((batch,), dtype), dt_s,
-                    interpret=interpret, model=model,
+                    interpret=interpret, model=model, supertile=supertile,
                 )
                 return cand, aug_cost(cand, lam, mu), jnp.ones((batch,), bool)
 

@@ -55,6 +55,35 @@ def _where_lanes(mask, a, b):
 
 
 
+def _supertile_horizon_budget(cost, params, u_dim, rows_base):
+    """Measured supertile VMEM envelope. A supertile grid step holds 8x a
+    128-lane tile's per-stage rows; the measured budget at u=4 on the
+    exact-loop kernel (rows_base=48: 112 rows/stage) is 200 stages with
+    shared STAGE-WISE operands and 128 when the desired targets or stage
+    weights are per-scenario (each adds (N, d) per-lane rows to every
+    grid step, double-buffered). Per-scenario Q/R and params are
+    stage-CONSTANT tiles (~1 MB per grid step total) and do NOT shrink
+    the budget — the round-4 cfg3 OOM (138M/128M at N=200 + per-scenario
+    Q/R) was the old any-leaf flag promoting the DESIRED stream to
+    per-lane layout, fixed by the per-group CostBatched split
+    (kernels/backward._prep_cost); measured round 5: N=200 + per-scenario
+    Q/R + per-scenario params compiles and runs in supertile. Other row
+    counts (FDDP's defect rows, u != 4 families) scale the same VMEM
+    bytes."""
+    des = cost.desired_states
+    stagewise = any(
+        jnp.ndim(leaf) == 3
+        for leaf in (
+            cost.desired_controls, des.pose.quat, des.pose.trans, des.vel,
+        )
+    ) or (
+        cost.stage_weights is not None
+        and jnp.ndim(cost.stage_weights) == 2
+    )
+    rows = rows_base + 16 * u_dim
+    return ((128 if stagewise else 200) * 112) // rows
+
+
 def _pad_limits(limits, pad_lane):
     """Pad PER-SCENARIO ((B, u)) bounds along with the batch; shared bounds
     pass through untouched (kernels/backward._prep_limits)."""
@@ -66,7 +95,9 @@ def _pad_limits(limits, pad_lane):
 
 @partial(
     jax.jit,
-    static_argnames=("dt_s", "options", "interpret", "continuation", "model"),
+    static_argnames=(
+        "dt_s", "options", "interpret", "continuation", "model", "supertile",
+    ),
 )
 # initial_cost / initial_status are traced operands (or None, resolved at
 # trace time). initial_status freezes lanes that already finished (status !=
@@ -85,6 +116,7 @@ def solve_batch_fused(
     initial_status=None,
     model=None,
     limits=None,
+    supertile: bool = False,
 ) -> SolveResult:
     """Batched iLQR solve; initial_trajs leaves are (B, N, ...).
 
@@ -109,7 +141,19 @@ def solve_batch_fused(
     batch = initial_trajs.controls.shape[0]
     dtype = initial_trajs.controls.dtype
 
-    pad = (-batch) % 128
+    if supertile:
+        from ..kernels.models import lane_model_for
+
+        try:
+            u_dim = lane_model_for(params, model).u_dim
+        except TypeError:
+            u_dim = None
+        if u_dim is None or initial_trajs.controls.shape[1] > (
+            _supertile_horizon_budget(cost, params, u_dim, rows_base=48)
+        ):
+            supertile = False
+    tile = 1024 if supertile else 128
+    pad = (-batch) % tile
     if pad:
         def pad_lane(a):
             return jnp.concatenate(
@@ -135,24 +179,27 @@ def solve_batch_fused(
             ),
             model=model,
             limits=_pad_limits(limits, pad_lane),
+            supertile=supertile,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
-    n_tiles = batch // 128
+    n_tiles = batch // tile
 
     def tiles_any(mask):
         """(B,) lane mask -> (n_tiles,) i32 per-tile any flags: tiles whose
-        128 lanes are all idle skip kernel compute entirely (the per-lane
+        lanes are all idle skip kernel compute entirely (the per-lane
         merge masks below never select their stale outputs)."""
-        return jnp.any(mask.reshape(n_tiles, 128), axis=1).astype(jnp.int32)
+        return jnp.any(mask.reshape(n_tiles, tile), axis=1).astype(jnp.int32)
 
     backward = lambda traj, act: backward_pass_fused(
         params, cost, traj, dt_s, quu_reg=options.quu_reg,
         interpret=interpret, tile_act=act, model=model, limits=limits,
+        supertile=supertile,
     )
     rollout = lambda traj, ks, big_ks, alpha, act: rollout_cost_fused(
         params, cost, traj, ks, big_ks, alpha, dt_s,
         interpret=interpret, tile_act=act, model=model, limits=limits,
+        supertile=supertile,
     )
 
     if initial_cost is not None:
@@ -410,10 +457,16 @@ def solve_batch_latency(
     # Mosaic allocation.
     if supertile:
         n_stages = initial_trajs.controls.shape[1]
-        batched_cost = any(
-            jax.tree.leaves(qc.cost_batched_flags(cost))
+        u_dim = lane_model_for(params, model).u_dim
+        budget = _supertile_horizon_budget(
+            cost, params, u_dim, rows_base=48
         )
-        if n_stages > (128 if batched_cost else 200):
+        if budget < n_stages <= max_horizon_for(u_dim):
+            # the whole-solve kernel would serve this horizon but its
+            # supertile VMEM envelope cannot: fall back to the lane
+            # layout. Horizons PAST the whole-solve budget stream through
+            # a fixed window (kernels/stream.py supertile=True — round 5:
+            # unbounded horizons ride the dense layout too).
             supertile = False
     pad = (-batch) % (1024 if supertile else 128)
     if pad:
@@ -462,9 +515,7 @@ def solve_batch_latency(
         )
         debug = CostHistory(costs=hist, valid=valid)
     else:
-        kw = {"supertile": True} if (
-            supertile and engine is solve_fused_whole
-        ) else {}
+        kw = {"supertile": True} if supertile else {}
         traj, cost_v, iterations, status = engine(
             params, cost, initial_trajs, dt_s, options,
             interpret=interpret, continuation=continuation, model=model,
@@ -480,10 +531,38 @@ def solve_batch_latency(
     )
 
 
+def resolve_refine_auto(max_iters, ddp):
+    """Default multi-phase compaction schedule + hybrid curvature
+    (VERDICT r4 #6: the measured-best configuration should not need an
+    incantation). Boundaries at the measured fractions of the iteration
+    budget (benchmarks/fddp_bench.py's 8,12,16,20,25,30 on a 40-trip
+    budget — compact early and often once the easy mass freezes), and
+    with ddp=False the per-phase curvature flips to exact-DDP for phases
+    starting at >= 40% of the budget (the measured hybrid switch: exact
+    curvature pays only on the compacted straggler population).
+    Returns (bounds, ddp) — bounds None when the budget is too small to
+    split."""
+    fr = (0.2, 0.3, 0.4, 0.5, 0.625, 0.75)
+    bounds = tuple(
+        sorted({
+            b
+            for f in fr
+            if 0 < (b := int(round(f * max_iters))) < max_iters
+        })
+    )
+    if not bounds:
+        return None, ddp
+    if ddp is False:
+        switch = int(round(0.4 * max_iters))
+        ddp = tuple(s >= switch for s in (0,) + bounds)
+    return bounds, ddp
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "dt_s", "options", "fddp_options", "interpret", "model", "ddp",
+        "supertile", "refine",
     ),
 )
 def solve_batch_fddp(
@@ -497,6 +576,8 @@ def solve_batch_fddp(
     model=None,
     ddp: bool = False,
     limits=None,
+    supertile: bool = False,
+    refine=None,
 ) -> SolveResult:
     """Batched robust FDDP solve (solver/fddp.py semantics) at kernel
     speed: the ENTIRE multiple-shooting loop — defects, gap-transported
@@ -517,7 +598,25 @@ def solve_batch_fddp(
     vmapped XLA path with identical semantics: zero-probe line searches
     and model families outside the LaneModel protocol.
     `options.populate_debug` is unsupported on both paths (solve_fddp
-    returns debug=None)."""
+    returns debug=None).
+
+    `supertile=True` runs the dense-register (r, c, 8, 128) layout on the
+    VMEM FDDP kernel (kernels/solve.py SUPER_TILE; lane-for-lane identical,
+    tests/test_fddp_supertile.py) — the throughput layout that bought the
+    exact loop 1.6-2.5x. Pads to 1024-lane supertiles. VMEM-guarded: a
+    supertile grid step holds 8x a lane tile's per-stage rows, so horizons
+    past the measured budget (~180 stages at u=4; ~115 with per-scenario
+    desired/stage-weights) fall back to the lane layout rather than fail
+    the Mosaic allocation.
+
+    `refine="auto"` (kernel-servable requests only) runs the MEASURED-BEST
+    robust configuration with no per-phase arguments (VERDICT r4 #6): the
+    multi-phase compacted schedule with boundaries at resolve_refine_auto's
+    budget fractions, and — when ddp=False — the hybrid curvature flip
+    (Gauss-Newton early phases, exact-DDP on the compacted stragglers;
+    measured 98.5-98.8%% convergence at the highest robust throughput).
+    An int/tuple passes through as explicit compaction boundaries
+    (solve_batch_fddp_refine semantics)."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
     from ..kernels.models import lane_model_for
     from ..kernels.stream_fddp import solve_fddp_streamed
@@ -531,12 +630,28 @@ def solve_batch_fddp(
         lane_model = lane_model_for(params, model)
     except TypeError:  # outside the LaneModel protocol
         lane_model = None
-    if lane_model is not None and lane_model.substeps != 1 and ddp:
-        # the analytic exact curvature is single-step math (kernels/fddp.py)
-        lane_model = None
     kernel_ok = (
         lane_model is not None and options.line_search_params.max_iters >= 1
     )
+    if refine is not None and kernel_ok:
+        bounds = refine
+        ddp_r = ddp
+        if refine == "auto":
+            bounds, ddp_r = resolve_refine_auto(
+                int(options.convergence_criteria.max_iters), ddp
+            )
+        if bounds is not None:
+            return solve_batch_fddp_refine(
+                params, cost, initial_trajs, dt_s, options,
+                fddp_options=fddp_options, phase1_iters=bounds,
+                interpret=interpret, model=model, ddp=ddp_r,
+                limits=limits, supertile=supertile,
+            )
+    if isinstance(ddp, tuple):
+        raise ValueError(
+            "per-phase ddp tuples need refine=... on a kernel-servable "
+            "request (solve_batch_fddp_refine semantics)"
+        )
     if not kernel_ok:
         params_batched = jnp.ndim(params.mass_kg) >= 1
         cost_axes = jax.tree.map(
@@ -557,7 +672,17 @@ def solve_batch_fddp(
             in_axes=in_axes,
         )(params, cost, initial_trajs)
 
-    pad = (-batch) % 128
+    if supertile and (
+        _supertile_horizon_budget(cost, params, lane_model.u_dim, rows_base=60)
+        < horizon
+        <= max_horizon_for_fddp(lane_model.u_dim)
+    ):
+        # rows_base=60: the exact-loop kernel's per-stage rows plus the
+        # FDDP defect scratch. Horizons past the VMEM kernel entirely
+        # stream through a fixed window (kernels/stream_fddp.py
+        # supertile=True) — no bound there.
+        supertile = False
+    pad = (-batch) % (1024 if supertile else 128)
     if pad:
         def pad_lane(a):
             return jnp.concatenate(
@@ -580,6 +705,7 @@ def solve_batch_fddp(
             model=model,
             ddp=ddp,
             limits=_pad_limits(limits, pad_lane),
+            supertile=supertile,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
@@ -588,10 +714,11 @@ def solve_batch_fddp(
         if horizon > max_horizon_for_fddp(lane_model.u_dim)
         else solve_fddp_fused
     )
+    kw = {"supertile": True} if supertile else {}
     traj, cost_v, iterations, status = engine(
         params, cost, initial_trajs, dt_s, options,
         fddp_options=fddp_options, interpret=interpret, model=model,
-        ddp=ddp, limits=limits,
+        ddp=ddp, limits=limits, **kw,
     )
     return SolveResult(
         trajectory=traj,
@@ -698,7 +825,7 @@ def solve_batch_refine(
     jax.jit,
     static_argnames=(
         "dt_s", "options", "fddp_options", "phase1_iters", "interpret",
-        "model", "ddp",
+        "model", "ddp", "supertile",
     ),
 )
 def solve_batch_fddp_refine(
@@ -713,6 +840,7 @@ def solve_batch_fddp_refine(
     model=None,
     ddp: bool = False,
     limits=None,
+    supertile: bool = False,
 ) -> SolveResult:
     """Multi-phase compacted robust solve — the FDDP analog of
     solve_batch_refine, entirely on-device. `phase1_iters` is one
@@ -743,7 +871,13 @@ def solve_batch_fddp_refine(
     curvature on the compacted straggler phases where its iteration win
     pays. The flip is exact: the resume rows carry mu/status/iters and the
     backward pass recomputes everything else from the merged trajectory.
-    A uniform tuple collapses to its bool (identical program)."""
+    A uniform tuple collapses to its bool (identical program).
+
+    `supertile=True` runs every VMEM-kernel phase in the dense-register
+    (r, c, 8, 128) layout (see solve_batch_fddp) — the phase boundaries
+    permute LANES, the layout transform happens inside each kernel call,
+    so the resume semantics are unchanged. Pads to 1024-lane supertiles;
+    VMEM-guarded fallback to the lane layout."""
     from ..kernels.fddp import max_horizon_for_fddp, solve_fddp_fused
     from ..kernels.models import lane_model_for
     from ..kernels.stream_fddp import solve_fddp_streamed
@@ -767,13 +901,12 @@ def solve_batch_fddp_refine(
     )
     if hybrid and (
         lane_model is None
-        or lane_model.substeps != 1
         or options.line_search_params.max_iters < 1
     ):
         raise ValueError(
             "the hybrid curvature schedule (per-phase ddp tuple) is a "
-            "kernel feature: it needs a kernel-servable SINGLE-STEP model "
-            "and line-search probes >= 1"
+            "kernel feature: it needs a kernel-servable model and "
+            "line-search probes >= 1"
         )
     if (
         lane_model is None
@@ -788,11 +921,18 @@ def solve_batch_fddp_refine(
         return solve_batch_fddp(
             params, cost, initial_trajs, dt_s, options,
             fddp_options=fddp_options, interpret=interpret, model=model,
-            ddp=ddp, limits=limits,
+            ddp=ddp, limits=limits, supertile=supertile,
         )
 
+    horizon = initial_trajs.controls.shape[1]
+    if supertile and (
+        _supertile_horizon_budget(cost, params, lane_model.u_dim, rows_base=60)
+        < horizon
+        <= max_horizon_for_fddp(lane_model.u_dim)
+    ):
+        supertile = False
     batch = initial_trajs.controls.shape[0]
-    pad = (-batch) % 128
+    pad = (-batch) % (1024 if supertile else 128)
     if pad:
         def pad_lane(a):
             return jnp.concatenate(
@@ -816,15 +956,16 @@ def solve_batch_fddp_refine(
             model=model,
             ddp=ddp,
             limits=_pad_limits(limits, pad_lane),
+            supertile=supertile,
         )
         return jax.tree.map(lambda a: a[:batch], padded)
 
-    horizon = initial_trajs.controls.shape[1]
     engine = (
         solve_fddp_streamed
         if horizon > max_horizon_for_fddp(lane_model.u_dim)
         else solve_fddp_fused
     )
+    engine_kw = {"supertile": True} if supertile else {}
     # phase budgets: the compaction boundaries plus the remainder
     budgets = []
     used = 0
@@ -886,6 +1027,7 @@ def solve_batch_fddp_refine(
             initial_status=status,
             initial_iters=iters,
             return_mu=True,
+            **engine_kw,
         )
         if k == len(budgets) - 1:
             break

@@ -93,6 +93,57 @@ def stage_curvatures(params, cost, traj, dt_s, model=qm):
     return f_xx, c_xx
 
 
+def _stage_curvature_joint(params, q_weight, x, u, x_d, dt_s, model):
+    """(f_hess (12, 12+m, 12+m), c_xx (12, 12)) for ONE stage: the FULL
+    second derivative of the Lie-lifted stage map in the JOINT (tau_x,
+    delta_u) tangent — f_xx, f_xu AND f_uu blocks. For a single-step
+    rigid-body stage f_uu = f_ux = 0 exactly and this reduces to
+    _stage_curvature zero-padded; for a CHAINED (substepped) stage map
+    the control feeds every substep, so the state curvature of later
+    substeps pulls back through control Jacobians into nonzero f_uu/f_xu
+    (the terms the kernels' chained closed form produces —
+    kernels/backward._riccati_stage ddp+substeps)."""
+    dtype = u.dtype
+    m = u.shape[-1]
+    tau0 = jnp.zeros((12 + m,), dtype)
+    f0 = model.discrete_dynamics(params, x, u, dt_s)
+
+    def lifted_dynamics(tau):
+        xn = model.discrete_dynamics(
+            params, model.add(x, tau[:12]), u + tau[12:], dt_s
+        )
+        return model.minus(xn, f0)
+
+    f_hess = jax.jacfwd(jax.jacfwd(lifted_dynamics))(tau0)
+    f_hess = 0.5 * (f_hess + jnp.swapaxes(f_hess, -1, -2))
+
+    def lifted_state_cost(tau):
+        dx = model.minus(model.add(x, tau[:12]), x_d)
+        return jnp.einsum("i,ij,j->", dx, q_weight, dx)
+
+    c_xx = jax.hessian(lifted_state_cost)(tau0)[:12, :12]
+    c_xx = 0.5 * (c_xx + jnp.swapaxes(c_xx, -1, -2))
+    return f_hess, c_xx
+
+
+def stage_curvatures_joint(params, cost, traj, dt_s, model=qm):
+    """Joint-tangent curvature tensors for all N stages:
+    (f_hess (N, 12, 12+m, 12+m), c_xx (N, 12, 12)) — see
+    _stage_curvature_joint. The FDDP/DDP backward passes contract
+    v·f_hess and split the blocks into Q_xx / Q_xu / Q_uu."""
+    states_f = jax.tree.map(lambda l: jnp.moveaxis(l, -2, 0), traj.states)
+    controls_f = jnp.moveaxis(traj.controls, -2, 0)
+    xd_f = jax.tree.map(lambda l: jnp.moveaxis(l, -2, 0), cost.desired_states)
+    f_hess, c_xx = jax.vmap(
+        lambda x, u, xd: _stage_curvature_joint(
+            params, cost.Q, x, u, xd, dt_s, model
+        )
+    )(states_f, controls_f, xd_f)
+    if cost.stage_weights is not None:
+        c_xx = c_xx * cost.stage_weights[..., None, None]
+    return f_hess, c_xx
+
+
 def _ad_cotangent_matrix(w):
     """C(w) with wᵀ ad_u y = uᵀ C(w) y on se(3) ([lin, ang] ordering):
     C = [[0, -hat(w_rho)], [-hat(w_rho), -hat(w_theta)]]."""

@@ -258,9 +258,14 @@ def _stage_derivs(params, cost, traj, dt_s, model, ddp):
                     j_x, j_u, c_x, c_u, c_xx, c_uu,
                     traj.states.pose.quat, traj.states.vel,
                 )
-            from .ddp import stage_curvatures
+            from .ddp import stage_curvatures_joint
 
-            f_xx, c_xx = stage_curvatures(params, cost, traj, dt_s, model)
+            # JOINT-tangent tensor (N, 12, 12+m, 12+m): substepped stage
+            # maps have nonzero f_uu/f_xu (the control feeds every
+            # substep), so the exact-curvature contraction must reach
+            # Q_uu/Q_xu too — for single-step families those blocks are
+            # exact zeros and this is value-identical to the old f_xx path
+            f_xx, c_xx = stage_curvatures_joint(params, cost, traj, dt_s, model)
             return (j_x, j_u, c_x, c_u, c_xx, c_uu, f_xx)
         return (j_x, j_u, c_x, c_u, c_xx, c_uu)
 
@@ -352,6 +357,7 @@ def _backward_from_derivs(
             q_x = cx + jxt @ v_x_eff
             q_u = cu + jut @ v_x_eff
             q_xx = cxx + jxt @ (v_xx @ jx)
+            vfull = None
             if ddp and analytic:
                 from .ddp import vfxx_analytic
 
@@ -360,9 +366,17 @@ def _backward_from_derivs(
                     dt_s, quat_n, vel_n, g_m, inertia, inertia_inv, v_x_eff
                 )
             elif ddp:
-                q_xx = q_xx + jnp.einsum("i,iab->ab", v_x_eff, fxx)
+                # joint-tangent contraction (stage_curvatures_joint):
+                # xx block always; uu/xu blocks are exact zeros for
+                # single-step families and the chained curvature for
+                # substepped ones
+                vfull = jnp.einsum("i,iab->ab", v_x_eff, fxx)
+                q_xx = q_xx + vfull[:12, :12]
             q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
             q_xu = jxt @ vxx_ju
+            if vfull is not None:
+                q_uu = q_uu + vfull[12:, 12:]
+                q_xu = q_xu + vfull[:12, 12:]
             if box:
                 q_ux = jnp.swapaxes(q_xu, -1, -2)
                 k, big_k = _boxqp_gains(

@@ -65,3 +65,52 @@ def time_compiled(fn, args=(), repeats=5, reduce=True):
         dt, out = run()
         times.append(dt)
     return float(np.median(times)), compile_s, out
+
+
+def chunk_slope(body, args, chunks=(1, 2, 4), repeats=5, carry_width=3):
+    """DEVICE seconds per `body` execution by chunk-size slope — the
+    tunnel-independent estimator (VERDICT r4 #4).
+
+    The intercept-subtraction method (wall p50 minus a same-session nop
+    floor) leaves a 12-17 ms residual whose run-to-run noise swung derived
+    device rates 1.4x between same-day runs on identical code. This
+    estimator instead compiles, for each S in `chunks`, ONE launch that
+    executes `body` S times sequentially — `body(carry, *args)` returns a
+    (carry_width,) f32 vector and MUST consume `carry` (e.g. add
+    eps*carry[0], eps==0, into an operand) so XLA cannot collapse the
+    chain — and fits median launch wall time vs S:
+
+        wall(S) = intercept + S * device_s
+
+    The slope cancels the tunnel's fixed dispatch+transfer overhead
+    EXACTLY (it is the same additive constant for every S), which is how
+    benchmarks/mpc_device_loop.py certifies 100 Hz control ticks.
+
+    Returns (device_s, intercept_s, {chunk: p50_wall_s}).
+    """
+
+    results = {}
+    for s_chunk in chunks:
+
+        @jax.jit
+        def runc(*a, _s=s_chunk):
+            return jax.lax.fori_loop(
+                0,
+                _s,
+                lambda i, carry: body(carry, *a),
+                jnp.zeros((carry_width,), jnp.float32),
+            )
+
+        compiled = runc.lower(*args).compile()
+        np.asarray(compiled(*args))  # warm-up + sync
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(compiled(*args))
+            ts.append(time.perf_counter() - t0)
+        results[s_chunk] = float(np.median(ts))
+    cs = np.asarray(sorted(results), dtype=np.float64)
+    p50s = np.asarray([results[int(s)] for s in cs])
+    slope, intercept = np.polyfit(cs, p50s, 1)
+    device_s = float(slope) if slope > 0 else None
+    return device_s, float(max(intercept, 0.0)), results

@@ -569,3 +569,76 @@ def test_fddp_refine_per_scenario_operands():
     np.testing.assert_allclose(
         np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9
     )
+
+
+def test_fddp_refine_auto_default():
+    """refine="auto" (VERDICT r4 #6): the measured-best configuration with
+    no per-phase arguments — must equal the hand-built refine with
+    resolve_refine_auto's schedule, and beat single-phase convergence on
+    the mixed class."""
+    from quadrotorilqr_tpu.solver.batched import (
+        resolve_refine_auto,
+        solve_batch_fddp_refine,
+    )
+
+    params, cost, trajs, dt = _mixed_problem(n=10, hard_scale=1.6)
+    got = solve_batch_fddp(
+        params, cost, trajs, dt, _OPTS, interpret=True, refine="auto"
+    )
+    bounds, ddp_seq = resolve_refine_auto(
+        int(_OPTS.convergence_criteria.max_iters), False
+    )
+    assert isinstance(ddp_seq, tuple) and ddp_seq[0] is False and ddp_seq[-1]
+    ref = solve_batch_fddp_refine(
+        params, cost, trajs, dt, _OPTS, interpret=True,
+        phase1_iters=bounds, ddp=ddp_seq,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-12
+    )
+    single = solve_batch_fddp(params, cost, trajs, dt, _OPTS, interpret=True)
+    assert (np.asarray(got.status) == STATUS_CONVERGED).mean() >= (
+        np.asarray(single.status) == STATUS_CONVERGED
+    ).mean()
+
+
+def test_api_solve_batch_fddp_kernels():
+    """api-level: solver="fddp" batched f32 solves ride the FDDP kernels
+    with the auto schedule (VERDICT r4 #6 — a README user gets the
+    measured-best configuration), not the vmapped XLA fallback."""
+    from quadrotorilqr_tpu.api import QuadrotorILQR
+    from quadrotorilqr_tpu.solver.options import (
+        ConvergenceCriteria,
+        ILQROptions,
+        LineSearchParams,
+    )
+
+    params, cost, trajs, dt = _mixed_problem(batch=128, n=10, hard_scale=1.2)
+    f32 = lambda a: a.astype(jnp.float32) if a.dtype == F64 else a
+    cost32, trajs32 = jax.tree.map(f32, (cost, trajs))
+    desired = Trajectory(
+        times=trajs32.times[0],
+        states=cost32.desired_states,
+        controls=cost32.desired_controls,
+    )
+    opts = ILQROptions(
+        line_search_params=LineSearchParams(0.5, 0.5, 20),
+        convergence_criteria=ConvergenceCriteria(1e-5, 1e-5, 25),
+    )
+    api = QuadrotorILQR(
+        1.0, np.diag([0.01, 0.012, 0.02]), 0.17, 0.016, 9.81,
+        np.asarray(cost.Q), np.asarray(cost.R), desired, dt, opts,
+        dtype=jnp.float32, solver="fddp",
+    )
+    res = api.solve_batch(trajs32)
+    s = np.asarray(res.status)
+    assert (s == STATUS_CONVERGED).mean() > 0.85
+    # the kernel path resumes across phases: every lane has an iteration
+    # count and a finite cost
+    assert np.isfinite(np.asarray(res.cost)).all()

@@ -461,35 +461,166 @@ def test_substepped_fddp_kernel_matches_xla():
     )
 
 
-def test_substepped_fddp_ddp_refuses_and_routes():
-    """ddp=True stays single-step on the kernels (the analytic curvature
-    has no chained closed form): the fused entry refuses loudly and
-    solve_batch_fddp routes to the XLA path (nested-jacfwd curvature)."""
-    import pytest
+def test_chained_curvature_matches_joint_autodiff():
+    """The chained exact curvature's three conjugated sums (v·F_xx, v·F_uu,
+    v·F_xu — kernels/backward._riccati_stage's ddp+substeps closed form,
+    round 5: the LAST engine refusal removed) against the nested-jacfwd
+    JOINT Hessian of the full substepped stage map
+    (solver/ddp._stage_curvature_joint), per block, to f64 roundoff."""
+    from quadrotorilqr_tpu.kernels import backward as KB
+    from quadrotorilqr_tpu.kernels import lanes as L
+    from quadrotorilqr_tpu.kernels.models import lane_model_for
+    from quadrotorilqr_tpu.solver.ddp import _stage_curvature_joint
 
-    from quadrotorilqr_tpu.kernels.fddp import solve_fddp_fused
+    F64 = jnp.float64
+    params = qm.QuadrotorParams.create(
+        1.0, jnp.asarray(np.diag([0.01, 0.012, 0.02]), F64), 0.17, 0.016,
+        9.81,
+    )
+    dt = 0.1
+    for k in (2, 3):
+        model = substepped(qm, k)
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(k), 4)
+        x = qm.State(
+            pose=se3.exp(0.5 * jax.random.normal(k1, (6,), F64)),
+            vel=0.5 * jax.random.normal(k2, (6,), F64),
+        )
+        u = 2.0 + jax.random.normal(k3, (4,), F64)
+        v_x = jax.random.normal(k4, (12,), F64)
+        fh, _ = _stage_curvature_joint(
+            params, jnp.eye(12, dtype=F64), x, u, x, dt, model
+        )
+        vf = jnp.einsum("i,iab->ab", v_x, fh)
+
+        lm = lane_model_for(params, model)
+        g_, m_inv_f, ju, extra, i_l, iinv_l, _ = lm.prep_params(
+            params, dt, F64
+        )
+        B = 128
+        lane = lambda a: jnp.broadcast_to(
+            jnp.asarray(a, F64)[..., None], jnp.asarray(a).shape + (B,)
+        )
+        quat, trans = lane(x.pose.quat), lane(x.pose.trans)
+        vel, u_l, vx_l = lane(x.vel), lane(u), lane(v_x)
+        g1, m_inv = g_[0], m_inv_f[0]
+        ez = jnp.concatenate(
+            [jnp.zeros((2, B), F64), jnp.ones((1, B), F64)], axis=0
+        )
+        h = dt / k
+        blocks_list, substates = [], []
+        sq, st_, sv = quat, trans, vel
+        for i in range(k):
+            substates.append((sq, sv))
+            blocks_list.append(
+                KB._stage_jx_blocks(h, g_, sv, sq, i_l, iinv_l, None)
+            )
+            if i < k - 1:
+                sq, st_, sv = lm.base.dynamics_step(
+                    h, g1, m_inv, extra, i_l, iinv_l, ez, sq, st_, sv, u_l
+                )
+        omega = [None] * k
+        wc = vx_l
+        for j in reversed(range(k)):
+            omega[j] = wc
+            wc = KB._jxt_vec(wc, *blocks_list[j])
+        gxx = guu = gxu = None
+        c_mat = ju_acc = None
+        for j in range(k):
+            sq_j, sv_j = substates[j]
+            pb, tb = blocks_list[j][0], blocks_list[j][1]
+            g_j = KB._vfxx_lanes(
+                h, g_, sq_j, sv_j, i_l, iinv_l, omega[j], pb, tb
+            )
+            if c_mat is None:
+                gxx = g_j if gxx is None else gxx + g_j
+            else:
+                gxx = gxx + L.matmul(
+                    L.transpose(c_mat), L.matmul(g_j, c_mat)
+                )
+            if ju_acc is not None:
+                gj_ju = L.matmul(g_j, ju_acc)
+                t_uu = L.matmul(L.transpose(ju_acc), gj_ju)
+                guu = t_uu if guu is None else guu + t_uu
+                t_xu = (
+                    gj_ju
+                    if c_mat is None
+                    else L.matmul(L.transpose(c_mat), gj_ju)
+                )
+                gxu = t_xu if gxu is None else gxu + t_xu
+            if j < k - 1:
+                c_mat = (
+                    KB._jx_mat(L.eye(12, vx_l), *blocks_list[j])
+                    if c_mat is None
+                    else KB._jx_mat(c_mat, *blocks_list[j])
+                )
+                ju_acc = (
+                    ju
+                    if ju_acc is None
+                    else KB._jx_mat(ju_acc, *blocks_list[j]) + ju
+                )
+        np.testing.assert_allclose(
+            np.asarray(gxx[..., 0]), np.asarray(vf[:12, :12]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(KB._sym_lanes(guu)[..., 0]),
+            np.asarray(vf[12:, 12:]),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gxu[..., 0]), np.asarray(vf[:12, 12:]), atol=1e-12
+        )
+
+
+def test_substepped_fddp_ddp_kernel_matches_xla():
+    """ddp + substeps — the LAST engine refusal, closed in round 5: the
+    kernel's chained closed-form exact curvature vs the XLA path's
+    joint-tangent nested-jacfwd tensors (solver/ddp.stage_curvatures_joint
+    — including the f_uu/f_xu blocks the chain introduces). Both are
+    exact, computed differently, so parity is the established DDP chaotic
+    contract (tests/test_fddp_fused._assert_lane_parity_chaotic)."""
+    from tests.test_fddp_fused import _assert_lane_parity_chaotic
     from quadrotorilqr_tpu.solver import solve_fddp
     from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
 
-    params, cost, trajs = _fddp_problem(batch=4, n=8, pose_scale=0.5,
-                                        vel_scale=0.5)
-    model = substepped(qm, 3)
+    params, cost, trajs = _fddp_problem()
     opts = ILQROptions(
-        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 20)
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 15)
     )
-    with pytest.raises(ValueError, match="single-step"):
-        solve_fddp_fused(
-            params, cost, trajs, DT, opts, model=model, ddp=True
+    for k in (2, 4):
+        model = substepped(qm, k)
+        ref = jax.vmap(
+            lambda t: solve_fddp(
+                params, cost, t, DT, opts, model=model, ddp=True
+            )
+        )(trajs)
+        got = solve_batch_fddp(
+            params, cost, trajs, DT, opts, interpret=True, model=model,
+            ddp=True,
         )
-    got = solve_batch_fddp(
-        params, cost, trajs, DT, opts, model=model, ddp=True
+        _assert_lane_parity_chaotic(got, ref)
+        assert int((np.asarray(ref.status) == 1).sum()) > 64
+
+
+def test_substepped_hybrid_refine():
+    """The hybrid curvature schedule composes with substepped models now
+    that every phase can run exact curvature on the chained stage map."""
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fddp,
+        solve_batch_fddp_refine,
     )
-    ref = jax.vmap(
-        lambda t: solve_fddp(params, cost, t, DT, opts, model=model, ddp=True)
-    )(trajs)
-    np.testing.assert_array_equal(
-        np.asarray(got.status), np.asarray(ref.status)
+
+    params, cost, trajs = _fddp_problem()
+    opts = ILQROptions(
+        convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 15)
     )
-    np.testing.assert_allclose(
-        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-12
+    model = substepped(qm, 2)
+    got = solve_batch_fddp_refine(
+        params, cost, trajs, DT, opts, phase1_iters=(6,),
+        ddp=(False, True), interpret=True, model=model,
     )
+    base = solve_batch_fddp(
+        params, cost, trajs, DT, opts, interpret=True, model=model
+    )
+    conv = np.asarray(got.status) == 1
+    assert conv.mean() >= (np.asarray(base.status) == 1).mean() - 0.02
+    assert conv.sum() > 64

@@ -283,7 +283,6 @@ def test_hybrid_curvature_rescues_stragglers():
 
 def test_hybrid_refusals():
     params, cost, trajs, dt = _problem(batch=128)
-    from quadrotorilqr_tpu.models.integrators import substepped
 
     with pytest.raises(ValueError, match="one flag per phase"):
         solve_batch_fddp_refine(
@@ -295,8 +294,5 @@ def test_hybrid_refusals():
             params, cost, trajs, dt, _OPTS, phase1_iters=999,
             interpret=True, ddp=(False, True),
         )
-    with pytest.raises(ValueError, match="SINGLE-STEP"):
-        solve_batch_fddp_refine(
-            params, cost, trajs, dt, _OPTS, phase1_iters=3,
-            interpret=True, ddp=(False, True), model=substepped(qm, 2),
-        )
+    # substepped + hybrid composes since round 5 (chained exact
+    # curvature) — covered by test_integrators.py's ddp+substeps suite

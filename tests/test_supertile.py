@@ -173,3 +173,139 @@ def test_supertile_cost_history():
     np.testing.assert_array_equal(
         np.asarray(got.debug.valid), np.asarray(ref.debug.valid)
     )
+
+
+def test_batch_loop_supertile_matches_lane_layout():
+    """The PER-PASS kernels (backward + rollout — the batch-loop engine and
+    the constrained path's workhorses) ride the supertile layout too
+    (round 5: every kernel family, VERDICT r4 #7/#8)."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fused
+
+    params, cost, trajs, dt = _problem(2048)
+    ref = solve_batch_fused(params, cost, trajs, dt, _OPTS, interpret=True)
+    got = solve_batch_fused(
+        params, cost, trajs, dt, _OPTS, interpret=True, supertile=True
+    )
+    _assert_parity(got, ref)
+
+
+def test_auglag_supertile_matches_lane_layout():
+    """Constrained flight (PHR augmented Lagrangian, streamed penalty
+    operands incl. C_xu) in the supertile layout — VERDICT r4 #7."""
+    from quadrotorilqr_tpu.solver import constraints as C
+    from quadrotorilqr_tpu.solver.auglag import ALOptions, solve_auglag_batch
+
+    params, cost, trajs, dt = _problem(1024)
+    sphere = C.sphere_keepout(center=[0.3, 0.0, 0.0], radius=0.15)
+    alo = ALOptions(max_outer_iters=2)
+    ref = solve_auglag_batch(
+        params, cost, sphere, trajs, dt, _OPTS, alo, interpret=True
+    )
+    got = solve_auglag_batch(
+        params, cost, sphere, trajs, dt, _OPTS, alo, interpret=True,
+        supertile=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-10, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.trajectory.controls),
+        np.asarray(ref.trajectory.controls),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.max_violation), np.asarray(ref.max_violation),
+        atol=1e-9,
+    )
+
+
+def _wrench_problem(batch, n=5, dt=0.05):
+    from quadrotorilqr_tpu.models.se3_wrench import WrenchParams
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x0 = qm.State(
+        pose=se3.exp(0.3 * jax.random.normal(k1, (batch, 6), F64)),
+        vel=0.3 * jax.random.normal(k2, (batch, 6), F64),
+    )
+    params = WrenchParams.create(
+        mass_kg=1.3,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.03, F64),
+        g_mpss=9.81,
+    )
+    hover = jnp.zeros((n, 6), F64).at[:, 2].set(1.3 * 9.81)
+    desired = Trajectory(
+        times=dt * jnp.arange(n, dtype=F64),
+        states=qm.State(
+            pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=0.1 * jnp.eye(6, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    return params, cost, initial_trajectory_from_state(x0, desired), dt
+
+
+def test_wrench_supertile_matches_lane_layout():
+    """Second model family (SE(3) body wrench, u=6) through the supertile:
+    the layout is a LaneModel-generic transform, never a fork (VERDICT r4
+    #8)."""
+    from quadrotorilqr_tpu.models import se3_wrench as wm
+
+    params, cost, trajs, dt = _wrench_problem(1024)
+    ref = solve_batch_latency(
+        params, cost, trajs, dt, _OPTS, interpret=True, model=wm
+    )
+    got = solve_batch_latency(
+        params, cost, trajs, dt, _OPTS, interpret=True, model=wm,
+        supertile=True,
+    )
+    _assert_parity(got, ref)
+
+
+def test_hexarotor_supertile_matches_lane_layout():
+    """Generic multirotor (hexarotor, u=6) through the supertile."""
+    from quadrotorilqr_tpu.models import multirotor as mm
+    from quadrotorilqr_tpu.models.multirotor import MultirotorParams
+
+    n, dt = 5, 0.05
+    hexa = MultirotorParams.regular(
+        6, mass_kg=1.5,
+        inertia=jnp.asarray(np.diag([0.4, 0.5, 0.6]) + 0.03, F64),
+        arm_length_m=0.3, torque_to_thrust_ratio_m=0.02, g_mpss=9.81,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    batch = 1024
+    x0 = qm.State(
+        pose=se3.exp(0.3 * jax.random.normal(k1, (batch, 6), F64)),
+        vel=0.3 * jax.random.normal(k2, (batch, 6), F64),
+    )
+    hover = jnp.full((n, 6), 1.5 * 9.81 / 6.0, F64)
+    desired = Trajectory(
+        times=dt * jnp.arange(n, dtype=F64),
+        states=qm.State(
+            pose=se3.identity((n,), F64), vel=jnp.zeros((n, 6), F64)
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.diag(jnp.asarray([50.0] * 6 + [1.0] * 6, F64)),
+        R=0.1 * jnp.eye(6, dtype=F64),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    ref = solve_batch_latency(
+        hexa, cost, trajs, dt, _OPTS, interpret=True, model=mm
+    )
+    got = solve_batch_latency(
+        hexa, cost, trajs, dt, _OPTS, interpret=True, model=mm,
+        supertile=True,
+    )
+    _assert_parity(got, ref)

@@ -99,6 +99,27 @@ def check(prev_tag, new_tag, tol):
             and n.get("device_rate") is not None
         ):
             gate_field, unit = "device_rate", "device solves/s"
+        elif (
+            n.get("dispatch_intercept_ms") is not None
+            and n.get("p50_latency_ms") is not None
+            and float(n["dispatch_intercept_ms"])
+            > 0.5 * float(n["p50_latency_ms"])
+        ):
+            # the wall number is MOSTLY tunnel intercept and the previous
+            # record has no device-side field to gate against (pre-r5
+            # baseline): a wall comparison would gate the remote link, not
+            # the chip (the documented r3 config-2 false alarm). Report
+            # only; the r5+ records carry device_rate so the NEXT pair
+            # gates chip-side.
+            ratio = float(n["value"]) / float(p["value"])
+            notes.append(
+                f"cfg{cfg}: {p['value']:.1f} -> {n['value']:.1f} "
+                f"{n['unit']} ({100 * (ratio - 1):+.1f}%)  "
+                "[tunnel-dominated wall, legacy baseline without "
+                "device_rate — not gated; device-side gating starts "
+                "next round]"
+            )
+            continue
         ratio = float(n[gate_field]) / float(p[gate_field])
         # dispatch-floor-bound configs (the MPC loop: per-dispatch p50 IS
         # the ~27 ms tunnel round trip) measure the remote link, not the

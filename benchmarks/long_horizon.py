@@ -63,6 +63,19 @@ def main():
         row["streamed_p50_ms"] = round(p50 * 1e3, 1)
         row["streamed_solves_per_s"] = round(args.batch / p50, 1)
 
+        if args.batch % 1024 == 0:
+            # round-5: the supertile layout streams too (the packed HBM
+            # streams gain a sublane dim; measured 1.86x at N=512/B=4096)
+            p50s, _, _ = time_compiled(
+                lambda t: solve_fused_streamed(
+                    params, cost, t, 0.02, options, supertile=True
+                ),
+                (trajs,), repeats=args.repeats,
+            )
+            row["streamed_super_p50_ms"] = round(p50s * 1e3, 1)
+            row["streamed_super_solves_per_s"] = round(args.batch / p50s, 1)
+            row["super_speedup"] = round(p50 / p50s, 2)
+
         try:
             p50b, _, _ = time_compiled(
                 lambda t: solve_batch_fused(params, cost, t, 0.02, options),

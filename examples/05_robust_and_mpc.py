@@ -109,12 +109,18 @@ def main(mpc_steps=10):
         line_search_params=LineSearchParams(0.5, 0.5, 40),
         convergence_criteria=ConvergenceCriteria(1e-9, 1e-9, 60),
     )
+    # refine="auto" (round 5): the measured-best robust configuration —
+    # multi-phase straggler compaction + the hybrid curvature flip
+    # (Gauss-Newton early, exact-DDP on the compacted stragglers) — with
+    # no tuning arguments; measured 39.5k solves/s @ 98.8% on the
+    # aggressive class on one v5e chip (BENCH_LOCAL.md round 5)
     fleet = solve_batch_fddp(
         params, cost16, batch_init, dt, batch_opts,
         interpret=jax.devices()[0].platform != "tpu",
+        refine="auto",
     )
     conv = float((fleet.status == STATUS_CONVERGED).mean())
-    print("— robust mode at kernel speed (solve_batch_fddp) —")
+    print("— robust mode at kernel speed (solve_batch_fddp refine='auto') —")
     print(f"batch of {kb} aggressive scenarios: {conv:.0%} converged, "
           f"mean {float(fleet.iterations.mean()):.1f} iterations")
     assert conv > 0.9

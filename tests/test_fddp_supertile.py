@@ -232,3 +232,47 @@ def test_supertile_horizon_budget():
         cost, stage_weights=jnp.ones((128, 10), jnp.float64)
     )
     assert _supertile_horizon_budget(cost_w, params, 4, rows_base=60) == 115
+
+
+def test_streamed_supertile_matches_lane_layout():
+    """The STREAMED kernels (HBM-windowed, any horizon) ride the supertile
+    layout too (round 5: the packed streams gain a sublane dim; DMA slices
+    stay (8,128)-tile aligned) — exact loop and FDDP both."""
+    from tests.test_supertile import _OPTS as EOPTS
+    from tests.test_supertile import _problem
+    from quadrotorilqr_tpu.kernels.stream import solve_fused_streamed
+    from quadrotorilqr_tpu.kernels.stream_fddp import solve_fddp_streamed
+
+    params, cost, trajs, dt = _problem(1024, n=7)
+    ref = solve_fused_streamed(
+        params, cost, trajs, dt, EOPTS, interpret=True, chunk=3
+    )
+    got = solve_fused_streamed(
+        params, cost, trajs, dt, EOPTS, interpret=True, chunk=3,
+        supertile=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-10, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0].controls), np.asarray(ref[0].controls), atol=1e-8
+    )
+
+    params, cost, trajs, dt = _mixed_problem(1024, n=9, hard_scale=1.2)
+    r1 = solve_fddp_streamed(
+        params, cost, trajs, dt, _OPTS, interpret=True, chunk=4
+    )
+    r2 = solve_fddp_streamed(
+        params, cost, trajs, dt, _OPTS, interpret=True, chunk=4,
+        supertile=True,
+    )
+    np.testing.assert_array_equal(np.asarray(r1[3]), np.asarray(r2[3]))
+    np.testing.assert_array_equal(np.asarray(r1[2]), np.asarray(r2[2]))
+    np.testing.assert_allclose(
+        np.asarray(r1[1]), np.asarray(r2[1]), rtol=1e-10, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1[0].controls), np.asarray(r2[0].controls), atol=1e-8
+    )

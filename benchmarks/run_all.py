@@ -233,14 +233,15 @@ def config2_hover(quick):
     trajs = initial_trajectory_from_state(init_states, desired)
     params = _params()
     options = _options()
-    # NOT supertile: at batch 1024 the supertile layout is a single
-    # 1024-scenario grid step, which trades away per-128-lane-tile trip
-    # adaptivity — measured 26,697 vs 29,942 solves/s on this config
-    # (supertile wins from ~4 grid steps up; config 5 and bench.py use it)
+    # SUPERTILE since round 5: the r4 "loses below 4 grid steps" rule was
+    # a wall-number artifact — measured device-side by chunk slope, one
+    # 1024-lane grid step runs 2.4x FASTER dense (232k vs 96k solves/s,
+    # chunks 2/8/16, same-session)
+    supertile = batch >= 1024
 
     @jax.jit
     def run(p, c, t):
-        res = solve_batch_latency(p, c, t, 0.02, options)
+        res = solve_batch_latency(p, c, t, 0.02, options, supertile=supertile)
         return jnp.stack(
             [
                 jnp.sum(res.cost),
@@ -251,7 +252,9 @@ def config2_hover(quick):
     compiled = run.lower(params, cost, trajs).compile()
     p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
     device_s, intercept = _device_rate(
-        lambda p, c, t: solve_batch_latency(p, c, t, 0.02, options),
+        lambda p, c, t: solve_batch_latency(
+            p, c, t, 0.02, options, supertile=supertile
+        ),
         params, cost, trajs, repeats=3 if quick else 5,
     )
     pct, gflops, ceiling = _roofline_pct(
@@ -269,6 +272,7 @@ def config2_hover(quick):
         "achieved_gflops": gflops,
         "ceiling_gflops": ceiling,
         "ceiling_basis": "fma_peak",
+        "supertile": supertile,
     }
     row.update(_device_fields(device_s, intercept, batch))
     return row
@@ -299,7 +303,7 @@ def config3_figure_eight(quick):
     # promoting the DESIRED stream to per-lane layout — which is what
     # used to push N=200 past the supertile VMEM budget (the r4 compile
     # OOM at 138M/128M).
-    supertile = batch >= 4096
+    supertile = batch >= 1024
 
     @jax.jit
     def run(p, c, t):
@@ -451,10 +455,9 @@ def config5_monte_carlo(quick):
     trajs = initial_trajectory_from_state(init_states, desired)
     params = _params()
     options = _options(max_iters=8)
-    # >= 4 supertile grid steps: below that the layout trades away
-    # per-128-lane trip adaptivity and LOSES (measured 26,697 vs 29,942
-    # at batch 1024 — the config2 note; ADVICE r4 #5)
-    supertile = batch >= 4096
+    # supertile from one whole grid step up (the r5 re-measurement killed
+    # the r4 "loses below 4 grid steps" rule — see config2)
+    supertile = batch >= 1024
 
     @jax.jit
     def run(p, c, t):

@@ -938,8 +938,6 @@ def solve_fddp_streamed(
         _to_lanes(traj.states.vel),
         _to_lanes(controls),
     )
-    from .stream import _up_stream
-
     des_packed = _pack_stages(
         *_up_stream(
             (des_q, des_t, des_v, des_u),

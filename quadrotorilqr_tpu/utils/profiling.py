@@ -67,7 +67,7 @@ def time_compiled(fn, args=(), repeats=5, reduce=True):
     return float(np.median(times)), compile_s, out
 
 
-def chunk_slope(body, args, chunks=(1, 2, 4), repeats=5, carry_width=3):
+def chunk_slope(body, args, chunks=(1, 4, 16), repeats=5, carry_width=3):
     """DEVICE seconds per `body` execution by chunk-size slope — the
     tunnel-independent estimator (VERDICT r4 #4).
 
@@ -85,6 +85,12 @@ def chunk_slope(body, args, chunks=(1, 2, 4), repeats=5, carry_width=3):
     The slope cancels the tunnel's fixed dispatch+transfer overhead
     EXACTLY (it is the same additive constant for every S), which is how
     benchmarks/mpc_device_loop.py certifies 100 Hz control ticks.
+
+    The default chunks span 15 device-times: with the tunnel's ±2-4 ms
+    per-launch noise, a (1, 2, 4) span of 3x device_s produced garbage
+    slopes whenever device_s was under ~15 ms (measured: a cfg2 record
+    claiming 180% of the FMA peak). Widen further for sub-millisecond
+    bodies.
 
     Returns (device_s, intercept_s, {chunk: p50_wall_s}).
     """

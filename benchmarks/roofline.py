@@ -501,6 +501,30 @@ def main():
         "device_s": round(device_f, 4),
     }
 
+    # the SUPERTILE FDDP kernel's speed-of-light fraction (round 5): the
+    # same work model with the same kernel-reported counts (trip/probe
+    # counts from the lane-layout run — per-lane semantics are identical)
+    if batch % 1024 == 0:
+        @jax.jit
+        def run_fddp_super(p, c, t):
+            _, cost_v, _, _, _ = solve_fddp_fused(
+                p, c, t, dt, options, fddp_options=fo,
+                return_probes=True, supertile=True,
+            )
+            return jnp.sum(cost_v)[None]
+
+        compiled_fs = run_fddp_super.lower(params, cost, trajs).compile()
+        np.asarray(compiled_fs(params, cost, trajs))
+        p50_fs = _time_compiled(compiled_fs, (params, cost, trajs))
+        device_fs = max(p50_fs - floor, 1e-6)
+        ach_fs = flops_f / device_fs / 1e9
+        rep["fddp_supertile"] = {
+            "achieved_gflops": round(ach_fs, 1),
+            "pct_vpu_peak": round(100 * ach_fs / vpu, 1),
+            "solves_per_s": round(batch / p50_fs, 1),
+            "device_s": round(device_fs, 4),
+        }
+
     # compacted multi-phase refine: the production robust configuration —
     # stragglers stop forcing whole-tile trips/probes, so the same lane
     # work finishes in less wall time (throughput row; the work executed

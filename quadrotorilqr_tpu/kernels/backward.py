@@ -611,6 +611,7 @@ def _backward_kernel(
     r2_ref,  # (u, u, Bt) 2R (broadcast or per-lane)
     w_ref,  # (N, 1, Bt) stage weights ((1, 1, Bt) dummy when !use_weights)
     g_ref,  # (1, 1, Bt) gravity (broadcast or per-lane)
+    minv_ref,  # (1, 1, Bt) 1/mass (rolls the substep chain; r5)
     ju_ref,  # (12, u, Bt) stage-constant j_u (broadcast or per-lane)
     extra_ref,  # per-model operand (drag rows live here for drag families)
     i_ref,  # (3, 3, Bt) inertia (broadcast or per-lane)
@@ -647,6 +648,23 @@ def _backward_kernel(
         # agnostic (kernels/solve.py pattern)
         bshape = q_l.shape[2:]
         dtype = q_l.dtype
+        # substepped integration (r5: the per-pass kernel's refusal
+        # removed) — the chain rolls intermediate substates with the BASE
+        # single-step dynamics, same mapping as the whole-solve kernels
+        if lane_model.substeps > 1:
+            ez = jnp.concatenate(
+                [
+                    jnp.zeros((2,) + bshape, dtype),
+                    jnp.ones((1,) + bshape, dtype),
+                ],
+                axis=0,
+            )
+            chain = (
+                lane_model.base.dynamics_step, g_ref[0], minv_ref[0],
+                extra_ref[:], ez,
+            )
+        else:
+            chain = None
 
         def stage(idx, carry):
             n = n_stages - 1 - idx
@@ -660,6 +678,8 @@ def _backward_kernel(
                 box=box,
                 w=w_ref[n] if use_weights else None,
                 drag=drag,
+                substeps=lane_model.substeps,
+                chain=chain,
                 penalty=(
                     (
                         pcx_ref[n], pcu_ref[n], pcxx_ref[n], pcuu_ref[n],
@@ -845,6 +865,7 @@ def _backward_call(
     r2,
     w,
     g,
+    m_inv,
     ju,
     extra,
     inertia,
@@ -890,13 +911,13 @@ def _backward_call(
 
         (
             states_q, states_t, states_v, controls, des_q, des_t, des_v,
-            des_u, q_mat, r2, w, g, ju, extra, inertia, inertia_inv, lo,
-            hi, pcx, pcu, pcxx, pcuu, pcxu,
+            des_u, q_mat, r2, w, g, m_inv, ju, extra, inertia,
+            inertia_inv, lo, hi, pcx, pcu, pcxx, pcuu, pcxu,
         ) = map(
             prep,
             (
                 states_q, states_t, states_v, controls, des_q, des_t,
-                des_v, des_u, q_mat, r2, w, g, ju, extra, inertia,
+                des_v, des_u, q_mat, r2, w, g, m_inv, ju, extra, inertia,
                 inertia_inv, lo, hi, pcx, pcu, pcxx, pcuu, pcxu,
             ),
         )
@@ -959,6 +980,7 @@ def _backward_call(
             qr_block((u, u)),
             w_block,
             param_block((1, 1)),
+            param_block((1, 1)),
             param_block((12, u)),
             param_block(extra_core),
             param_block((3, 3)),
@@ -996,6 +1018,7 @@ def _backward_call(
         r2,
         w,
         g,
+        m_inv,
         ju,
         extra,
         inertia,
@@ -1059,13 +1082,6 @@ def backward_pass_fused(
     from .models import lane_model_for
 
     lm = lane_model_for(params, model)
-    if lm.substeps != 1:
-        raise ValueError(
-            "the per-pass backward kernel is single-step (it has no "
-            "dynamics operands to roll substates); the whole-solve "
-            "engines (solver/batched.solve_batch_latency) serve "
-            "substepped models"
-        )
     controls = traj.controls
     batch, n = controls.shape[0], controls.shape[1]
     if batch % TILE != 0:
@@ -1082,8 +1098,8 @@ def backward_pass_fused(
         cost, batch, dtype, r_scale=2.0
     )
     use_weights = cost.stage_weights is not None
-    g, _, ju, extra, inertia, inertia_inv, params_batched = lm.prep_params(
-        params, dt_s, dtype
+    g, m_inv, ju, extra, inertia, inertia_inv, params_batched = (
+        lm.prep_params(params, dt_s, dtype)
     )
     lo, hi, use_box, _ = _prep_limits(limits, lm.u_dim, dtype)
 
@@ -1124,6 +1140,7 @@ def backward_pass_fused(
         r2,
         w,
         g,
+        m_inv,
         ju,
         extra,
         inertia,

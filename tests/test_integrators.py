@@ -624,3 +624,60 @@ def test_substepped_hybrid_refine():
     conv = np.asarray(got.status) == 1
     assert conv.mean() >= (np.asarray(base.status) == 1).mean() - 0.02
     assert conv.sum() > 64
+
+
+def test_perpass_backward_substepped_and_auglag():
+    """The per-pass backward kernel rolls substep chains since round 5
+    (it carries the minv operand) — solve_batch_fused and the CONSTRAINED
+    AL driver now serve substepped models; parity vs the whole-solve
+    kernel / the vmapped XLA AL."""
+    from quadrotorilqr_tpu.solver import constraints as C
+    from quadrotorilqr_tpu.solver.auglag import (
+        ALOptions,
+        solve_auglag,
+        solve_auglag_batch,
+    )
+    from quadrotorilqr_tpu.solver.batched import (
+        solve_batch_fused,
+        solve_batch_latency,
+    )
+    from tests.test_supertile import _OPTS as EOPTS
+    from tests.test_supertile import _problem
+
+    params, cost, trajs, dt = _problem(256)
+    model = substepped(qm, 2)
+    ref = solve_batch_latency(
+        params, cost, trajs, dt, EOPTS, interpret=True, model=model
+    )
+    got = solve_batch_fused(
+        params, cost, trajs, dt, EOPTS, interpret=True, model=model
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-10
+    )
+
+    sphere = C.sphere_keepout(center=[0.3, 0.0, 0.0], radius=0.15)
+    alo = ALOptions(max_outer_iters=2)
+    small = jax.tree.map(lambda a: a[:128], trajs)
+    rb = solve_auglag_batch(
+        params, cost, sphere, small, dt, EOPTS, alo, interpret=True,
+        model=model,
+    )
+    rx = jax.vmap(
+        lambda t: solve_auglag(
+            params, cost, sphere, t, dt, EOPTS, alo, model=model
+        )
+    )(small)
+    np.testing.assert_array_equal(
+        np.asarray(rb.status), np.asarray(rx.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.max_violation), np.asarray(rx.max_violation),
+        atol=1e-9,
+    )

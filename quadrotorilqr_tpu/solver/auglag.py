@@ -292,7 +292,10 @@ def _inner_solve(
 
 @partial(
     jax.jit,
-    static_argnames=("constraints", "dt_s", "options", "al_options", "model"),
+    static_argnames=(
+        "constraints", "dt_s", "options", "al_options", "model", "robust",
+        "fddp_options",
+    ),
 )
 def solve_auglag(
     params,
@@ -303,6 +306,8 @@ def solve_auglag(
     options: ILQROptions = ILQROptions(),
     al_options: ALOptions = ALOptions(),
     model=None,
+    robust: bool = False,
+    fddp_options=None,
 ) -> ALSolveResult:
     """Constrained iLQR solve for ONE scenario (vmap for batches).
 
@@ -312,6 +317,18 @@ def solve_auglag(
     docstring; returns the TRUE (unaugmented) cost and the worst remaining
     violation. With constraints that never activate this reduces to the
     unconstrained `solve` trajectory (tested).
+
+    `robust=True` (round 5) swaps the inner solver for the
+    multiple-shooting FDDP loop on the AUGMENTED problem
+    (solver/fddp.solve_fddp penalty_fns: the PHR value folds into every
+    line-search candidate, the PHR quadratics — incl. the C_xu cross
+    term — into the gap-transported backward pass). This is ROBUST
+    CONSTRAINED FLIGHT: on the aggressive-tumble class the exact inner
+    loop's unconditional iteration-0 rollout diverges (the measured ~2%%
+    f32 NaN tail — BENCH_LOCAL round 5); the FDDP inner loop's gap
+    contraction + Goldstein acceptance + adaptive mu rescue it. With a
+    benign start both solvers settle the same KKT points.
+    `fddp_options` (static FDDPOptions) tunes the robust inner loop.
     """
     model = qm if model is None else model
     dtype = initial_traj.controls.dtype
@@ -325,6 +342,39 @@ def solve_auglag(
     alo = al_options
     ctol = jnp.asarray(alo.constraint_tol, dtype)
 
+    if robust:
+        from .fddp import FDDPOptions, solve_fddp
+
+        fo_inner = FDDPOptions() if fddp_options is None else fddp_options
+
+        def _pen_value(states, controls, args):
+            lam, mu = args
+            g = _eval_constraints(constraints, model, states, controls, n)
+            z = jnp.maximum(lam + mu * g, 0.0)
+            return jnp.sum(z * z - lam * lam, axis=-1) / (2.0 * mu)
+
+        def _pen_quads(traj, args):
+            lam, mu = args
+            g, gx, gu = _constraint_diffs(
+                constraints, model, traj.states, traj.controls, n
+            )
+            z = jnp.maximum(lam + mu * g, 0.0)
+            w = mu * (z > 0).astype(g.dtype)
+            pcx = jnp.einsum("ncx,nc->nx", gx, z)
+            pcu = jnp.einsum("ncu,nc->nu", gu, z)
+            pcxx = jnp.einsum("ncx,nc,ncy->nxy", gx, w, gx)
+            pcuu = jnp.einsum("ncu,nc,ncv->nuv", gu, w, gu)
+            pcxu = jnp.einsum("ncx,nc,ncu->nxu", gx, w, gu)
+            return pcx, pcu, pcxx, pcuu, pcxu
+
+        def robust_inner(traj, lam, mu):
+            rs = solve_fddp(
+                params, cost, traj, dt_s, options, fo_inner, model=model,
+                penalty_fns=(_pen_value, _pen_quads),
+                penalty_args=(lam, mu),
+            )
+            return rs.trajectory, rs.cost, rs.iterations, rs.status
+
     def violation(traj):
         g = _eval_constraints(
             constraints, model, traj.states, traj.controls, n
@@ -337,9 +387,13 @@ def solve_auglag(
 
     def body(carry):
         outer, traj, lam, mu, _, total_inner, _, _ = carry
-        traj2, _, inner_i, inner_status = _inner_solve(
-            params, cost, constraints, traj, dt_s, lam, mu, options, model, n
-        )
+        if robust:
+            traj2, _, inner_i, inner_status = robust_inner(traj, lam, mu)
+        else:
+            traj2, _, inner_i, inner_status = _inner_solve(
+                params, cost, constraints, traj, dt_s, lam, mu, options,
+                model, n,
+            )
         viol, g = violation(traj2)
         lam_new = jnp.maximum(lam + mu * g, 0.0)
         feasible = viol < ctol
@@ -390,7 +444,7 @@ def solve_auglag(
     jax.jit,
     static_argnames=(
         "constraints", "dt_s", "options", "al_options", "model", "interpret",
-        "supertile",
+        "supertile", "robust", "fddp_options",
     ),
 )
 def solve_auglag_batch(
@@ -404,6 +458,8 @@ def solve_auglag_batch(
     model=None,
     interpret: bool = False,
     supertile: bool = False,
+    robust: bool = False,
+    fddp_options=None,
 ) -> ALSolveResult:
     """Batched constrained solve at KERNEL speed (VERDICT r2 #8): the AL
     inner loop's backward passes run on the fused Pallas engine with the
@@ -425,11 +481,36 @@ def solve_auglag_batch(
     dense-register (r, c, 8, 128) layout (kernels/backward.py SUPER_TILE
     — the round-5 layout, threaded through the per-pass kernels so the
     CONSTRAINED path rides it too, VERDICT r4 #7); pads to 1024-lane
-    supertiles, VMEM-guard demotion as in solve_batch_latency."""
+    supertiles, VMEM-guard demotion as in solve_batch_latency.
+
+    `robust=True` routes to vmap(solve_auglag(robust=True)) — the FDDP
+    inner loop on the augmented problem (XLA path; the correctness
+    configuration for constrained flight on diverging scenario classes —
+    see solve_auglag). The kernel-speed batch driver keeps the exact
+    inner loop."""
     from ..kernels.backward import backward_pass_fused
     from ..kernels.rollout import rollout_cost_fused
 
     model_m = qm if model is None else model
+    if robust:
+        params_batched = jnp.ndim(params.mass_kg) >= 1
+        cost_axes = jax.tree.map(
+            lambda batched: 0 if batched else None,
+            qc.cost_batched_flags(cost),
+        )
+        return jax.vmap(
+            lambda p, c, t: solve_auglag(
+                p, c, constraints, t, dt_s, options, al_options,
+                model=model, robust=True, fddp_options=fddp_options,
+            ),
+            in_axes=(
+                jax.tree.map(lambda _: 0, params)
+                if params_batched
+                else jax.tree.map(lambda _: None, params),
+                cost_axes,
+                0,
+            ),
+        )(params, cost, initial_trajs)
     batch = initial_trajs.controls.shape[0]
     n = initial_trajs.controls.shape[-2]
     dtype = initial_trajs.controls.dtype

@@ -304,14 +304,23 @@ def backward_pass_fddp(
 
 def _backward_from_derivs(
     derivs, controls, d, quu_reg, ddp, limits,
-    analytic=False, curv=None, dt_s=None,
+    analytic=False, curv=None, dt_s=None, penalty=None,
 ):
     """The mu-dependent half of the FDDP backward pass (see
     backward_pass_fddp): Riccati scan + the exact quadratic model, from a
     precomputed derivative bundle. `analytic` (static) selects the
     closed-form dynamics-curvature evaluation (curv = (g, I, I⁻¹) from
     solver/ddp.curvature_params, with per-stage (quat, vel) in the bundle)
-    vs the precomputed f_xx tensor."""
+    vs the precomputed f_xx tensor.
+
+    `penalty=(pcx, pcu, pcxx, pcuu, pcxu)` ((N, ...) per-stage quadratics
+    — the AL PHR penalty, solver/auglag._pen_quads) augments the cost
+    derivatives INCLUDING the nonzero C_xu cross term, so the robust
+    multiple-shooting loop solves the constrained subproblem exactly like
+    the exact-loop AL inner solver does (round 5: robust constrained
+    flight). The first-order terms also feed the exact quadratic
+    line-search model, keeping the Goldstein test consistent with the
+    augmented cost the line search folds."""
     with jax.default_matmul_precision("highest"):
         if ddp and analytic:
             j_x, j_u, c_x, c_u, c_xx, c_uu, quats, vels = derivs
@@ -319,8 +328,17 @@ def _backward_from_derivs(
             j_x, j_u, c_x, c_u, c_xx, c_uu, f_xx = derivs
         else:
             j_x, j_u, c_x, c_u, c_xx, c_uu = derivs
+        pen = penalty is not None
+        if pen:
+            pcx, pcu, pcxx, pcuu, pcxu = penalty
+            c_x = c_x + pcx
+            c_u = c_u + pcu
+            c_xx = c_xx + pcxx
+            c_uu = c_uu + pcuu
         box = limits is not None
         xs = [j_x, j_u, c_x, c_u, c_xx, c_uu, d]
+        if pen:
+            xs.append(pcxu)
         if ddp:
             if analytic:
                 xs.append(quats)
@@ -348,6 +366,7 @@ def _backward_from_derivs(
                     quat_n = inputs.pop()
                 else:
                     fxx = inputs.pop()
+            cxu_pen = inputs.pop() if pen else None
             jx, ju, cx, cu, cxx, cuu, dk = inputs
             # first-order value transport across the gap (FDDP)
             v_x_eff = v_x + v_xx @ dk
@@ -374,6 +393,8 @@ def _backward_from_derivs(
                 q_xx = q_xx + vfull[:12, :12]
             q_uu = cuu + jut @ vxx_ju + jnp.asarray(quu_reg, cuu.dtype) * eye_m
             q_xu = jxt @ vxx_ju
+            if pen:
+                q_xu = q_xu + cxu_pen
             if vfull is not None:
                 q_uu = q_uu + vfull[12:, 12:]
                 q_xu = q_xu + vfull[:12, 12:]
@@ -401,16 +422,24 @@ def _backward_from_derivs(
 
         # Exact quadratic model of the gap-contracting rollout:
         # dx_k = alpha p_k, du_k = alpha w_k (both exactly linear in alpha).
+        # With a penalty the model carries its C_xu cross term too.
         def fwd(p, inputs):
-            jx, ju, cx, cu, cxx, cuu, dk, k, big_k = inputs
+            if pen:
+                jx, ju, cx, cu, cxx, cuu, dk, k, big_k, cxu_p = inputs
+            else:
+                jx, ju, cx, cu, cxx, cuu, dk, k, big_k = inputs
             w = k + big_k @ p
             l1 = cx @ p + cu @ w
             l2 = 0.5 * (p @ (cxx @ p) + w @ (cuu @ w))
+            if pen:
+                l2 = l2 + p @ (cxu_p @ w)
             return jx @ p + ju @ w + dk, (l1, l2)
 
+        fwd_xs = (j_x, j_u, c_x, c_u, c_xx, c_uu, d, ks, big_ks)
+        if pen:
+            fwd_xs = fwd_xs + (pcxu,)
         _, (l1s, l2s) = jax.lax.scan(
-            fwd, jnp.zeros((12,), dtype),
-            (j_x, j_u, c_x, c_u, c_xx, c_uu, d, ks, big_ks),
+            fwd, jnp.zeros((12,), dtype), fwd_xs
         )
         return ks, big_ks, jnp.sum(l1s), jnp.sum(l2s)
 
@@ -456,7 +485,9 @@ def rollout_gap(params, traj, d, ks, big_ks, alpha, dt_s, model=qm, limits=None)
 
 @partial(
     jax.jit,
-    static_argnames=("options", "dt_s", "fddp_options", "model", "ddp"),
+    static_argnames=(
+        "options", "dt_s", "fddp_options", "model", "ddp", "penalty_fns",
+    ),
 )
 def solve_fddp(
     params,
@@ -468,6 +499,8 @@ def solve_fddp(
     model=None,
     ddp: bool = False,
     limits=None,
+    penalty_fns=None,
+    penalty_args=None,
 ) -> SolveResult:
     """Robust infeasible-start solve for ONE scenario (vmap for batches).
 
@@ -481,6 +514,19 @@ def solve_fddp(
     ((m,)-broadcastable control bounds) runs the box-QP stage + clamped
     gap rollouts: robust solving under actuator saturation; with
     non-binding bounds it reduces to the unconstrained solve.
+
+    `penalty_fns=(value_fn, quads_fn)` (STATIC callables) makes the loop
+    solve an AUGMENTED problem exactly (round 5: the robust inner solver
+    of solver/auglag.solve_auglag(robust=True)):
+    `value_fn(states, controls, penalty_args) -> (N,)` per-stage extra
+    cost folded into cost0 and every line-search candidate;
+    `quads_fn(traj, penalty_args) -> (pcx, pcu, pcxx, pcuu, pcxu)`
+    per-stage quadratics (re-evaluated at each accepted iterate) added to
+    the derivative bundle incl. the C_xu cross term. `penalty_args` is a
+    TRACED operand pytree (the AL multipliers (lam, mu)) threaded to both
+    callables — the outer AL loop can update it without retracing. The
+    returned `cost` is the AUGMENTED cost; the AL driver reports the true
+    cost itself.
     """
     model = qm if model is None else model
     fo = fddp_options
@@ -496,6 +542,13 @@ def solve_fddp(
     dtype = initial_traj.controls.dtype
     gap_tol = resolve_gap_tol(fo, dtype)
     cost0 = qc.trajectory_cost(cost, initial_traj.states, initial_traj.controls)
+    if penalty_fns is not None:
+        pen_value, pen_quads = penalty_fns
+        cost0 = cost0 + jnp.sum(
+            pen_value(
+                initial_traj.states, initial_traj.controls, penalty_args
+            )
+        )
 
     def line_search(traj, d, current, ks, big_ks, l1, l2):
         def cond(carry):
@@ -517,6 +570,8 @@ def solve_fddp(
             # early-out depends on. An accepted candidate never crosses, so
             # committed costs are exact either way.
             scs = qc.per_stage_costs(cost, t.states, t.controls)
+            if penalty_fns is not None:
+                scs = scs + pen_value(t.states, t.controls, penalty_args)
             cap = _probe_cap(current + gdj, current)
 
             def sat_fold(c, s):
@@ -560,6 +615,11 @@ def solve_fddp(
         d = defects(params, traj, dt_s, model)
         gap = jnp.max(jnp.abs(d))
         derivs = _stage_derivs(params, cost, traj, dt_s, model, ddp)
+        pen = (
+            pen_quads(traj, penalty_args)
+            if penalty_fns is not None
+            else None
+        )
         current = new_cost
 
         def retry_cond(rc):
@@ -575,7 +635,7 @@ def solve_fddp(
             trips, mu_r, _, _, _, _ = rc
             ks, big_ks, l1, l2 = _backward_from_derivs(
                 derivs, traj.controls, d, options.quu_reg + mu_r, ddp, limits,
-                analytic=analytic, curv=curv, dt_s=dt_s,
+                analytic=analytic, curv=curv, dt_s=dt_s, penalty=pen,
             )
             t, c, accepted, step_used = line_search(
                 traj, d, current, ks, big_ks, l1, l2

@@ -338,3 +338,63 @@ def test_batched_kernel_auglag_matches_vmapped_xla():
     # the constraint must actually bind for some lanes
     assert float(np.asarray(ref.max_violation).max()) < _AL.constraint_tol
     assert np.any(np.asarray(ref.multipliers).max(axis=(1, 2)) > 0)
+
+
+def test_robust_auglag_matches_exact_on_benign():
+    """solve_auglag(robust=True) — the FDDP inner loop on the augmented
+    problem (round 5) — settles the SAME constrained optima as the exact
+    inner loop where both work."""
+    from quadrotorilqr_tpu.solver.ilqr import STATUS_CONVERGED
+    from tests.test_supertile import _OPTS as EOPTS
+    from tests.test_supertile import _problem
+
+    params, cost, trajs, dt = _problem(8)
+    sphere = C.sphere_keepout(center=[0.3, 0.0, 0.0], radius=0.15)
+    alo = ALOptions(max_outer_iters=4)
+    one = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+    for i in range(3):
+        t = one(trajs, i)
+        r_std = solve_auglag(params, cost, sphere, t, dt, EOPTS, alo)
+        r_rob = solve_auglag(
+            params, cost, sphere, t, dt, EOPTS, alo, robust=True
+        )
+        assert int(r_std.status) == STATUS_CONVERGED
+        assert int(r_rob.status) == STATUS_CONVERGED
+        np.testing.assert_allclose(
+            float(r_rob.cost), float(r_std.cost), rtol=1e-5
+        )
+        assert float(r_rob.max_violation) <= alo.constraint_tol
+
+
+def test_robust_auglag_rescues_hard_class():
+    """ROBUST CONSTRAINED FLIGHT: on aggressive-tumble starts the exact
+    inner loop's unconditional iteration-0 rollout diverges/stalls; the
+    FDDP inner loop (gap contraction + Goldstein + adaptive mu on the
+    augmented cost) converges or reaches a strictly better feasible
+    optimum. Measured in this suite's f64 smoke: one scenario flips
+    FEASIBLE_MAX_ITERS -> CONVERGED, another lands a 4.2x lower cost."""
+    from quadrotorilqr_tpu.solver.ilqr import STATUS_CONVERGED
+    from tests.test_fddp_supertile import _mixed_problem
+    from tests.test_supertile import _OPTS as EOPTS
+
+    params, cost, trajs, dt = _mixed_problem(8, n=10, hard_scale=2.2)
+    sphere = C.sphere_keepout(center=[0.3, 0.0, 0.0], radius=0.15)
+    alo = ALOptions(max_outer_iters=4)
+    one = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+    wins = 0
+    for i in (1, 3, 5):  # the hard (odd) lanes
+        t = one(trajs, i)
+        r_std = solve_auglag(params, cost, sphere, t, dt, EOPTS, alo)
+        r_rob = solve_auglag(
+            params, cost, sphere, t, dt, EOPTS, alo, robust=True
+        )
+        assert np.isfinite(float(r_rob.cost))
+        assert float(r_rob.max_violation) <= alo.constraint_tol
+        # never worse, sometimes decisively better
+        assert float(r_rob.cost) <= 1.001 * float(r_std.cost)
+        better_status = int(r_rob.status) == STATUS_CONVERGED and (
+            int(r_std.status) != STATUS_CONVERGED
+        )
+        better_cost = float(r_rob.cost) < 0.5 * float(r_std.cost)
+        wins += int(better_status or better_cost)
+    assert wins >= 1, "robust inner loop should rescue at least one lane"

@@ -41,3 +41,33 @@ def test_checkify_solve_flags_nan():
     except Exception:
         raised = True
     assert raised
+
+
+def test_chunk_slope_returns_positive_device_time():
+    """utils/profiling.chunk_slope: the chained-launch slope estimator
+    returns a positive per-body device time and per-chunk walls that grow
+    with the chunk size (the fit's raw points), on a trivial body."""
+    import jax.numpy as jnp
+
+    from quadrotorilqr_tpu.utils.profiling import chunk_slope
+
+    x = jnp.ones((256, 256), jnp.float32)
+
+    def body(carry, a):
+        # heavy enough (~8 matmuls) that the per-body time dominates
+        # launch noise and the fitted slope is reliably positive
+        y = a + carry[0]
+        for _ in range(8):
+            y = y @ a * 1e-3
+        return jnp.stack(
+            [jnp.sum(y) * 1e-9, jnp.mean(y), jnp.max(y)]
+        )
+
+    device_s, intercept, raw = chunk_slope(
+        body, (x,), chunks=(1, 8, 32), repeats=3
+    )
+    # a trivial body on a contended CPU can time noisily — assert only
+    # the structural contract (positive slope fit, all chunks measured)
+    assert device_s is not None and device_s > 0
+    assert intercept >= 0
+    assert set(raw) == {1, 8, 32} and all(v > 0 for v in raw.values())

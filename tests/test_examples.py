@@ -57,3 +57,11 @@ def test_example_07_fleet_scaling():
     )
     assert int((hybrid.status == 1).sum()) >= int((flat.status == 1).sum())
     assert float(stats["n_converged"]) >= 0
+
+
+def test_example_08_robust_constrained():
+    res = _load("08_robust_constrained").main(n=8)
+    import numpy as np
+
+    assert np.isfinite(float(res.cost))
+    assert float(res.max_violation) < 1e-5

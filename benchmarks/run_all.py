@@ -501,13 +501,97 @@ def config5_monte_carlo(quick):
     return row
 
 
+def config6_robust(quick):
+    """Robust-mode headline (round 5; NOT a BASELINE.json config — the
+    reference has no robust solver to baseline against): the aggressive-
+    tumble class through `solve_batch_fddp(refine="auto",
+    supertile=True)` — the zero-argument production configuration
+    (fddp_bench's fddp_auto_default_super row, institutionalized here so
+    check_regression.py gates it round-over-round)."""
+    from quadrotorilqr_tpu.solver.batched import solve_batch_fddp
+    from quadrotorilqr_tpu.solver.fddp import FDDPOptions
+
+    batch = 1024 if quick else 4096
+    n = 50
+    dt = 0.1  # coarse: the gyroscopic-blowup regime (fddp_bench.py)
+    params = QuadrotorParams.create(
+        mass_kg=1.0,
+        inertia=jnp.asarray(np.diag([0.01, 0.012, 0.02]), DTYPE),
+        arm_length_m=0.17,
+        torque_to_thrust_ratio_m=0.016,
+        g_mpss=9.81,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    scale = 1.8
+    x0 = State(
+        pose=se3.exp(scale * jax.random.normal(k1, (batch, 6), DTYPE)),
+        vel=scale * jax.random.normal(k2, (batch, 6), DTYPE),
+    )
+    hover = jnp.full((n, 4), 9.81 / 4.0, DTYPE)
+    desired = Trajectory(
+        times=jnp.arange(n, dtype=DTYPE) * dt,
+        states=State(
+            pose=se3.identity((n,), DTYPE), vel=jnp.zeros((n, 6), DTYPE)
+        ),
+        controls=hover,
+    )
+    cost = QuadraticTrackingCost(
+        Q=jnp.asarray(np.diag([100.0] * 6 + [1.0] * 6), DTYPE),
+        R=1e-3 * jnp.eye(4, dtype=DTYPE),
+        desired_states=desired.states,
+        desired_controls=desired.controls,
+    )
+    trajs = initial_trajectory_from_state(x0, desired)
+    options = _options(max_iters=40)
+    # f32 feasibility floor (fddp_bench.py gap_tol note)
+    fo = FDDPOptions(gap_tol=1e-5)
+
+    def solver_call(p, c, t):
+        return solve_batch_fddp(
+            p, c, t, dt, options, fddp_options=fo,
+            refine="auto", supertile=True,
+        )
+
+    @jax.jit
+    def run(p, c, t):
+        res = solver_call(p, c, t)
+        return jnp.stack(
+            [
+                jnp.sum(res.cost),
+                jnp.mean((res.status == 1).astype(jnp.float32)),
+                jnp.mean(res.iterations.astype(jnp.float32)),
+            ]
+        )
+
+    compiled = run.lower(params, cost, trajs).compile()
+    p50, out = _time(compiled, (params, cost, trajs), repeats=3 if quick else 5)
+    device_s, intercept = _device_rate(
+        solver_call, params, cost, trajs, repeats=3,
+    )
+    row = {
+        "config": 6,
+        "name": (
+            f"ROBUST headline: batch-{batch} aggressive-tumble "
+            f"(scale {scale}, N={n}), refine='auto' supertile"
+        ),
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "value": round(batch / p50, 1),
+        "unit": "solves/s/chip",
+        "frac_converged": out[1],
+        "mean_iterations": round(out[2], 2),
+        "supertile": True,
+    }
+    row.update(_device_fields(device_s, intercept, batch))
+    return row
+
+
 RECORD_DIR = os.path.join(os.path.dirname(__file__), "records")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller shapes")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument(
         "--record",
         default=None,
@@ -518,8 +602,8 @@ def main():
     )
     args = ap.parse_args()
     wanted = {int(x) for x in args.configs.split(",")}
-    if not wanted <= {1, 2, 3, 4, 5}:
-        ap.error(f"--configs must be a subset of 1-5, got {sorted(wanted)}")
+    if not wanted <= {1, 2, 3, 4, 5, 6}:
+        ap.error(f"--configs must be a subset of 1-6, got {sorted(wanted)}")
     if args.record:
         os.makedirs(RECORD_DIR, exist_ok=True)
 
@@ -529,6 +613,7 @@ def main():
         3: config3_figure_eight,
         4: config4_mpc,
         5: config5_monte_carlo,
+        6: config6_robust,
     }
     rows = []
     for idx in sorted(wanted):
